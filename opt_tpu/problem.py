@@ -1,0 +1,184 @@
+"""User-facing Problem / Plan lifecycle.
+
+Mirrors the reference C API surface (API/release/include/Opt.h:35-71:
+Opt_ProblemDefine / Opt_ProblemPlan / Opt_ProblemInit / Opt_ProblemStep /
+Opt_ProblemSolve / Opt_ProblemCurrentCost / Opt_SetSolverParameter) as a
+pythonic object API. ``opt_tpu.api`` provides the literal function-style
+wrappers on top of this.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .compile import CompiledProblem, compile_spec
+from .solver.gauss_newton import GaussNewtonSolver
+from .solver.params import InitializationParameters, normalize_solver_params
+
+_KIND_ALIASES = {
+    "gaussnewtongpu": False,
+    "gauss_newton": False,
+    "gn": False,
+    "lmgpu": True,
+    "lm": True,
+    "levenberg_marquardt": True,
+}
+
+
+def _uses_lambda(kind: str) -> bool:
+    k = kind.lower()
+    if k not in _KIND_ALIASES:
+        raise ValueError(
+            f"unknown solver kind {kind!r}; expected gaussNewtonGPU or LMGPU "
+            "(reference o.t:122)"
+        )
+    return _KIND_ALIASES[k]
+
+
+@dataclasses.dataclass
+class SolveResult:
+    unknowns: Dict[str, jnp.ndarray]
+    final_cost: float
+    costs: List[float]  # cost after each nonlinear iteration
+    num_iterations: int
+    wall_time_s: float
+
+
+class Problem:
+    """A problem definition: a spec function (Opt_ProblemDefine analogue)."""
+
+    def __init__(self, spec_fn, kind: str = "gaussNewtonGPU", name: Optional[str] = None):
+        self.spec_fn = spec_fn
+        self.kind = kind
+        self.name = name or getattr(spec_fn, "__name__", "problem")
+
+    def plan(
+        self,
+        dims: Dict[str, int],
+        kind: Optional[str] = None,
+        double_precision: bool = False,
+        init_params: Optional[InitializationParameters] = None,
+        **solver_params,
+    ) -> "Plan":
+        """Compile for concrete grid sizes (Opt_ProblemPlan, o.t:861-882).
+
+        Unlike the reference — which re-runs DSL parsing + symbolic autodiff +
+        Terra->PTX per size — this only re-traces Python; XLA compilation is
+        deferred to first execution and cached per shape."""
+        dtype = jnp.float64 if double_precision else jnp.float32
+        if double_precision and not jax.config.read("jax_enable_x64"):
+            raise RuntimeError(
+                "double_precision=True requires jax x64; call "
+                "opt_tpu.enable_double_precision() before creating arrays"
+            )
+        compiled = compile_spec(self.spec_fn, dims, dtype)
+        return Plan(self, compiled, kind or self.kind, init_params, solver_params)
+
+
+class Plan:
+    def __init__(self, problem, compiled: CompiledProblem, kind, init_params, solver_params):
+        self.problem = problem
+        self.compiled = compiled
+        self.kind = kind
+        self.uses_lambda = _uses_lambda(kind)
+        self.solver = GaussNewtonSolver(compiled, self.uses_lambda, init_params)
+        self.solver_params = normalize_solver_params(solver_params)
+        self._state = None
+        self._bound = None  # (consts, graphs, params)
+
+    # -- parameters (Opt_SetSolverParameter, solverGPUGaussNewton.t:1205-1221) --
+    def set_solver_parameter(self, name: str, value) -> None:
+        self.solver_params = normalize_solver_params(
+            {**self.solver_params, name: value}
+        )
+
+    def set_solver_parameters(self, params: Dict[str, Any]) -> None:
+        for k, v in params.items():
+            self.set_solver_parameter(k, v)
+
+    # -- stepwise API (Opt_ProblemInit / Opt_ProblemStep, Opt.h:59-66) ----------
+    def init(self, inputs: Dict[str, Any]) -> None:
+        unknowns, consts, graphs, params = self.compiled.normalize_inputs(inputs)
+        self._bound = (consts, graphs, params)
+        self._state = self.solver.init(
+            unknowns, consts, graphs, params, self.solver_params
+        )
+
+    def step(self) -> bool:
+        """One nonlinear iteration; returns True while solving continues
+        (Opt_ProblemStep's 0/1 return, solverGPUGaussNewton.t:1016-1177)."""
+        if self._state is None:
+            raise RuntimeError("call init() first")
+        consts, graphs, params = self._bound
+        before = int(self._state["n_iter"])
+        self._state = self.solver.step(
+            self._state, consts, graphs, params, self.solver_params
+        )
+        st = self._state
+        cont = (not bool(st["done"])) and int(st["n_iter"]) < int(
+            self.solver_params["nIterations"]
+        )
+        return cont and int(st["n_iter"]) != before
+
+    def current_cost(self) -> float:
+        """Opt_ProblemCurrentCost (Opt.h:69; returns the solver's prevCost,
+        solverGPUGaussNewton.t:1179-1182)."""
+        if self._state is None:
+            raise RuntimeError("call init() first")
+        return float(self._state["prev_cost"])
+
+    @property
+    def unknowns(self) -> Dict[str, jnp.ndarray]:
+        if self._state is None:
+            raise RuntimeError("call init() first")
+        return self._state["X"]
+
+    def free(self) -> None:
+        """Release solver state (Opt_PlanFree analogue)."""
+        self._state = None
+        self._bound = None
+
+    # -- fused solve (Opt_ProblemSolve, o.t:2548-2551) --------------------------
+    def solve(
+        self, inputs: Dict[str, Any], stepwise: bool = False, **solver_param_overrides
+    ) -> SolveResult:
+        sp = normalize_solver_params({**self.solver_params, **solver_param_overrides})
+        unknowns, consts, graphs, params = self.compiled.normalize_inputs(inputs)
+        t0 = time.perf_counter()
+        if stepwise:
+            self._bound = (consts, graphs, params)
+            self._state = self.solver.init(unknowns, consts, graphs, params, sp)
+            costs = []
+            while True:
+                before = int(self._state["n_iter"])
+                self._state = self.solver.step(
+                    self._state, consts, graphs, params, sp
+                )
+                if int(self._state["n_iter"]) == before:
+                    break
+                costs.append(float(self._state["prev_cost"]))
+                if bool(self._state["done"]):
+                    break
+            state = self._state
+            cost_arr = costs
+        else:
+            state, costs = self.solver.solve(unknowns, consts, graphs, params, sp)
+            jax.block_until_ready(state)
+            n = int(state["n_iter"])
+            cost_arr = [float(c) for c in np.asarray(costs)[:n]]
+        wall = time.perf_counter() - t0
+        self._state = state
+        self._bound = (consts, graphs, params)
+        return SolveResult(
+            unknowns=state["X"],
+            final_cost=float(state["prev_cost"]),
+            costs=cost_arr,
+            num_iterations=int(state["n_iter"]),
+            wall_time_s=wall,
+        )

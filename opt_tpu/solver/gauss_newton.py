@@ -1,0 +1,366 @@
+"""Gauss-Newton / Levenberg-Marquardt solver with Jacobi-preconditioned CG.
+
+This is the TPU-native re-design of the reference's single solver backend
+(API/src/solverGPUGaussNewton.t — both the "gaussNewtonGPU" and "LMGPU" plan
+kinds, o.t:122). The numerics follow the reference kernel-for-kernel so final
+energies match:
+
+* PCGInit1 (t:361-419): delta=0, r=-JᵀF, p=M⁻¹r with the guarded invert
+  (t:325-351), rᵀz reduction.
+* PCGStep1/2/3 (t:421-550): α=rᵀz/pᵀAp (division guarded, t:457), x/r updates,
+  β=rᵀz_new/rᵀz_old, with the LM residual re-computation every
+  ``residual_reset_period`` inner iterations (t:491-534, t:1077-1086) and the
+  Ceres Q/ζ early exit ζ=(i+1)(Q1−Q0)/Q1 < q_tolerance (t:446-489,
+  t:1093-1102).
+* LM damping: CtC = diag(JᵀJ)/radius, Jacobi-scaled + clamped, preconditioner
+  1/(CtC + radius·CtC_unclamped) (PCGComputeCtC/PCGFinalizeDiagonal,
+  t:615-664); Ceres-style trust-region accept/reject with radius update
+  ÷max(⅓, 1−(2ρ−1)³) and function_tolerance / min-radius exits (t:1119-1164).
+
+The design departure from the reference is architectural, not numerical: the
+reference launches ~6 CUDA kernels per linear iteration with device↔host
+scalar memcpys for the reductions (t:790-814, t:1091); here the entire
+nonlinear step — including every CG dot product — is one jitted program with
+``lax.while_loop``s, so scalars never leave the device and XLA fuses the
+element-wise PCG algebra into the JᵀJ matvec.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..compile import CompiledProblem
+from ..functions import FunctionSet, tree_dot
+from .params import (
+    FLOAT_EPSILON,
+    GuardedInvertType,
+    InitializationParameters,
+    JacobiScalingType,
+)
+
+# pytree helpers over unknown dicts ----------------------------------------
+
+
+def _axpy(a, x, y):  # y + a*x
+    return {k: y[k] + a * x[k] for k in y}
+
+
+def _sub(x, y):
+    return {k: x[k] - y[k] for k in x}
+
+
+def _mul(x, y):
+    return {k: x[k] * y[k] for k in x}
+
+
+def _where(c, x, y):
+    return {k: jnp.where(c, x[k], y[k]) for k in x}
+
+
+def _zeros_like(x):
+    return {k: jnp.zeros_like(v) for k, v in x.items()}
+
+
+class GaussNewtonSolver:
+    """One solver instance per (compiled problem, kind)."""
+
+    def __init__(
+        self,
+        compiled: CompiledProblem,
+        uses_lambda: bool,
+        init_params: Optional[InitializationParameters] = None,
+    ):
+        self.compiled = compiled
+        self.uses_lambda = bool(uses_lambda)
+        self.ip = init_params or InitializationParameters()
+        self._step_jit = jax.jit(self._step, donate_argnums=(0,))
+        self._init_jit = jax.jit(self._init_state)
+
+    # -- numerics helpers ------------------------------------------------------
+    def _guarded_invert(self, p):
+        """solverGPUGaussNewton.t:325-351."""
+        t = self.ip.guarded_invert_type
+        if t == GuardedInvertType.CERES:
+            inv = lambda v: 1.0 / jnp.square(1.0 + jnp.sqrt(v))
+        elif t == GuardedInvertType.MODIFIED_CERES:
+            inv = lambda v: 1.0 / (1.0 + v)
+        else:
+            inv = lambda v: 1.0 / (FLOAT_EPSILON + v)
+        return {k: inv(v) for k, v in p.items()}
+
+    def _safe_div(self, num, den):
+        """α/β division guard (guardDivisionByZero, t:17, t:457, t:545)."""
+        if not self.ip.guard_division_by_zero:
+            return num / den
+        return jnp.where(den > 0, num / jnp.where(den > 0, den, 1.0), 0.0)
+
+    # -- state -----------------------------------------------------------------
+    def _init_state(self, X, consts, graphs, params, sp):
+        fs = FunctionSet(self.compiled, consts, graphs, params)
+        dt = self.compiled.dtype
+        return {
+            "X": X,
+            "SSq": {k: jnp.ones_like(v) for k, v in X.items()},
+            "prev_cost": fs.cost(X).astype(dt),
+            "trust_region_radius": jnp.asarray(sp["trust_region_radius"], dt),
+            "radius_decrease_factor": jnp.asarray(sp["radius_decrease_factor"], dt),
+            "n_iter": jnp.zeros((), jnp.int32),
+            "done": jnp.zeros((), jnp.bool_),
+        }
+
+    def init(self, X, consts, graphs, params, sp):
+        return self._init_jit(X, consts, graphs, params, self._traced_sp(sp))
+
+    @staticmethod
+    def _traced_sp(sp: Dict[str, Any]) -> Dict[str, Any]:
+        """Solver parameters as traced scalars: changing them does not force a
+        recompile (unlike the reference, where any change of problem size
+        recompiles the world — README.md:487)."""
+        out = {}
+        for k, v in sp.items():
+            out[k] = jnp.asarray(v, jnp.int32 if isinstance(v, int) else jnp.float32)
+        return out
+
+    def step(self, state, consts, graphs, params, sp):
+        return self._step_jit(state, consts, graphs, params, self._traced_sp(sp))
+
+    # -- one nonlinear iteration -------------------------------------------------
+    def _step(self, state, consts, graphs, params, sp):
+        fs = FunctionSet(self.compiled, consts, graphs, params)
+
+        active = jnp.logical_and(
+            ~state["done"], state["n_iter"] < sp["nIterations"]
+        )
+
+        def run(state):
+            return (self._lm_step if self.uses_lambda else self._gn_step)(
+                state, fs, sp
+            )
+
+        return jax.lax.cond(active, run, lambda s: s, state)
+
+    # ---- shared PCG pieces -------------------------------------------------
+    def _prepare(self, X, fs: FunctionSet):
+        excl, row_masks = fs.masks(X)
+        r_terms, J, JT = fs.linearize(X)
+        jtf = JT(r_terms)
+        r0 = {k: -v for k, v in jtf.items()}
+        return r_terms, J, JT, r0
+
+    def _gn_step(self, state, fs: FunctionSet, sp):
+        X = state["X"]
+        r_terms, J, JT, r0 = self._prepare(X, fs)
+        if self.compiled.use_preconditioner:
+            pre_raw = fs.jtj_diag(X)
+        else:
+            pre_raw = {k: jnp.ones_like(v) for k, v in r0.items()}
+        pre = fs.mask_rows(self._guarded_invert(pre_raw))
+
+        A = lambda v: JT(J(v))
+
+        p0 = _mul(pre, r0)
+        rz0 = tree_dot(r0, p0)
+        delta0 = _zeros_like(r0)
+        rz_floor = sp["cg_rz_tolerance"].astype(rz0.dtype) * rz0
+
+        def body(carry):
+            delta, r, p, rz, l, brk = carry
+            Ap = A(p)
+            den = tree_dot(p, Ap)
+            alpha = self._safe_div(rz, den)
+            delta = _axpy(alpha, p, delta)
+            r = _axpy(-alpha, Ap, r)
+            z = _mul(pre, r)
+            rz_new = tree_dot(z, r)
+            beta = self._safe_div(rz_new, rz)
+            p = _axpy(beta, p, z)
+            brk = jnp.logical_or(rz_new <= rz_floor, den <= 0)
+            return (delta, r, p, rz_new, l + 1, brk)
+
+        def cond(carry):
+            return jnp.logical_and(carry[4] < sp["lIterations"], ~carry[5])
+
+        delta, *_ = jax.lax.while_loop(
+            cond,
+            body,
+            (delta0, r0, p0, rz0, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.bool_)),
+        )
+
+        X_new = {k: X[k] + delta[k] for k in X}
+        new_cost = fs.cost(X_new)
+        return {
+            **state,
+            "X": X_new,
+            "prev_cost": new_cost.astype(state["prev_cost"].dtype),
+            "n_iter": state["n_iter"] + 1,
+        }
+
+    def _lm_step(self, state, fs: FunctionSet, sp):
+        dt = self.compiled.dtype
+        X = state["X"]
+        radius = state["trust_region_radius"].astype(dt)
+        r_terms, J, JT, r0 = self._prepare(X, fs)
+
+        diag = fs.jtj_diag(X)  # actual diag(JᵀJ), also when UsePreconditioner(false)
+        if self.compiled.use_preconditioner:
+            pre_raw = diag
+        else:
+            pre_raw = fs.mask_rows({k: jnp.ones_like(v) for k, v in diag.items()})
+        pre_guarded = fs.mask_rows(self._guarded_invert(pre_raw))
+
+        # JacobiScaling ONCE_PER_SOLVE: freeze the guarded-inverted diag of the
+        # first nonlinear iteration (PCGSaveSSq, t:607-613, t:1043-1045).
+        if self.ip.jacobi_scaling == JacobiScalingType.ONCE_PER_SOLVE:
+            SSq = _where(state["n_iter"] == 0, pre_guarded, state["SSq"])
+            invS = {k: 1.0 / v for k, v in SSq.items()}
+        elif self.ip.jacobi_scaling == JacobiScalingType.EVERY_ITERATION:
+            SSq = state["SSq"]
+            invS = {k: 1.0 / v for k, v in pre_guarded.items()}
+        else:
+            SSq = state["SSq"]
+            invS = {k: jnp.ones_like(v) for k, v in diag.items()}
+
+        # PCGComputeCtC (o.t:2255-2316) + PCGFinalizeDiagonal (t:631-664)
+        ctc_un = {k: v / radius for k, v in diag.items()}
+        min_d = sp["min_lm_diagonal"].astype(dt)
+        max_d = sp["max_lm_diagonal"].astype(dt)
+        ctc = {}
+        pre_lm = {}
+        for k in diag:
+            mult = invS[k] / radius
+            ctc[k] = jnp.clip(ctc_un[k], min_d * mult, max_d * mult)
+            pre_lm[k] = 1.0 / (ctc[k] + radius * ctc_un[k])
+        ctc = fs.mask_rows(ctc)
+        pre_lm = fs.mask_rows(pre_lm)
+
+        b = r0  # t:652 "copy over to b"
+        p0 = _mul(pre_lm, r0)
+        rz0 = tree_dot(r0, p0)
+        rz_floor = sp["cg_rz_tolerance"].astype(dt) * rz0
+        delta0 = _zeros_like(r0)
+        Q0 = jnp.zeros((), dt)  # delta=0 ⇒ q=½δ·(r+r)=0 (t:658-662)
+
+        A = lambda v: _axpy(1.0, _mul(ctc, v), JT(J(v)))  # JᵀJp + CtC·p (o.t:2076-2082)
+
+        reset_period = sp["residual_reset_period"]
+
+        def body(carry):
+            delta, r, p, rz, Q0, l, brk = carry
+            Ap = A(p)
+            den = tree_dot(p, Ap)
+            alpha = self._safe_div(rz, den)
+            delta = _axpy(alpha, p, delta)
+            use_reset = (l + 1) % reset_period == 0
+            r = jax.lax.cond(
+                use_reset,
+                lambda _: _sub(b, A(delta)),  # t:491-534 drift cancellation
+                lambda _: _axpy(-alpha, Ap, r),
+                None,
+            )
+            z = _mul(pre_lm, r)
+            rz_new = tree_dot(z, r)
+            Q1 = 0.5 * tree_dot(delta, _axpy(1.0, b, r))  # t:478-481
+            beta = self._safe_div(rz_new, rz)
+            p = _axpy(beta, p, z)
+            zeta = (l + 1).astype(dt) * (Q1 - Q0) / Q1
+            brk = zeta < sp["q_tolerance"].astype(dt)
+            brk = jnp.logical_or(brk, rz_new <= rz_floor)
+            return (delta, r, p, rz_new, Q1, l + 1, brk)
+
+        def cond(carry):
+            l, brk = carry[5], carry[6]
+            return jnp.logical_and(l < sp["lIterations"], ~brk)
+
+        delta, *_ = jax.lax.while_loop(
+            cond,
+            body,
+            (delta0, r0, p0, rz0, Q0, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.bool_)),
+        )
+
+        # trust-region bookkeeping (t:1106-1164)
+        model_cost = fs.model_cost(X, r_terms, J, delta)
+        prev_cost = state["prev_cost"].astype(dt)
+        model_cost_change = prev_cost - model_cost
+
+        X_new = {k: X[k] + delta[k] for k in X}
+        new_cost = fs.cost(X_new)
+        cost_change = prev_cost - new_cost
+        relative_decrease = cost_change / model_cost_change
+
+        accept = jnp.logical_and(
+            cost_change >= 0, relative_decrease > sp["min_relative_decrease"].astype(dt)
+        )
+        func_tol = cost_change <= prev_cost * sp["function_tolerance"].astype(dt)
+
+        # accepted branch
+        min_factor = jnp.asarray(1.0 / 3.0, dt)
+        # cube written explicitly: C pow(x,3.0) handles negative bases (odd
+        # integer exponent), jnp.power with a float exponent would NaN.
+        _t = 2.0 * relative_decrease - 1.0
+        tmp_factor = 1.0 - _t * _t * _t
+        radius_acc = radius / jnp.maximum(min_factor, tmp_factor)
+        radius_acc = jnp.minimum(radius_acc, sp["max_trust_region_radius"].astype(dt))
+        # on function_tolerance exit the reference returns before touching
+        # prevCost/radius (t:1127-1132)
+        radius_acc = jnp.where(func_tol, radius, radius_acc)
+        cost_acc = jnp.where(func_tol, prev_cost, new_cost)
+
+        # rejected branch (t:1144-1156)
+        rdf = state["radius_decrease_factor"].astype(dt)
+        radius_rej = radius / rdf
+        min_radius_hit = radius_rej <= sp["min_trust_region_radius"].astype(dt)
+
+        X_out = _where(accept, X_new, X)
+        return {
+            **state,
+            "X": X_out,
+            "SSq": SSq,
+            "prev_cost": jnp.where(accept, cost_acc, prev_cost).astype(
+                state["prev_cost"].dtype
+            ),
+            "trust_region_radius": jnp.where(accept, radius_acc, radius_rej).astype(
+                state["trust_region_radius"].dtype
+            ),
+            "radius_decrease_factor": jnp.where(accept, jnp.asarray(2.0, dt), 2.0 * rdf),
+            "done": jnp.where(accept, func_tol, min_radius_hit),
+            "n_iter": state["n_iter"] + 1,
+        }
+
+    # -- fused full solve --------------------------------------------------------
+    @functools.partial(jax.jit, static_argnums=(0, 6))
+    def _solve_fused(self, X, consts, graphs, params, sp, max_iters: int):
+        state = self._init_state(X, consts, graphs, params, sp)
+        # history buffer must be non-empty even for nIterations=0: the loop
+        # body is traced unconditionally and indexes it.
+        costs = jnp.full((max(1, max_iters),), jnp.nan, self.compiled.dtype)
+
+        def cond(carry):
+            state, _ = carry
+            return jnp.logical_and(
+                ~state["done"], state["n_iter"] < sp["nIterations"]
+            )
+
+        def body(carry):
+            state, costs = carry
+            fs = FunctionSet(self.compiled, consts, graphs, params)
+            new_state = (self._lm_step if self.uses_lambda else self._gn_step)(
+                state, fs, sp
+            )
+            costs = costs.at[state["n_iter"]].set(new_state["prev_cost"])
+            return new_state, costs
+
+        state, costs = jax.lax.while_loop(cond, body, (state, costs))
+        return state, costs
+
+    def solve(self, X, consts, graphs, params, sp):
+        """Full solve in one XLA program (Opt_ProblemSolve, o.t:2548-2551 —
+        but without the reference's per-iteration host round-trips)."""
+        max_iters = int(sp["nIterations"])
+        return self._solve_fused(
+            X, consts, graphs, params, self._traced_sp(sp), max_iters
+        )

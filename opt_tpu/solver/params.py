@@ -1,0 +1,75 @@
+"""Solver parameters and configuration enums.
+
+Names, defaults and semantics mirror the reference exactly so that final
+energies match (reference: API/src/solverGPUGaussNewton.t:12-39; runtime
+setting via Opt_SetSolverParameter, solverGPUGaussNewton.t:1205-1221).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Any, Dict
+
+
+class GuardedInvertType(enum.Enum):
+    CERES = "ceres"
+    MODIFIED_CERES = "modified_ceres"
+    EPSILON_ADD = "epsilon_add"
+
+
+class JacobiScalingType(enum.Enum):
+    NONE = "none"
+    ONCE_PER_SOLVE = "once_per_solve"
+    EVERY_ITERATION = "every_iteration"
+
+
+FLOAT_EPSILON = 1e-8  # solverGPUGaussNewton.t:96
+
+
+@dataclasses.dataclass
+class InitializationParameters:
+    """Compile-time solver switches (solverGPUGaussNewton.t:19-24)."""
+
+    guarded_invert_type: GuardedInvertType = GuardedInvertType.CERES
+    jacobi_scaling: JacobiScalingType = JacobiScalingType.ONCE_PER_SOLVE
+    guard_division_by_zero: bool = True  # solverGPUGaussNewton.t:17
+
+
+# Runtime-settable parameters (solverGPUGaussNewton.t:26-39). `nIterations`
+# and `lIterations` are dynamic (no recompile when changed), unlike the
+# reference where everything is baked per-plan anyway.
+SOLVER_PARAMETER_DEFAULTS: Dict[str, Any] = {
+    "residual_reset_period": 10,
+    "min_relative_decrease": 1e-3,
+    "min_trust_region_radius": 1e-32,
+    "max_trust_region_radius": 1e16,
+    "q_tolerance": 1e-4,
+    "function_tolerance": 1e-6,
+    "trust_region_radius": 1e4,
+    "radius_decrease_factor": 2.0,
+    "min_lm_diagonal": 1e-6,
+    "max_lm_diagonal": 1e32,
+    "nIterations": 10,
+    "lIterations": 10,
+    # Extension over the reference parameter set (solverGPUGaussNewton.t:26-39):
+    # terminate the CG inner loop when rᵀz falls below this fraction of its
+    # initial value. The reference runs a fixed iteration count, which in
+    # float32 diverges once CG reaches exact convergence (α = rᵀz/pᵀAp with
+    # both ~eps²); at 1e-12 this exit only fires in that degenerate regime.
+    "cg_rz_tolerance": 1e-12,
+}
+
+_INT_PARAMS = {"residual_reset_period", "nIterations", "lIterations"}
+
+
+def normalize_solver_params(overrides: Dict[str, Any]) -> Dict[str, Any]:
+    params = dict(SOLVER_PARAMETER_DEFAULTS)
+    for k, v in overrides.items():
+        if k not in params:
+            raise KeyError(
+                f"unknown solver parameter {k!r} "
+                f"(valid: {sorted(params)}; reference solverGPUGaussNewton.t:26-39)"
+            )
+        params[k] = int(v) if k in _INT_PARAMS else float(v)
+    return params

@@ -1,0 +1,613 @@
+"""The energy DSL: spec tracing, accessors, and slot recording.
+
+This is the TPU-native replacement for the reference's Lua-embedded DSL
+front-end + symbolic CAS (reference: API/src/lib.t, API/src/ad.t,
+API/src/o.t:930-1057 ``ProblemSpecAD``). Instead of building a hash-consed
+expression DAG and symbolically differentiating it (ad.t:612-660), a user spec
+is a plain Python function that is *re-executed* under JAX tracing; accessor
+calls like ``X(0, 0)`` return real ``jnp`` arrays (zero-padded shifted views /
+edge gathers) and all arithmetic is ordinary ``jnp`` arithmetic. JAX's
+``vjp``/``linearize``/``linear_transpose`` then provide the matrix-free JᵀF and
+JᵀJ·p that the reference derives symbolically (o.t:2029-2172).
+
+The spec function runs under three interchangeable accessor backends:
+
+* ``field`` — accessors return whole-image shifted/gathered arrays. Used for
+  cost, residuals, JᵀF (vjp) and JᵀJ·p (linearize + transpose).
+* ``discover`` — an eager first pass that records declarations and assigns a
+  stable *slot* to every distinct (image, offset-or-graph-slot) access.
+* ``slots`` — accessors return entries of a slot-value list. The resulting
+  ``local_F(slot_values)`` is *pointwise* over the domain (all spatial/graph
+  interaction goes through the accessors, exactly the invariant the reference
+  DSL enforces), which lets us compute the exact Jacobi preconditioner
+  diagonal Σ(∂r/∂x)² with one one-hot jvp probe per (slot, channel) — the
+  probe analogue of the reference's symbolic ``createjtfcentered`` square
+  accumulation (o.t:2129-2172).
+
+Spec functions must be deterministic across re-execution (same declarations,
+same Energy calls in the same order) — the same constraint jit already places
+on traced Python.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from .dims import Dim, IndexSpace, as_ispace
+from .ops.graph_ops import edge_gather
+from .ops.sampling import central_difference_images, sample_with_derivs
+from .ops.shift import coordinate_field, in_bounds_mask, shift
+
+
+class SpecError(Exception):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# Declarations
+# ---------------------------------------------------------------------------
+
+UNKNOWN = "unknown"
+ARRAY = "array"
+
+
+@dataclasses.dataclass
+class ImageDecl:
+    """An image (grid or per-vertex) parameter.
+
+    Mirrors the reference's ``ProblemSpec:Image/:Unknown`` (o.t:946-958). The
+    positional binding index of the reference is replaced by name binding.
+    """
+
+    name: str
+    channels: int
+    ispace: IndexSpace
+    kind: str  # UNKNOWN or ARRAY
+
+
+@dataclasses.dataclass
+class GraphDecl:
+    """A hyperedge set (reference ``ProblemSpec:Graph``, o.t:818-834).
+
+    ``slots`` maps vertex-slot name -> IndexSpace the slot indexes into.
+    """
+
+    name: str
+    slots: Dict[str, IndexSpace]
+
+
+@dataclasses.dataclass
+class ParamDecl:
+    name: str
+
+
+@dataclasses.dataclass(frozen=True)
+class GraphSlotRef:
+    graph: str
+    slot: str
+
+
+# ---------------------------------------------------------------------------
+# Slot keys: the unit of access recording
+# ---------------------------------------------------------------------------
+# ('img',  image_name, offsets)            grid access at stencil offset
+# ('gimg', image_name, graph, slot)        graph access at edge endpoint
+# ('bounds', ispace_key, offsets, expand)  InBounds/InBoundsExpanded mask
+
+
+def _img_key(name: str, off: Tuple[int, ...]):
+    return ("img", name, off)
+
+
+def _gimg_key(name: str, graph: str, slot: str):
+    return ("gimg", name, graph, slot)
+
+
+def _bounds_key(ispace_key, off, expand):
+    return ("bounds", ispace_key, off, expand)
+
+
+@dataclasses.dataclass
+class SlotInfo:
+    key: tuple
+    image: Optional[str]  # image name for img/gimg slots
+    kind: str  # 'img' | 'gimg' | 'bounds'
+    ispace: IndexSpace  # domain the *slot value field* lives on (grid ispace
+    # for img/bounds; the *edge* domain marker for gimg)
+    graph: Optional[str]
+    offset: Optional[Tuple[int, ...]]  # for img/bounds
+    expand: int
+    channels: int
+    is_unknown: bool
+
+
+@dataclasses.dataclass
+class EnergyTerm:
+    index: int
+    # filled by dependence analysis in compile.py:
+    domain: Any = None  # ('centered', IndexSpace) | ('graph', graph_name)
+    slot_ids: Tuple[int, ...] = ()
+    uses_bounds: bool = False
+    bbox: Optional[Tuple[Tuple[int, ...], Tuple[int, ...]]] = None  # (bmin, bmax)
+    channels: int = 1
+
+
+@dataclasses.dataclass
+class ExcludeTerm:
+    index: int
+    ispace: Optional[IndexSpace] = None
+    slot_ids: Tuple[int, ...] = ()
+
+
+# ---------------------------------------------------------------------------
+# Builder context (for the module-level DSL functions in lib.py)
+# ---------------------------------------------------------------------------
+
+_BUILDER_STACK: List["SpecBuilder"] = []
+
+
+def current_builder() -> "SpecBuilder":
+    if not _BUILDER_STACK:
+        raise SpecError(
+            "this DSL function may only be used while a spec function is being traced"
+        )
+    return _BUILDER_STACK[-1]
+
+
+# ---------------------------------------------------------------------------
+# Handles returned to user spec code
+# ---------------------------------------------------------------------------
+
+
+class ImageHandle:
+    def __init__(self, builder: "SpecBuilder", decl: ImageDecl):
+        self._b = builder
+        self.decl = decl
+
+    @property
+    def name(self):
+        return self.decl.name
+
+    @property
+    def channels(self):
+        return self.decl.channels
+
+    def __call__(self, *index):
+        return self._b._access_image(self.decl, index)
+
+
+class GraphHandle:
+    def __init__(self, decl: GraphDecl):
+        self._decl = decl
+
+    def __getattr__(self, item):
+        if item.startswith("_"):
+            raise AttributeError(item)
+        if item not in self._decl.slots:
+            raise SpecError(f"graph {self._decl.name} has no slot {item!r}")
+        return GraphSlotRef(self._decl.name, item)
+
+
+class ComputedHandle:
+    """A precomputed array (reference ``ComputedArray``, o.t:1007-1040).
+
+    ``fn`` is a zero-argument closure building the per-element expression from
+    accessors. In field mode the array is materialized once per trace and
+    shifted reads are zero-padded shifts of the materialized field — matching
+    the reference's per-iteration ``precompute`` scatter (o.t:2387-2409). In
+    slot mode the expression is *inlined* with composed offsets so that the
+    local residual function stays pointwise (the reference instead stores
+    per-unknown gradient images; inlining is the jvp-probe-friendly
+    equivalent with identical derivatives away from image borders).
+    """
+
+    def __init__(self, builder: "SpecBuilder", name: str, ispace: IndexSpace, fn):
+        self._b = builder
+        self.name = name
+        self.ispace = ispace
+        self.fn = fn
+
+    def __call__(self, *off):
+        return self._b._access_computed(self, tuple(int(o) for o in off))
+
+
+class SampledImageHandle:
+    """Bilinear-sampled 2D image with user derivative images.
+
+    Reference: ``ad.sampledimage`` (o.t:2486-2501).
+    """
+
+    def __init__(self, builder, image: ImageHandle, dx: Optional[ImageHandle], dy):
+        self._b = builder
+        self.image = image
+        self.dx = dx
+        self.dy = dy
+
+    def __call__(self, x, y):
+        return self._b._access_sampled(self, x, y)
+
+
+# ---------------------------------------------------------------------------
+# The builder
+# ---------------------------------------------------------------------------
+
+
+class SpecBuilder:
+    """Executes a user spec function under one of three accessor backends."""
+
+    def __init__(
+        self,
+        mode: str,
+        dim_sizes: Dict[str, int],
+        dtype,
+        registry: Optional["SpecRegistry"] = None,
+        bindings: Optional[Dict[str, Any]] = None,
+        slot_values: Optional[Sequence[Any]] = None,
+    ):
+        assert mode in ("discover", "field", "slots")
+        self.mode = mode
+        self.dim_sizes = dict(dim_sizes)
+        self.dtype = dtype
+        self.registry = registry if registry is not None else SpecRegistry()
+        self.bindings = bindings or {}
+        self.slot_values = list(slot_values) if slot_values is not None else None
+
+        self.energy_values: List[Any] = []
+        self.exclude_values: List[Any] = []
+        self._computed_cache: Dict[str, Any] = {}
+        self._offset_ctx: List[Tuple[int, ...]] = []
+        self._dims_seen: Dict[str, Dim] = {}
+
+    # -- context manager ----------------------------------------------------
+    def __enter__(self):
+        _BUILDER_STACK.append(self)
+        return self
+
+    def __exit__(self, *exc):
+        _BUILDER_STACK.pop()
+        return False
+
+    # -- declarations --------------------------------------------------------
+    def Dim(self, name: str, index: Optional[int] = None) -> Dim:
+        # `index` accepted for reference-spec portability; binding is by name.
+        del index
+        d = self._dims_seen.get(name)
+        if d is None:
+            d = Dim(name)
+            self._dims_seen[name] = d
+            if name not in self.dim_sizes:
+                raise SpecError(f"no size bound for Dim({name!r}); pass dims={{...}} to plan()")
+        return d
+
+    def Unknown(self, name, channels, dims, index=None) -> ImageHandle:
+        return self._declare_image(name, channels, dims, UNKNOWN)
+
+    def Array(self, name, channels, dims, index=None) -> ImageHandle:
+        return self._declare_image(name, channels, dims, ARRAY)
+
+    # reference alias (Image == non-unknown input image, o.t:946-958)
+    Image = Array
+
+    def _declare_image(self, name, channels, dims, kind) -> ImageHandle:
+        ispace = as_ispace(dims)
+        decl = self.registry.declare_image(name, int(channels), ispace, kind)
+        return ImageHandle(self, decl)
+
+    def Graph(self, name: str, *slot_pairs, **slot_kwargs) -> GraphHandle:
+        """Declare a hyperedge set: ``Graph("G", v0=(N,), v1=(N,))``.
+
+        Also accepts reference-style positional pairs
+        ``Graph("G", "v0", (N,), "v1", (N,))`` (integer binding indices from
+        reference specs are skipped if present).
+        """
+        slots: Dict[str, IndexSpace] = {}
+        items = [a for a in slot_pairs if not isinstance(a, int)]
+        i = 0
+        while i < len(items):
+            sname = items[i]
+            if not isinstance(sname, str):
+                raise SpecError(f"expected slot name string, got {sname!r}")
+            ispace = as_ispace(items[i + 1])
+            slots[sname] = ispace
+            i += 2
+        for sname, dims in slot_kwargs.items():
+            slots[sname] = as_ispace(dims)
+        decl = self.registry.declare_graph(name, slots)
+        return GraphHandle(decl)
+
+    def Param(self, name: str, typ=None, index=None):
+        """A named scalar parameter (reference ``:Param``, o.t:1055)."""
+        self.registry.declare_param(name)
+        if self.mode == "field" or self.slot_values is not None:
+            params = self.bindings.get("params", {})
+            if name in params:
+                v = params[name]
+                return jnp.asarray(v, self.dtype) if not isinstance(v, jnp.ndarray) else v
+        return jnp.ones((), self.dtype)
+
+    def ComputedArray(self, name: str, dims, fn: Callable[[], Any]) -> ComputedHandle:
+        return ComputedHandle(self, name, as_ispace(dims), fn)
+
+    def SampledImage(self, image: ImageHandle, dx=None, dy=None) -> SampledImageHandle:
+        if image.decl.ispace.ndim != 2:
+            raise SpecError("sampled images must be 2D (reference o.t:2481)")
+        return SampledImageHandle(self, image, dx, dy)
+
+    # -- spec-level switches --------------------------------------------------
+    def UsePreconditioner(self, flag: bool):
+        self.registry.use_preconditioner = bool(flag)
+
+    def Exclude(self, cond):
+        """Freeze unknowns where cond holds (reference :Exclude, o.t:2462-2465)."""
+        cond = jnp.asarray(cond)
+        if cond.dtype != jnp.bool_:
+            cond = cond != 0
+        self.exclude_values.append(cond)
+        self.registry.note_exclude(len(self.exclude_values) - 1)
+
+    def Energy(self, *terms):
+        for t in terms:
+            t = jnp.asarray(t, self.dtype)
+            self.energy_values.append(t)
+            self.registry.note_energy(len(self.energy_values) - 1)
+
+    # -- bounds / coordinates --------------------------------------------------
+    def InBounds(self, *off):
+        return self._bounds(tuple(int(o) for o in off), expand=0)
+
+    def InBoundsExpanded(self, *args):
+        *off, expand = args
+        return self._bounds(tuple(int(o) for o in off), expand=int(expand))
+
+    def _bounds(self, off: Tuple[int, ...], expand: int):
+        off = self._compose(off)
+        ispace = self._grid_ispace_for_ndim(len(off))
+        shape = ispace.shape(self.dim_sizes)
+        key = _bounds_key(ispace.dims, off, expand)
+        if self.mode == "field":
+            return in_bounds_mask(shape, off, expand)
+        sid = self.registry.slot_for(
+            key,
+            lambda: SlotInfo(
+                key=key, image=None, kind="bounds", ispace=ispace, graph=None,
+                offset=off, expand=expand, channels=1, is_unknown=False,
+            ),
+            self.mode,
+        )
+        if self.mode == "slots":
+            return self.slot_values[sid]
+        return jnp.ones(shape + (1,), jnp.bool_)
+
+    def Index(self, axis: int, dims=None):
+        ispace = as_ispace(dims) if dims is not None else self._grid_ispace_for_ndim(None)
+        shape = ispace.shape(self.dim_sizes)
+        f = coordinate_field(shape, int(axis), self.dtype)
+        if self._offset_ctx:
+            off = self._compose(tuple([0] * len(shape)))
+            f = f + jnp.asarray(off[int(axis)], self.dtype)
+        return f
+
+    # -- access implementation -------------------------------------------------
+    def _compose(self, off: Tuple[int, ...]) -> Tuple[int, ...]:
+        for ctx in reversed(self._offset_ctx):
+            if len(ctx) != len(off):
+                raise SpecError("offset rank mismatch inside ComputedArray")
+            off = tuple(a + b for a, b in zip(off, ctx))
+        return off
+
+    def _grid_ispace_for_ndim(self, ndim: Optional[int]) -> IndexSpace:
+        cands = [
+            d.ispace
+            for d in self.registry.images.values()
+            if (ndim is None or d.ispace.ndim == ndim)
+        ]
+        uniq = []
+        for c in cands:
+            if c not in uniq:
+                uniq.append(c)
+        if len(uniq) != 1:
+            raise SpecError(
+                f"cannot infer index space (candidates: {uniq}); pass dims= explicitly"
+            )
+        return uniq[0]
+
+    def _access_image(self, decl: ImageDecl, index):
+        if len(index) == 1 and isinstance(index[0], GraphSlotRef):
+            return self._access_image_graph(decl, index[0])
+        off = tuple(int(o) for o in index)
+        if len(off) != decl.ispace.ndim:
+            raise SpecError(
+                f"{decl.name}: expected {decl.ispace.ndim} offsets, got {len(off)}"
+            )
+        off = self._compose(off)
+        key = _img_key(decl.name, off)
+        shape = decl.ispace.shape(self.dim_sizes) + (decl.channels,)
+        if self.mode == "field":
+            arr = self._bound_image(decl)
+            return shift(arr, off)
+        sid = self.registry.slot_for(
+            key,
+            lambda: SlotInfo(
+                key=key, image=decl.name, kind="img", ispace=decl.ispace, graph=None,
+                offset=off, expand=0, channels=decl.channels,
+                is_unknown=decl.kind == UNKNOWN,
+            ),
+            self.mode,
+        )
+        if self.mode == "slots":
+            return self.slot_values[sid]
+        return jnp.ones(shape, self.dtype)
+
+    def _access_image_graph(self, decl: ImageDecl, ref: GraphSlotRef):
+        if decl.ispace.ndim != 1:
+            raise SpecError("graph-accessed images must live on a 1-D index space")
+        key = _gimg_key(decl.name, ref.graph, ref.slot)
+        if self.mode == "field":
+            arr = self._bound_image(decl)
+            idx = self._bound_graph_index(ref)
+            return edge_gather(arr, idx)
+        sid = self.registry.slot_for(
+            key,
+            lambda: SlotInfo(
+                key=key, image=decl.name, kind="gimg", ispace=decl.ispace,
+                graph=ref.graph, offset=None, expand=0, channels=decl.channels,
+                is_unknown=decl.kind == UNKNOWN,
+            ),
+            self.mode,
+        )
+        if self.mode == "slots":
+            return self.slot_values[sid]
+        E0 = self.registry.dummy_edge_count
+        return jnp.ones((E0, decl.channels), self.dtype)
+
+    def _access_computed(self, handle: ComputedHandle, off: Tuple[int, ...]):
+        if self.mode == "field":
+            if handle.name not in self._computed_cache:
+                self._offset_ctx.append(tuple([0] * handle.ispace.ndim))
+                try:
+                    val = jnp.asarray(handle.fn(), self.dtype)
+                finally:
+                    self._offset_ctx.pop()
+                if val.ndim == handle.ispace.ndim:
+                    val = val[..., None]
+                self._computed_cache[handle.name] = val
+            return shift(self._computed_cache[handle.name], self._compose(off))
+        # slots / discover: inline with composed offsets so local_F stays
+        # pointwise; derivatives then chain through automatically.
+        self._offset_ctx.append(off)
+        try:
+            val = jnp.asarray(handle.fn(), self.dtype)
+        finally:
+            self._offset_ctx.pop()
+        if val.ndim == handle.ispace.ndim:
+            val = val[..., None]
+        return val
+
+    def _access_sampled(self, handle: SampledImageHandle, x, y):
+        decl = handle.image.decl
+        if decl.kind == UNKNOWN:
+            raise SpecError("SampledImage over unknowns is not supported")
+        # The sampled image and its derivative images are constants; only the
+        # (possibly unknown-dependent) positions x, y carry derivatives. The
+        # positions are already traced values from accessors, so sampling is
+        # pointwise w.r.t. slots and works under both backends.
+        img = self._bound_image(decl) if self.mode == "field" else self._dummy_field(decl)
+        if handle.dx is not None:
+            dxd = handle.dx.decl
+            dyd = handle.dy.decl
+            dx = self._bound_image(dxd) if self.mode == "field" else self._dummy_field(dxd)
+            dy = self._bound_image(dyd) if self.mode == "field" else self._dummy_field(dyd)
+        else:
+            dx, dy = central_difference_images(img)
+        x = jnp.asarray(x, self.dtype)
+        y = jnp.asarray(y, self.dtype)
+        squeeze = False
+        if x.ndim == img.ndim:  # [*sp,1] channel-style fields
+            x = x[..., 0]
+            y = y[..., 0]
+        return sample_with_derivs(img, dx, dy, x, y)
+
+    def _dummy_field(self, decl: ImageDecl):
+        return jnp.ones(decl.ispace.shape(self.dim_sizes) + (decl.channels,), self.dtype)
+
+    # -- bindings ---------------------------------------------------------------
+    def _bound_image(self, decl: ImageDecl) -> jnp.ndarray:
+        src = "unknowns" if decl.kind == UNKNOWN else "consts"
+        d = self.bindings.get(src, {})
+        if decl.name not in d:
+            raise SpecError(f"no value bound for {decl.kind} image {decl.name!r}")
+        arr = d[decl.name]
+        if arr.ndim == decl.ispace.ndim:
+            arr = arr[..., None]
+        return arr
+
+    def _bound_graph_index(self, ref: GraphSlotRef) -> jnp.ndarray:
+        graphs = self.bindings.get("graphs", {})
+        if ref.graph not in graphs:
+            raise SpecError(f"no value bound for graph {ref.graph!r}")
+        g = graphs[ref.graph]
+        idx = g[ref.slot] if isinstance(g, dict) else getattr(g, ref.slot)
+        return jnp.asarray(idx, jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Registry: accumulated across builder runs; owned by the compiled problem
+# ---------------------------------------------------------------------------
+
+
+class SpecRegistry:
+    """Declarations + slot table shared by all trace passes of one plan."""
+
+    def __init__(self, dummy_edge_count: int = 4):
+        self.images: Dict[str, ImageDecl] = {}
+        self.graphs: Dict[str, GraphDecl] = {}
+        self.params: Dict[str, ParamDecl] = {}
+        self.slots: List[SlotInfo] = []
+        self._slot_by_key: Dict[tuple, int] = {}
+        self.energy_terms: List[EnergyTerm] = []
+        self.exclude_terms: List[ExcludeTerm] = []
+        self.use_preconditioner = True
+        self.dummy_edge_count = dummy_edge_count
+        self.frozen = False
+
+    def declare_image(self, name, channels, ispace, kind) -> ImageDecl:
+        prev = self.images.get(name)
+        if prev is not None:
+            if prev.channels != channels or prev.ispace != ispace or prev.kind != kind:
+                raise SpecError(f"inconsistent re-declaration of image {name!r}")
+            return prev
+        if self.frozen:
+            raise SpecError(f"non-deterministic spec: new image {name!r} on re-trace")
+        decl = ImageDecl(name, channels, ispace, kind)
+        self.images[name] = decl
+        return decl
+
+    def declare_graph(self, name, slots) -> GraphDecl:
+        prev = self.graphs.get(name)
+        if prev is not None:
+            return prev
+        if self.frozen:
+            raise SpecError(f"non-deterministic spec: new graph {name!r} on re-trace")
+        decl = GraphDecl(name, slots)
+        self.graphs[name] = decl
+        return decl
+
+    def declare_param(self, name):
+        if name not in self.params:
+            if self.frozen:
+                raise SpecError(f"non-deterministic spec: new param {name!r} on re-trace")
+            self.params[name] = ParamDecl(name)
+
+    def slot_for(self, key, make_info, mode: str) -> int:
+        sid = self._slot_by_key.get(key)
+        if sid is None:
+            if self.frozen:
+                raise SpecError(f"non-deterministic spec: new access {key} on re-trace")
+            sid = len(self.slots)
+            self._slot_by_key[key] = sid
+            self.slots.append(make_info())
+        return sid
+
+    def note_energy(self, idx: int):
+        if idx >= len(self.energy_terms):
+            if self.frozen:
+                raise SpecError("non-deterministic spec: extra Energy() on re-trace")
+            self.energy_terms.append(EnergyTerm(index=idx))
+
+    def note_exclude(self, idx: int):
+        if idx >= len(self.exclude_terms):
+            if self.frozen:
+                raise SpecError("non-deterministic spec: extra Exclude() on re-trace")
+            self.exclude_terms.append(ExcludeTerm(index=idx))
+
+    @property
+    def unknown_names(self) -> List[str]:
+        return [n for n, d in self.images.items() if d.kind == UNKNOWN]
+
+    @property
+    def array_names(self) -> List[str]:
+        return [n for n, d in self.images.items() if d.kind == ARRAY]
