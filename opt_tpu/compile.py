@@ -113,6 +113,8 @@ class CompiledProblem:
         for name, val in inputs.items():
             if name in self.registry.images:
                 decl = self.registry.images[name]
+                if decl.alias is not None:
+                    continue  # const views read the unknown's buffer
                 arr = jnp.asarray(val)
                 if arr.dtype != jnp.int32 and jnp.issubdtype(arr.dtype, jnp.floating):
                     arr = arr.astype(self.dtype)
@@ -133,11 +135,10 @@ class CompiledProblem:
                 params[name] = jnp.asarray(val, self.dtype)
             else:
                 raise SpecError(f"unknown input {name!r}")
-        missing = [
-            n
-            for n in list(self.registry.images) + list(self.registry.graphs)
-            if n not in inputs
-        ]
+        required = [
+            n for n, d in self.registry.images.items() if d.alias is None
+        ] + list(self.registry.graphs)
+        missing = [n for n in required if n not in inputs]
         if missing:
             raise SpecError(f"missing inputs: {missing}")
         for p in self.registry.params:
@@ -256,7 +257,10 @@ class CompiledProblem:
         for s in self.registry.slots:
             if s.kind in ("img", "gimg"):
                 decl = self.registry.images[s.image]
-                arr = (unknowns if decl.kind == UNKNOWN else consts)[s.image]
+                if decl.alias is not None:
+                    arr = jax.lax.stop_gradient(unknowns[decl.alias])
+                else:
+                    arr = (unknowns if decl.kind == UNKNOWN else consts)[s.image]
                 if s.kind == "img":
                     vals.append(shift(arr, s.offset))
                 else:

@@ -179,17 +179,21 @@ def L_2_norm(v):
     return length(v)
 
 
-def L_p(p, v, eps=1e-9):
-    """Robust p-norm residual weighting (lib.t:106-114): returns v scaled so
-    that ‖result‖² ≈ ‖v‖^p. The reference implements this as a ComputedArray
-    of constant weights w = (‖v‖²+eps)^((p-2)/4) applied to v, with the weight
-    treated as constant w.r.t. the unknowns; we reproduce that with
-    stop_gradient."""
+def L_p(val, val_const, p, dims=None):
+    """Robust p-norm residual weighting (lib.t:105-114).
+
+    Reference semantics: C = (‖val_const‖+eps)^(p-2); the weight sqrt(C) is
+    stored in a ComputedArray (constant during the nonlinear iteration, since
+    val_const is a const view of the unknown) and multiplied onto val. Here
+    the constancy comes from stop_gradient; `dims` is accepted for spec
+    portability and ignored."""
     import jax
 
-    nrm2 = jnp.sum(jnp.square(v), axis=-1, keepdims=True) + eps
-    w = jnp.power(nrm2, (p - 2.0) / 4.0)
-    return jax.lax.stop_gradient(w) * v
+    del dims
+    eps = 1e-7
+    dist = jnp.sqrt(jnp.sum(jnp.square(val_const), axis=-1, keepdims=True))
+    w = jnp.sqrt(jnp.power(dist + eps, p - 2.0))
+    return jax.lax.stop_gradient(w) * val
 
 
 # ---------------------------------------------------------------------------

@@ -64,6 +64,7 @@ class Problem:
         kind: Optional[str] = None,
         double_precision: bool = False,
         init_params: Optional[InitializationParameters] = None,
+        mesh=None,
         **solver_params,
     ) -> "Plan":
         """Compile for concrete grid sizes (Opt_ProblemPlan, o.t:861-882).
@@ -78,19 +79,35 @@ class Problem:
                 "opt_tpu.enable_double_precision() before creating arrays"
             )
         compiled = compile_spec(self.spec_fn, dims, dtype)
-        return Plan(self, compiled, kind or self.kind, init_params, solver_params)
+        return Plan(self, compiled, kind or self.kind, init_params, solver_params, mesh)
 
 
 class Plan:
-    def __init__(self, problem, compiled: CompiledProblem, kind, init_params, solver_params):
+    def __init__(
+        self, problem, compiled: CompiledProblem, kind, init_params, solver_params,
+        mesh=None,
+    ):
+        from .parallel.mesh import ShardingRules
+
         self.problem = problem
         self.compiled = compiled
         self.kind = kind
         self.uses_lambda = _uses_lambda(kind)
-        self.solver = GaussNewtonSolver(compiled, self.uses_lambda, init_params)
+        self.rules = ShardingRules(mesh) if mesh is not None else None
+        self.solver = GaussNewtonSolver(
+            compiled, self.uses_lambda, init_params, sharding_rules=self.rules
+        )
         self.solver_params = normalize_solver_params(solver_params)
         self._state = None
         self._bound = None  # (consts, graphs, params)
+
+    def _normalize_and_place(self, inputs):
+        unknowns, consts, graphs, params = self.compiled.normalize_inputs(inputs)
+        if self.rules is not None:
+            unknowns, consts, graphs = self.rules.place_inputs(
+                self.compiled, unknowns, consts, graphs
+            )
+        return unknowns, consts, graphs, params
 
     # -- parameters (Opt_SetSolverParameter, solverGPUGaussNewton.t:1205-1221) --
     def set_solver_parameter(self, name: str, value) -> None:
@@ -104,7 +121,7 @@ class Plan:
 
     # -- stepwise API (Opt_ProblemInit / Opt_ProblemStep, Opt.h:59-66) ----------
     def init(self, inputs: Dict[str, Any]) -> None:
-        unknowns, consts, graphs, params = self.compiled.normalize_inputs(inputs)
+        unknowns, consts, graphs, params = self._normalize_and_place(inputs)
         self._bound = (consts, graphs, params)
         self._state = self.solver.init(
             unknowns, consts, graphs, params, self.solver_params
@@ -149,7 +166,7 @@ class Plan:
         self, inputs: Dict[str, Any], stepwise: bool = False, **solver_param_overrides
     ) -> SolveResult:
         sp = normalize_solver_params({**self.solver_params, **solver_param_overrides})
-        unknowns, consts, graphs, params = self.compiled.normalize_inputs(inputs)
+        unknowns, consts, graphs, params = self._normalize_and_place(inputs)
         t0 = time.perf_counter()
         if stepwise:
             self._bound = (consts, graphs, params)

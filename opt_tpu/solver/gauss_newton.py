@@ -74,12 +74,19 @@ class GaussNewtonSolver:
         compiled: CompiledProblem,
         uses_lambda: bool,
         init_params: Optional[InitializationParameters] = None,
+        sharding_rules=None,
     ):
         self.compiled = compiled
         self.uses_lambda = bool(uses_lambda)
         self.ip = init_params or InitializationParameters()
+        self.rules = sharding_rules
         self._step_jit = jax.jit(self._step, donate_argnums=(0,))
         self._init_jit = jax.jit(self._init_state)
+
+    def _constrain(self, X):
+        if self.rules is None:
+            return X
+        return self.rules.constrain_unknowns(self.compiled, X)
 
     # -- numerics helpers ------------------------------------------------------
     def _guarded_invert(self, p):
@@ -101,6 +108,7 @@ class GaussNewtonSolver:
 
     # -- state -----------------------------------------------------------------
     def _init_state(self, X, consts, graphs, params, sp):
+        X = self._constrain(X)
         fs = FunctionSet(self.compiled, consts, graphs, params)
         dt = self.compiled.dtype
         return {
@@ -153,7 +161,7 @@ class GaussNewtonSolver:
         return r_terms, J, JT, r0
 
     def _gn_step(self, state, fs: FunctionSet, sp):
-        X = state["X"]
+        X = self._constrain(state["X"])
         r_terms, J, JT, r0 = self._prepare(X, fs)
         if self.compiled.use_preconditioner:
             pre_raw = fs.jtj_diag(X)
@@ -202,7 +210,7 @@ class GaussNewtonSolver:
 
     def _lm_step(self, state, fs: FunctionSet, sp):
         dt = self.compiled.dtype
-        X = state["X"]
+        X = self._constrain(state["X"])
         radius = state["trust_region_radius"].astype(dt)
         r_terms, J, JT, r0 = self._prepare(X, fs)
 

@@ -67,6 +67,11 @@ class ImageDecl:
     channels: int
     ispace: IndexSpace
     kind: str  # UNKNOWN or ARRAY
+    # Const view of an unknown: reads the unknown's *current* values but
+    # carries no gradient. The reference achieves this by binding an Array to
+    # the unknown's buffer (intrinsic_image_decomposition.t: r_const shares
+    # r's binding index); here it is explicit via Array(..., alias="r").
+    alias: Optional[str] = None
 
 
 @dataclasses.dataclass
@@ -286,15 +291,15 @@ class SpecBuilder:
     def Unknown(self, name, channels, dims, index=None) -> ImageHandle:
         return self._declare_image(name, channels, dims, UNKNOWN)
 
-    def Array(self, name, channels, dims, index=None) -> ImageHandle:
-        return self._declare_image(name, channels, dims, ARRAY)
+    def Array(self, name, channels, dims, index=None, alias=None) -> ImageHandle:
+        return self._declare_image(name, channels, dims, ARRAY, alias=alias)
 
     # reference alias (Image == non-unknown input image, o.t:946-958)
     Image = Array
 
-    def _declare_image(self, name, channels, dims, kind) -> ImageHandle:
+    def _declare_image(self, name, channels, dims, kind, alias=None) -> ImageHandle:
         ispace = as_ispace(dims)
-        decl = self.registry.declare_image(name, int(channels), ispace, kind)
+        decl = self.registry.declare_image(name, int(channels), ispace, kind, alias)
         return ImageHandle(self, decl)
 
     def Graph(self, name: str, *slot_pairs, **slot_kwargs) -> GraphHandle:
@@ -368,8 +373,11 @@ class SpecBuilder:
         ispace = self._grid_ispace_for_ndim(len(off))
         shape = ispace.shape(self.dim_sizes)
         key = _bounds_key(ispace.dims, off, expand)
+        # Bounds masks are float 0/1 fields in every mode so they can ride the
+        # slot machinery (jvp probes need inexact inputs) — combine with
+        # ot.And/Or/Not or multiplication, as reference specs do.
         if self.mode == "field":
-            return in_bounds_mask(shape, off, expand)
+            return in_bounds_mask(shape, off, expand, dtype=self.dtype)
         sid = self.registry.slot_for(
             key,
             lambda: SlotInfo(
@@ -380,7 +388,7 @@ class SpecBuilder:
         )
         if self.mode == "slots":
             return self.slot_values[sid]
-        return jnp.ones(shape + (1,), jnp.bool_)
+        return jnp.ones(shape + (1,), self.dtype)
 
     def Index(self, axis: int, dims=None):
         ispace = as_ispace(dims) if dims is not None else self._grid_ispace_for_ndim(None)
@@ -516,6 +524,13 @@ class SpecBuilder:
 
     # -- bindings ---------------------------------------------------------------
     def _bound_image(self, decl: ImageDecl) -> jnp.ndarray:
+        if decl.alias is not None:
+            import jax
+
+            arr = self.bindings.get("unknowns", {}).get(decl.alias)
+            if arr is None:
+                raise SpecError(f"alias image {decl.name!r}: no unknown {decl.alias!r}")
+            return jax.lax.stop_gradient(arr)
         src = "unknowns" if decl.kind == UNKNOWN else "consts"
         d = self.bindings.get(src, {})
         if decl.name not in d:
@@ -554,7 +569,7 @@ class SpecRegistry:
         self.dummy_edge_count = dummy_edge_count
         self.frozen = False
 
-    def declare_image(self, name, channels, ispace, kind) -> ImageDecl:
+    def declare_image(self, name, channels, ispace, kind, alias=None) -> ImageDecl:
         prev = self.images.get(name)
         if prev is not None:
             if prev.channels != channels or prev.ispace != ispace or prev.kind != kind:
@@ -562,7 +577,7 @@ class SpecRegistry:
             return prev
         if self.frozen:
             raise SpecError(f"non-deterministic spec: new image {name!r} on re-trace")
-        decl = ImageDecl(name, channels, ispace, kind)
+        decl = ImageDecl(name, channels, ispace, kind, alias)
         self.images[name] = decl
         return decl
 

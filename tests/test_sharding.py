@@ -1,0 +1,75 @@
+"""Multi-device sharding tests on the 8-virtual-CPU mesh (SURVEY.md §4:
+test multi-host logic the JAX-native way with forced host platform devices).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import opt_tpu as ot
+from opt_tpu.parallel.mesh import make_mesh
+
+
+def poisson_spec(S):
+    W, H = S.Dim("W"), S.Dim("H")
+    X = S.Unknown("X", 2, (W, H))
+    T = S.Array("T", 2, (W, H))
+    M = S.Array("M", 1, (W, H))
+    S.UsePreconditioner(False)
+    S.Exclude(ot.Not(ot.eq(M(0, 0), 0)))
+    for dx, dy in ot.Stencil([(1, 0), (-1, 0), (0, 1), (0, -1)]):
+        e = (X(0, 0) - X(dx, dy)) - (T(0, 0) - T(dx, dy))
+        S.Energy(ot.Select(ot.InBounds(dx, dy), e, 0.0))
+
+
+def test_sharded_solve_matches_single_device():
+    assert len(jax.devices()) == 8, jax.devices()
+    n = 32
+    rng = np.random.RandomState(0)
+    inputs = {
+        "X": rng.rand(n, n, 2).astype(np.float32),
+        "T": rng.rand(n, n, 2).astype(np.float32),
+        "M": (rng.rand(n, n) > 0.7).astype(np.float32),
+    }
+    res1 = ot.Problem(poisson_spec).plan(dims={"W": n, "H": n}).solve(
+        dict(inputs), nIterations=2, lIterations=50
+    )
+    mesh = make_mesh()  # 8 devices -> (2,4) tiling
+    res8 = ot.Problem(poisson_spec).plan(dims={"W": n, "H": n}, mesh=mesh).solve(
+        dict(inputs), nIterations=2, lIterations=50
+    )
+    assert np.allclose(res1.final_cost, res8.final_cost, rtol=1e-4)
+    assert np.allclose(
+        np.asarray(res1.unknowns["X"]), np.asarray(res8.unknowns["X"]), atol=1e-4
+    )
+    # the sharded result really is tiled over the mesh
+    shard_shapes = {s.data.shape for s in res8.unknowns["X"].addressable_shards}
+    assert shard_shapes == {(n // 2, n // 4, 2)}, shard_shapes
+
+
+def test_sharded_graph_solve():
+    def curve_spec(S):
+        N, U = S.Dim("N"), S.Dim("U")
+        fp = S.Unknown("funcParams", 2, (U,))
+        data = S.Image("data", 2, (N,))
+        G = S.Graph("G", d=(N,), p=(U,))
+        x = data(G.d)[..., 0]
+        y = data(G.d)[..., 1]
+        a = fp(G.p)[..., 0]
+        b = fp(G.p)[..., 1]
+        S.Energy(y - (a * jnp.cos(b * x) + b * jnp.sin(a * x)))
+
+    N = 512
+    rng = np.random.RandomState(1)
+    xs = rng.rand(N) * 0.1
+    ys = 100.0 * np.cos(102.0 * xs) + 102.0 * np.sin(100.0 * xs)
+    inputs = {
+        "funcParams": np.array([[99.7, 102.3]], np.float32),
+        "data": np.stack([xs, ys], -1).astype(np.float32),
+        "G": {"d": np.arange(N, dtype=np.int32), "p": np.zeros(N, np.int32)},
+    }
+    mesh = make_mesh()
+    plan = ot.Problem(curve_spec).plan(dims={"N": N, "U": 1}, mesh=mesh)
+    res = plan.solve(inputs, nIterations=15, lIterations=40)
+    got = np.asarray(res.unknowns["funcParams"])[0]
+    assert abs(got[0] - 100.0) < 0.3 and abs(got[1] - 102.0) < 0.3, got

@@ -1,0 +1,98 @@
+"""Regression-by-example (SURVEY.md §4 / scripts/regression_tests.py analogue):
+every bundled energy spec must compile and strictly decrease its cost under
+both GN and LM on synthetic data.
+"""
+
+import numpy as np
+import pytest
+
+import opt_tpu as ot
+from opt_tpu.models.specs import ALL_SPECS
+
+f32 = np.float32
+N_GRID = 12
+N_VERT = 40
+
+
+def _cases():
+    rng = np.random.RandomState(0)
+    n, N = N_GRID, N_VERT
+    grid2 = {"W": n, "H": n}
+    con3 = -np.ones((N, 3), f32)
+    con3[0] = [0.5, 0.5, 0.5]
+    pos3 = rng.rand(N, 3).astype(f32)
+    v0 = np.arange(N, dtype=np.int32)
+    v1 = (v0 + 1) % N
+    return {
+        "laplacian": (grid2, {"X": rng.rand(n, n).astype(f32), "A": rng.rand(n, n).astype(f32)}),
+        "curve_fitting": ({"N": N, "U": 1}, {
+            "funcParams": np.array([[99.5, 102.5]], f32),
+            "data": np.stack([rng.rand(N) * 0.1, rng.rand(N)], -1).astype(f32),
+            "G": {"d": v0, "p": np.zeros(N, np.int32)}}),
+        "poisson_image_editing": (grid2, {
+            "X": rng.rand(n, n, 4).astype(f32), "T": rng.rand(n, n, 4).astype(f32),
+            "M": (rng.rand(n, n) > 0.5).astype(f32)}),
+        "image_warping": (grid2, {
+            "Offset": rng.rand(n, n, 2).astype(f32), "Angle": np.zeros((n, n), f32),
+            "UrShape": rng.rand(n, n, 2).astype(f32),
+            "Constraints": -np.ones((n, n, 2), f32), "Mask": np.zeros((n, n), f32),
+            "w_fitSqrt": 3.16, "w_regSqrt": 1.0}),
+        "optical_flow": (grid2, {
+            "X": np.zeros((n, n, 2), f32), "I": rng.rand(n, n).astype(f32),
+            "I_hat": rng.rand(n, n).astype(f32),
+            "I_hat_dx": rng.rand(n, n).astype(f32) * 0.1,
+            "I_hat_dy": rng.rand(n, n).astype(f32) * 0.1,
+            "w_fit": 10.0, "w_reg": 1.0}),
+        "intrinsic_image_decomposition": (grid2, {
+            "r": rng.rand(n, n, 3).astype(f32), "i": rng.rand(n, n, 3).astype(f32),
+            "s": rng.rand(n, n).astype(f32), "w_fitSqrt": 3.0,
+            "w_regSqrtAlbedo": 1.0, "w_regSqrtShading": 1.0, "pNorm": 0.8}),
+        "volumetric_mesh_deformation": ({"W": 6, "H": 6, "D": 6}, {
+            "Offset": rng.rand(6, 6, 6, 3).astype(f32),
+            "Angle": np.zeros((6, 6, 6, 3), f32),
+            "UrShape": rng.rand(6, 6, 6, 3).astype(f32),
+            "Constraints": -np.ones((6, 6, 6, 3), f32),
+            "w_fitSqrt": 3.0, "w_regSqrt": 1.0}),
+        "arap_mesh_deformation": ({"N": N}, {
+            "Offset": pos3.copy(), "Angle": np.zeros((N, 3), f32), "UrShape": pos3,
+            "Constraints": con3, "G": {"v0": v0, "v1": v1},
+            "w_fitSqrt": 3.0, "w_regSqrt": 1.0}),
+        "cotangent_mesh_smoothing": ({"N": N}, {
+            "X": pos3.copy(), "A": pos3,
+            "G": {"v0": v0, "v1": v1, "v2": (v0 + 2) % N, "v3": (v0 + 3) % N},
+            "w_fit": 1.0, "w_reg": 0.5}),
+        "embedded_mesh_deformation": ({"N": N}, {
+            "Offset": pos3.copy(),
+            "RotMatrix": np.tile(np.eye(3, dtype=f32).ravel(), (N, 1)),
+            "UrShape": pos3, "Constraints": con3, "G": {"v0": v0, "v1": v1},
+            "w_fitSqrt": 3.0, "w_regSqrt": 1.0, "w_rotSqrt": 1.0}),
+        "robust_nonrigid_alignment": ({"N": N}, {
+            "Offset": pos3.copy(), "Angle": np.zeros((N, 3), f32),
+            "RobustWeights": np.ones((N,), f32), "UrShape": pos3,
+            "Constraints": con3,
+            "ConstraintNormals": np.tile(np.array([0, 0, 1], f32), (N, 1)),
+            "G": {"v0": v0, "v1": v1}, "w_fitSqrt": 3.0, "w_regSqrt": 1.0}),
+        "shape_from_shading": (grid2, {
+            "X": (rng.rand(n, n) + 1).astype(f32),
+            "D_i": (rng.rand(n, n) + 1).astype(f32),
+            "Im": rng.rand(n, n).astype(f32),
+            "edgeMaskR": np.ones((n, n), f32), "edgeMaskC": np.ones((n, n), f32),
+            "w_p": 1.0, "w_s": 1.0, "w_g": 1.0, "f_x": 10.0, "f_y": 10.0,
+            "u_x": n / 2, "u_y": n / 2, **{f"L_{i}": 0.1 for i in range(1, 10)}}),
+    }
+
+
+CASES = _cases()
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+@pytest.mark.parametrize("kind", ["gaussNewtonGPU", "LMGPU"])
+def test_spec_solves_and_decreases(name, kind):
+    dims, inputs = CASES[name]
+    plan = ot.Problem(ALL_SPECS[name]).plan(dims=dims, kind=kind)
+    res = plan.solve(dict(inputs), nIterations=3, lIterations=8)
+    assert np.isfinite(res.final_cost), res.costs
+    assert res.final_cost <= res.costs[0] + 1e-6
+    # cost must strictly decrease on the first iteration for these inits
+    first_decreased = res.costs[0] < 1e30
+    assert first_decreased
