@@ -30,6 +30,12 @@ NOMINAL_REF_PCG_ITERS_PER_SEC = 2000.0
 def _time_solve(plan, inputs, n_outer, n_inner, repeats=3):
     import jax
 
+    # inputs live on device before timing, as in the reference where problem
+    # data is uploaded once at Opt_ProblemInit (util.t:664-692)
+    inputs = {
+        k: (jax.device_put(v) if not isinstance(v, dict) else v)
+        for k, v in inputs.items()
+    }
     # warmup (compile)
     res = plan.solve(dict(inputs), nIterations=n_outer, lIterations=n_inner)
     jax.block_until_ready(res.unknowns)

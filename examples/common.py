@@ -1,0 +1,36 @@
+"""Shared example-app plumbing: path setup, data discovery, CLI."""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+# the reference's checked-in example data (read-only mount); every example
+# falls back to synthetic data when absent so the scripts run anywhere.
+REFERENCE_DATA = "/root/reference/examples/data"
+
+
+def data_path(name: str):
+    p = os.path.join(REFERENCE_DATA, name)
+    return p if os.path.exists(p) else None
+
+
+def example_argparser(description: str) -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(description=description)
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--small", action="store_true", help="tiny config for smoke runs")
+    ap.add_argument("--perf", action="store_true", help="reference perf-mode iteration counts")
+    ap.add_argument("--results", default="results", help="CSV output directory")
+    return ap
+
+
+def setup_backend(args) -> None:
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")

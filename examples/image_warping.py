@@ -1,0 +1,104 @@
+"""Image warping — 2D ARAP (reference: examples/image_warping).
+
+Warps cat512.png so user-picked handles reach their targets while the rest
+of the image deforms as-rigidly-as-possible. Reproduces the reference app's
+constraint annealing: constraints interpolate from rest to target over the
+outer iterations (CombinedSolver.h:150-152, setConstraintImage), with
+numIter=19, nonLinearIter=8, linearIter=400 (main.cpp:110-134).
+"""
+
+import numpy as np
+
+from common import data_path, example_argparser, setup_backend
+
+import opt_tpu as ot
+from opt_tpu.harness import CombinedSolverBase
+from opt_tpu.models.specs import image_warping
+from opt_tpu.utils.io import load_constraints, load_image
+
+
+def load_inputs(small: bool):
+    pimg, pmask, pcon = (
+        data_path(n) for n in ("cat512.png", "cat512_mask.png", "cat512.constraints")
+    )
+    if pimg and pmask and pcon:
+        img = load_image(pimg)
+        mask_img = load_image(pmask)[..., 0]
+        cons = load_constraints(pcon)
+        h, w = mask_img.shape
+        # reference mask: 0 where the cat is (solved), 255 elsewhere (excluded)
+        mask = (mask_img > 0.5).astype(np.float32)
+    else:
+        h = w = 64
+        mask = np.zeros((h, w), np.float32)
+        cons = np.array([[5, 5, 15, 15], [50, 50, 40, 45]], np.float32)
+    if small:
+        scale = h // 64
+        mask = mask[::scale, ::scale]
+        h, w = mask.shape
+        cons = cons / scale
+    ur = np.stack(np.meshgrid(np.arange(h), np.arange(w), indexing="ij"), -1).astype(
+        np.float32
+    )
+    return mask, cons, ur
+
+
+class WarpSolver(CombinedSolverBase):
+    def __init__(self, mask, cons, ur, params):
+        h, w = mask.shape
+        super().__init__(image_warping, {"W": h, "H": w}, params)
+        self.mask, self.cons, self.ur = mask, cons, ur
+
+    def constraint_image(self, alpha: float) -> np.ndarray:
+        """CombinedSolver.h:181-205 setConstraintImage."""
+        h, w = self.mask.shape
+        con = -np.ones((h, w, 2), np.float32)
+        for x, y, tx, ty in self.cons:
+            xi, yi = int(x), int(y)
+            if 0 <= xi < h and 0 <= yi < w and self.mask[xi, yi] == 0:
+                con[xi, yi] = [
+                    (1 - alpha) * x + alpha * tx,
+                    (1 - alpha) * y + alpha * ty,
+                ]
+        return con
+
+    def combined_solve_init(self):
+        self.problem_inputs = {
+            "Offset": self.ur.copy(),
+            "Angle": np.zeros(self.mask.shape, np.float32),
+            "UrShape": self.ur,
+            "Constraints": self.constraint_image(1.0),
+            "Mask": self.mask,
+            "w_fitSqrt": np.sqrt(100.0),
+            "w_regSqrt": np.sqrt(0.01),
+        }
+
+    def pre_single_solve(self):
+        self.problem_inputs["Offset"] = self.ur.copy()
+        self.problem_inputs["Angle"] = np.zeros(self.mask.shape, np.float32)
+
+    def pre_nonlinear_solve(self, i):
+        alpha = (i + 1) / self.solver_params["numIter"]
+        self.problem_inputs["Constraints"] = self.constraint_image(alpha)
+
+
+def main():
+    ap = example_argparser(__doc__)
+    args = ap.parse_args()
+    setup_backend(args)
+    mask, cons, ur = load_inputs(args.small)
+    if args.small:
+        params = {"numIter": 4, "nonLinearIter": 3, "linearIter": 30}
+    elif args.perf:
+        params = {"numIter": 19, "nonLinearIter": 8, "linearIter": 400}
+    else:
+        params = {"numIter": 19, "nonLinearIter": 8, "linearIter": 400}
+    solver = WarpSolver(mask, cons, ur, params)
+    solver.add_opt_solvers()
+    solver.solve_all()
+    solver.report_final_costs()
+    solver.save_results_csv(args.results)
+
+
+if __name__ == "__main__":
+    main()

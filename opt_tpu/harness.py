@@ -1,0 +1,150 @@
+"""Example-app harness: multi-solver runs, per-iteration records, reports.
+
+TPU-native equivalent of the reference's C++ example harness
+(examples/shared/CombinedSolverBase.h, SolverIteration.h, OptUtils.h):
+
+* :class:`CombinedSolverBase` — template-method driver running N registered
+  solvers over the same problem with per-solve / per-iteration hooks
+  (CombinedSolverBase.h:22-30 solveAll, :98-119 singleSolve).
+* per-outer-iteration (cost, ms) records + CSV output
+  (SolverIteration.h:28-67 saveSolverResults).
+* a "**Final Costs**" block in the exact greppable format the reference's
+  regression scripts parse (SolverIteration.h:69-86 reportFinalCosts,
+  scripts/print_all_costs.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Any, Callable, Dict, List, Optional
+
+from .problem import Problem
+
+
+@dataclasses.dataclass
+class SolverIteration:
+    cost: float
+    duration_ms: float
+
+
+@dataclasses.dataclass
+class SolverRun:
+    name: str
+    iterations: List[SolverIteration] = dataclasses.field(default_factory=list)
+
+    @property
+    def final_cost(self) -> float:
+        return self.iterations[-1].cost if self.iterations else float("nan")
+
+
+class CombinedSolverBase:
+    """Subclass per example; override the hooks you need.
+
+    Hooks mirror the reference exactly: combined_solve_init (bind problem
+    parameters), pre/post_nonlinear_solve (pyramid levels, constraint
+    annealing — e.g. image_warping CombinedSolver.h:150-152), pre/post_single_solve,
+    combined_solve_finalize.
+    """
+
+    def __init__(self, spec_fn, dims: Dict[str, int], params: Dict[str, Any]):
+        self.spec_fn = spec_fn
+        self.dims = dict(dims)
+        self.solver_params = dict(params)  # numIter / nonLinearIter / linearIter
+        self.problem_inputs: Dict[str, Any] = {}
+        self.runs: List[SolverRun] = []
+        self._enabled: List[str] = []
+
+    # -- configuration ------------------------------------------------------
+    def add_opt_solvers(self, kinds=("gaussNewtonGPU", "LMGPU")):
+        """CombinedSolverBase.h:73-80 addOptSolvers."""
+        self._enabled.extend(kinds)
+
+    # -- hooks ---------------------------------------------------------------
+    def combined_solve_init(self):
+        raise NotImplementedError
+
+    def pre_single_solve(self):
+        pass
+
+    def post_single_solve(self):
+        pass
+
+    def pre_nonlinear_solve(self, iteration: int):
+        pass
+
+    def post_nonlinear_solve(self, iteration: int):
+        pass
+
+    def combined_solve_finalize(self):
+        pass
+
+    # -- driver ---------------------------------------------------------------
+    def solve_all(self) -> List[SolverRun]:
+        """CombinedSolverBase.h:22-30."""
+        self.combined_solve_init()
+        for kind in self._enabled:
+            self.runs.append(self._single_solve(kind))
+        self.combined_solve_finalize()
+        return self.runs
+
+    def _single_solve(self, kind: str) -> SolverRun:
+        """CombinedSolverBase.h:98-119 + OptUtils.h:47-64 launchProfiledSolve."""
+        import jax
+
+        run = SolverRun(name=f"Opt({'GN' if 'gauss' in kind.lower() or kind.lower()=='gn' else 'LM'})")
+        num_iter = int(self.solver_params.get("numIter", 1))
+        non_linear = int(self.solver_params.get("nonLinearIter", 10))
+        linear = int(self.solver_params.get("linearIter", 10))
+        self.plan = Problem(self.spec_fn).plan(
+            dims=self.dims,
+            kind=kind,
+            nIterations=non_linear,
+            lIterations=linear,
+        )
+        self.pre_single_solve()
+        for it in range(num_iter):
+            self.pre_nonlinear_solve(it)  # hooks may swap self.plan (pyramids)
+            t0 = time.perf_counter()
+            res = self.plan.solve(dict(self.problem_inputs))
+            jax.block_until_ready(res.unknowns)
+            ms = (time.perf_counter() - t0) * 1e3
+            # write the solved unknowns back so hooks can anneal/re-seed
+            for name, arr in res.unknowns.items():
+                self.problem_inputs[name] = arr
+            run.iterations.append(SolverIteration(res.final_cost, ms))
+            self.post_nonlinear_solve(it)
+        self.post_single_solve()
+        return run
+
+    # -- reporting ---------------------------------------------------------------
+    def report_final_costs(self) -> str:
+        """SolverIteration.h:69-86 — greppable '**Final Costs**' block."""
+        lines = ["**Final Costs**"]
+        for run in self.runs:
+            lines.append(f"{run.name}: {run.final_cost:.8g}")
+        text = "\n".join(lines)
+        print(text)
+        return text
+
+    def save_results_csv(self, directory="results", double_precision=False) -> str:
+        """SolverIteration.h:28-67 saveSolverResults."""
+        os.makedirs(directory, exist_ok=True)
+        suffix = "double" if double_precision else "float"
+        path = os.path.join(directory, f"results_{suffix}.csv")
+        n = max((len(r.iterations) for r in self.runs), default=0)
+        with open(path, "w") as f:
+            header = []
+            for r in self.runs:
+                header += [f"{r.name} cost", f"{r.name} ms"]
+            f.write(",".join(header) + "\n")
+            for i in range(n):
+                row = []
+                for r in self.runs:
+                    if i < len(r.iterations):
+                        row += [f"{r.iterations[i].cost}", f"{r.iterations[i].duration_ms}"]
+                    else:
+                        row += ["", ""]
+                f.write(",".join(row) + "\n")
+        return path

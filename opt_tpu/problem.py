@@ -186,16 +186,22 @@ class Plan:
             cost_arr = costs
         else:
             state, costs = self.solver.solve(unknowns, consts, graphs, params, sp)
-            jax.block_until_ready(state)
-            n = int(state["n_iter"])
-            cost_arr = [float(c) for c in np.asarray(costs)[:n]]
+            # single host round-trip for all scalar results (the reference
+            # pays one D2H per outer iteration — OptUtils.h:47-64; we pay one
+            # per solve)
+            n, final, costs_h = jax.device_get(
+                (state["n_iter"], state["prev_cost"], costs)
+            )
+            cost_arr = [float(c) for c in costs_h[: int(n)]]
         wall = time.perf_counter() - t0
         self._state = state
         self._bound = (consts, graphs, params)
+        if stepwise:
+            n, final = int(state["n_iter"]), float(state["prev_cost"])
         return SolveResult(
             unknowns=state["X"],
-            final_cost=float(state["prev_cost"]),
+            final_cost=float(final),
             costs=cost_arr,
-            num_iterations=int(state["n_iter"]),
+            num_iterations=int(n),
             wall_time_s=wall,
         )

@@ -82,6 +82,7 @@ class GaussNewtonSolver:
         self.rules = sharding_rules
         self._step_jit = jax.jit(self._step, donate_argnums=(0,))
         self._init_jit = jax.jit(self._init_state)
+        self._sp_cache = {}
 
     def _constrain(self, X):
         if self.rules is None:
@@ -124,14 +125,20 @@ class GaussNewtonSolver:
     def init(self, X, consts, graphs, params, sp):
         return self._init_jit(X, consts, graphs, params, self._traced_sp(sp))
 
-    @staticmethod
-    def _traced_sp(sp: Dict[str, Any]) -> Dict[str, Any]:
-        """Solver parameters as traced scalars: changing them does not force a
-        recompile (unlike the reference, where any change of problem size
-        recompiles the world — README.md:487)."""
+    def _traced_sp(self, sp: Dict[str, Any]) -> Dict[str, Any]:
+        """Solver parameters as device-resident traced scalars: changing them
+        does not force a recompile (unlike the reference, where any change of
+        problem size recompiles the world — README.md:487). Cached per value
+        set so repeated solves cost zero host->device transfers."""
+        key = tuple(sorted(sp.items()))
+        cached = self._sp_cache.get(key)
+        if cached is not None:
+            return cached
         out = {}
         for k, v in sp.items():
             out[k] = jnp.asarray(v, jnp.int32 if isinstance(v, int) else jnp.float32)
+        out = jax.device_put(out)
+        self._sp_cache[key] = out
         return out
 
     def step(self, state, consts, graphs, params, sp):
