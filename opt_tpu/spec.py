@@ -262,7 +262,9 @@ class SpecBuilder:
     ):
         assert mode in ("discover", "field", "slots")
         self.mode = mode
-        self.dim_sizes = dict(dim_sizes)
+        # held by reference: wildcard ("*") probes fill in dim sizes during
+        # discovery and later passes must see them
+        self.dim_sizes = dim_sizes
         self.dtype = dtype
         self.registry = registry if registry is not None else SpecRegistry()
         self.bindings = bindings or {}
@@ -291,8 +293,17 @@ class SpecBuilder:
         if d is None:
             d = Dim(name)
             self._dims_seen[name] = d
+            if name not in self.registry.dim_order:
+                self.registry.dim_order.append(name)
             if name not in self.dim_sizes:
-                raise SpecError(f"no size bound for Dim({name!r}); pass dims={{...}} to plan()")
+                # "*" wildcard: probe compiles (native bridge dim-order
+                # discovery) bind every dim to a default size
+                if "*" in self.dim_sizes:
+                    self.dim_sizes[name] = int(self.dim_sizes["*"])
+                else:
+                    raise SpecError(
+                        f"no size bound for Dim({name!r}); pass dims={{...}} to plan()"
+                    )
         return d
 
     def Unknown(self, name, channels, dims, index=None) -> ImageHandle:
@@ -565,6 +576,7 @@ class SpecRegistry:
     """Declarations + slot table shared by all trace passes of one plan."""
 
     def __init__(self, dummy_edge_count: int = 4):
+        self.dim_order: List[str] = []
         self.images: Dict[str, ImageDecl] = {}
         self.graphs: Dict[str, GraphDecl] = {}
         self.params: Dict[str, ParamDecl] = {}

@@ -204,16 +204,62 @@ def load_mesh(path: str) -> Tuple[np.ndarray, np.ndarray]:
     raise ValueError(f"unsupported mesh format: {path}")
 
 
+def _load_fastgraph():
+    """Native graph builder (native/src/fastgraph.c), if built."""
+    try:
+        import opt_tpu_fastgraph  # installed on sys.path
+
+        return opt_tpu_fastgraph
+    except ImportError:
+        pass
+    import importlib.util
+    import sysconfig
+    import os
+
+    so = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "native", "build",
+        "opt_tpu_fastgraph" + sysconfig.get_config_var("EXT_SUFFIX"),
+    )
+    if os.path.exists(so):
+        spec = importlib.util.spec_from_file_location("opt_tpu_fastgraph", so)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+    return None
+
+
+_FASTGRAPH = _load_fastgraph()
+
+
 def mesh_edges(faces: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     """Directed edge list (v0, v1) — both directions, deduplicated — the
     shape the reference's createGraphFromNeighborLists consumes
-    (examples/shared/OptGraph.h:64-75)."""
+    (examples/shared/OptGraph.h:64-75). Uses the native builder
+    (native/src/fastgraph.c) when available."""
+    faces = np.ascontiguousarray(faces, dtype=np.int32)
+    if _FASTGRAPH is not None:
+        b0, b1 = _FASTGRAPH.build_edges(faces.tobytes())
+        return np.frombuffer(b0, np.int32).copy(), np.frombuffer(b1, np.int32).copy()
     e = np.concatenate(
         [faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]], axis=0
     )
     e = np.concatenate([e, e[:, ::-1]], axis=0)
     e = np.unique(e, axis=0)
     return e[:, 0].astype(np.int32), e[:, 1].astype(np.int32)
+
+
+def csr_from_edges(v0: np.ndarray, v1: np.ndarray, num_vertices: int):
+    """CSR adjacency (row_ptr, col_idx) from a v0-sorted edge list — the
+    reference's neighbor-list graph input format (OptGraph.h:64-75)."""
+    v0 = np.ascontiguousarray(v0, np.int32)
+    v1 = np.ascontiguousarray(v1, np.int32)
+    if _FASTGRAPH is not None:
+        rp, ci = _FASTGRAPH.csr_from_edges(v0.tobytes(), v1.tobytes(), int(num_vertices))
+        return np.frombuffer(rp, np.int32).copy(), np.frombuffer(ci, np.int32).copy()
+    row = np.zeros(num_vertices + 1, np.int32)
+    np.add.at(row, v0 + 1, 1)
+    return np.cumsum(row, dtype=np.int32), v1.copy()
 
 
 def sqrt3_subdivide(verts: np.ndarray, faces: np.ndarray):

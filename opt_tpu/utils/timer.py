@@ -1,0 +1,143 @@
+"""Solver profiling: per-phase timing tables and per-iteration lines.
+
+TPU analogue of the reference's CUDA-event timer (util.t:404-511): when
+per-kernel timing is requested the reference wraps every kernel launch in
+cudaEvents and prints an aggregate table plus machine-greppable ``TIMING``
+and ``Per-iter times ms (nonlinear, linear)`` lines.
+
+Under XLA there are no user-visible kernels — the whole nonlinear step is one
+fused program (by design: that fusion is the perf win over the reference's
+6-kernels-per-CG-iteration structure). Profiling therefore measures:
+
+* each solver *phase* as its own jitted call (evalJTF, jtj_diag/CtC, one
+  JᵀJ·p application, cost) — the logical kernels of the reference
+  (solverGPUGaussNewton.t:361-678);
+* the marginal PCG iteration time via two fused solves with different
+  lIterations (exact, includes fusion);
+* the nonlinear iteration time from stepwise solves.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Dict, List
+
+
+@dataclasses.dataclass
+class PhaseStat:
+    count: int = 0
+    total_ms: float = 0.0
+
+    @property
+    def average_ms(self) -> float:
+        return self.total_ms / max(1, self.count)
+
+
+class Timer:
+    """Aggregating wall-clock timer (util.t:404-511 equivalent; wall clock +
+    block_until_ready replaces cudaEvent pairs)."""
+
+    def __init__(self):
+        self.stats: Dict[str, PhaseStat] = {}
+
+    def time(self, name: str, fn, *args, repeats: int = 1, **kw):
+        import jax
+
+        out = None
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            out = fn(*args, **kw)
+            jax.block_until_ready(out)
+            ms = (time.perf_counter() - t0) * 1e3
+            st = self.stats.setdefault(name, PhaseStat())
+            st.count += 1
+            st.total_ms += ms
+        return out
+
+    def evaluate(self) -> str:
+        """Print the aggregate table (util.t:469-476 format)."""
+        lines = [
+            "--------------------------------------------------------",
+            f"{'phase':<28}{'count':>6}{'total(ms)':>12}{'avg(ms)':>10}",
+            "--------------------------------------------------------",
+        ]
+        for name, st in sorted(self.stats.items()):
+            lines.append(
+                f"{name:<28}{st.count:>6}{st.total_ms:>12.3f}{st.average_ms:>10.3f}"
+            )
+        lines.append("--------------------------------------------------------")
+        text = "\n".join(lines)
+        print(text)
+        return text
+
+
+def profile_plan(plan, inputs, n_nonlinear: int = 3, l_small: int = 10, l_big: int = 50):
+    """Measure solver phases for a plan; prints the reference's TIMING and
+    per-iteration lines. Returns {phase: ms} plus the marginal PCG ms."""
+    import jax
+
+    from ..functions import FunctionSet
+
+    timer = Timer()
+    unknowns, consts, graphs, params = plan.compiled.normalize_inputs(inputs)
+    unknowns = jax.device_put(unknowns)
+    consts = jax.device_put(consts)
+
+    c = plan.compiled
+
+    @jax.jit
+    def jtf_pre(X):
+        fs = FunctionSet(c, consts, graphs, params)
+        return fs.jtf_and_pre(X)
+
+    @jax.jit
+    def diag(X):
+        fs = FunctionSet(c, consts, graphs, params)
+        return fs.jtj_diag(X)
+
+    @jax.jit
+    def jtjp_once(X, p):
+        fs = FunctionSet(c, consts, graphs, params)
+        fs.masks(X)
+        _, _, _, A = fs.make_jtj_apply(X)
+        return A(p)
+
+    @jax.jit
+    def cost(X):
+        fs = FunctionSet(c, consts, graphs, params)
+        return fs.cost(X)
+
+    p_dir = {k: v * 0 + 1.0 for k, v in unknowns.items()}
+    # warm up compiles, then measure
+    for fn, name, args in [
+        (jtf_pre, "PCGInit1(evalJTF+pre)", (unknowns,)),
+        (diag, "computeCtC(diag JtJ)", (unknowns,)),
+        (jtjp_once, "PCGStep1(applyJTJ)", (unknowns, p_dir)),
+        (cost, "computeCost", (unknowns,)),
+    ]:
+        fn(*args)
+        timer.time(name, fn, *args, repeats=3)
+
+    # marginal fused PCG iteration + nonlinear step time
+    def solve(li):
+        return plan.solve(dict(inputs), nIterations=n_nonlinear, lIterations=li)
+
+    solve(l_small)
+    t0 = time.perf_counter(); solve(l_small); t_small = time.perf_counter() - t0
+    solve(l_big)
+    t0 = time.perf_counter(); r = solve(l_big); t_big = time.perf_counter() - t0
+    iters = max(1, r.num_iterations)
+    linear_ms = (t_big - t_small) / ((l_big - l_small) * iters) * 1e3
+    nonlinear_ms = t_big / iters * 1e3
+
+    timer.evaluate()
+    # machine-greppable lines, format per util.t:477-508
+    total_ms = sum(s.total_ms for s in timer.stats.values())
+    print(f"TIMING {total_ms:.3f}ms")
+    print(f"Per-iter times ms (nonlinear,linear): ({nonlinear_ms:.4f}, {linear_ms:.4f})")
+    return {
+        "phases": {k: v.average_ms for k, v in timer.stats.items()},
+        "nonlinear_ms": nonlinear_ms,
+        "linear_ms": linear_ms,
+    }
