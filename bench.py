@@ -40,16 +40,16 @@ def _time_solve(plan, inputs, n_outer, n_inner, repeats=3):
     res = plan.solve(dict(inputs), nIterations=n_outer, lIterations=n_inner)
     jax.block_until_ready(res.unknowns)
     best = float("inf")
-    iters_done = res.num_iterations
     for _ in range(repeats):
         t0 = time.perf_counter()
         res = plan.solve(dict(inputs), nIterations=n_outer, lIterations=n_inner)
-        jax.block_until_ready(res.unknowns)
+        # SolveResult construction already device_gets the scalars, which
+        # synchronizes on everything (solve is one XLA program).
         best = min(best, time.perf_counter() - t0)
     return best, res
 
 
-def bench_poisson(n=512, n_inner=100):
+def bench_poisson(n=512, n_inner=2000):
     import opt_tpu as ot
     from opt_tpu.models.specs import poisson_image_editing
 
@@ -63,12 +63,17 @@ def bench_poisson(n=512, n_inner=100):
         "M": mask,
     }
     plan = ot.Problem(poisson_image_editing).plan(dims={"W": n, "H": n})
-    # GN on a linear problem: 1 nonlinear iteration, n_inner PCG iterations
+    # GN on a linear problem: 1 nonlinear iteration. The unpreconditioned
+    # membrane system at 512^2 genuinely needs O(1000) CG iterations (the
+    # reference runs linearIter in the hundreds in its perf configs, e.g.
+    # image_warping/src/main.cpp:110-134 linearIter=400); the rate is
+    # computed from PCG iterations actually executed, not requested.
     secs, res = _time_solve(plan, inputs, 1, n_inner)
-    return n_inner / secs, res.final_cost
+    iters = max(1, res.num_linear_iterations)
+    return iters / secs, res.final_cost
 
 
-def bench_image_warping(n=512, n_outer=8, n_inner=16):
+def bench_image_warping(n=512, n_outer=8, n_inner=400):
     import opt_tpu as ot
     from opt_tpu.models.specs import image_warping
 

@@ -190,8 +190,9 @@ class CompiledProblem:
         if all(o == 0 for o in bmin) and all(o == 0 for o in bmax):
             return val
         shape = term.domain[1].shape(self.dim_sizes)
-        m = bbox_mask(shape, bmin, bmax)
-        return jnp.where(m, val, jnp.zeros((), val.dtype))
+        # multiplicative 0/1 mask, not a select — see exclusion_masks on why.
+        m = bbox_mask(shape, bmin, bmax, dtype=val.dtype)
+        return val * m
 
     def residual_terms(self, unknowns, consts, graphs, params) -> List[jnp.ndarray]:
         """All residual terms (bbox-masked), *not* exclusion-masked.
@@ -212,10 +213,17 @@ class CompiledProblem:
         return lambda unknowns: self.residual_terms(unknowns, consts, graphs, params)
 
     def exclusion_masks(self, unknowns, consts, graphs, params):
-        """Per-ispace 'is excluded' bool masks [*spatial, 1], or {} if none.
+        """Per-ispace 'is excluded' masks [*spatial, 1] in the compute dtype
+        (1.0 = excluded, 0.0 = active), or {} if none.
 
         Reference: fmap.exclude gating every centered kernel
-        (solverGPUGaussNewton.t:371,424,450...)."""
+        (solverGPUGaussNewton.t:371,424,450...).
+
+        Float (not bool) on purpose: masking on the solver hot path is done
+        multiplicatively. Boolean selects interleaved with the transposed
+        (``add_any``) stencil graph de-fuse catastrophically on the TPU
+        backend (~30x on the PCG inner loop), while multiplies fuse freely;
+        the masks are 0/1 constants so the arithmetic is exact."""
         if not self.registry.exclude_terms:
             return {}
         b = self._run("field", unknowns, consts, graphs, params)
@@ -224,19 +232,20 @@ class CompiledProblem:
             if val.ndim == et.ispace.ndim:
                 val = val[..., None]
             elif val.ndim == et.ispace.ndim + 1 and val.shape[-1] != 1:
-                val = jnp.any(val, axis=-1, keepdims=True)
+                val = jnp.any(val != 0, axis=-1, keepdims=True)
+            val = val.astype(self.dtype) if val.dtype != self.dtype else val
             prev = masks.get(et.ispace)
-            masks[et.ispace] = val if prev is None else (prev | val)
+            masks[et.ispace] = val if prev is None else jnp.maximum(prev, val)
         # stop_gradient: exclusion is a constant gate, never differentiated.
         return {k: jax.lax.stop_gradient(v) for k, v in masks.items()}
 
     def unknown_row_masks(self, excl_by_ispace):
-        """name -> bool mask (True = active row) or None."""
+        """name -> float mask (1.0 = active row, 0.0 = excluded) or None."""
         out = {}
         for name in self.unknown_names:
             isp = self.registry.images[name].ispace
             m = excl_by_ispace.get(isp)
-            out[name] = None if m is None else ~m
+            out[name] = None if m is None else (1.0 - m)
         return out
 
     def term_cost_mask(self, term: EnergyTerm, excl_by_ispace):

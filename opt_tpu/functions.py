@@ -33,10 +33,13 @@ from .ops.shift import shift_adjoint
 
 
 def _mask_rows(x: Dict[str, jnp.ndarray], row_masks) -> Dict[str, jnp.ndarray]:
+    # row_masks are 0/1 floats; multiplication (not select) keeps the masking
+    # fused with the transposed stencil graph on TPU (see
+    # CompiledProblem.exclusion_masks).
     out = {}
     for k, v in x.items():
         m = row_masks.get(k)
-        out[k] = v if m is None else jnp.where(m, v, jnp.zeros((), v.dtype))
+        out[k] = v if m is None else v * m
     return out
 
 
@@ -84,7 +87,7 @@ class FunctionSet:
             sq = val * val
             m = self.c.term_cost_mask(term, excl)
             if m is not None:
-                sq = jnp.where(m, jnp.zeros((), sq.dtype), sq)
+                sq = sq * (1.0 - m)  # m: 1.0 = excluded center
             total = total + jnp.sum(sq)
         return 0.5 * total
 

@@ -48,6 +48,7 @@ class SolveResult:
     costs: List[float]  # cost after each nonlinear iteration
     num_iterations: int
     wall_time_s: float
+    num_linear_iterations: int = 0  # PCG iterations actually executed
 
 
 class Problem:
@@ -189,8 +190,8 @@ class Plan:
             # single host round-trip for all scalar results (the reference
             # pays one D2H per outer iteration — OptUtils.h:47-64; we pay one
             # per solve)
-            n, final, costs_h = jax.device_get(
-                (state["n_iter"], state["prev_cost"], costs)
+            n, lin, final, costs_h = jax.device_get(
+                (state["n_iter"], state["lin_iters"], state["prev_cost"], costs)
             )
             cost_arr = [float(c) for c in costs_h[: int(n)]]
         wall = time.perf_counter() - t0
@@ -198,10 +199,12 @@ class Plan:
         self._bound = (consts, graphs, params)
         if stepwise:
             n, final = int(state["n_iter"]), float(state["prev_cost"])
+            lin = state["lin_iters"]
         return SolveResult(
             unknowns=state["X"],
             final_cost=float(final),
             costs=cost_arr,
             num_iterations=int(n),
             wall_time_s=wall,
+            num_linear_iterations=int(lin),
         )

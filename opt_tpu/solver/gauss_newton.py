@@ -119,6 +119,7 @@ class GaussNewtonSolver:
             "trust_region_radius": jnp.asarray(sp["trust_region_radius"], dt),
             "radius_decrease_factor": jnp.asarray(sp["radius_decrease_factor"], dt),
             "n_iter": jnp.zeros((), jnp.int32),
+            "lin_iters": jnp.zeros((), jnp.int32),
             "done": jnp.zeros((), jnp.bool_),
         }
 
@@ -200,7 +201,7 @@ class GaussNewtonSolver:
         def cond(carry):
             return jnp.logical_and(carry[4] < sp["lIterations"], ~carry[5])
 
-        delta, *_ = jax.lax.while_loop(
+        delta, _r, _p, _rz, l_done, _brk = jax.lax.while_loop(
             cond,
             body,
             (delta0, r0, p0, rz0, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.bool_)),
@@ -213,6 +214,7 @@ class GaussNewtonSolver:
             "X": X_new,
             "prev_cost": new_cost.astype(state["prev_cost"].dtype),
             "n_iter": state["n_iter"] + 1,
+            "lin_iters": state["lin_iters"] + l_done,
         }
 
     def _lm_step(self, state, fs: FunctionSet, sp):
@@ -291,7 +293,7 @@ class GaussNewtonSolver:
             l, brk = carry[5], carry[6]
             return jnp.logical_and(l < sp["lIterations"], ~brk)
 
-        delta, *_ = jax.lax.while_loop(
+        delta, _r, _p, _rz, _Q, l_done, _brk = jax.lax.while_loop(
             cond,
             body,
             (delta0, r0, p0, rz0, Q0, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.bool_)),
@@ -344,6 +346,7 @@ class GaussNewtonSolver:
             "radius_decrease_factor": jnp.where(accept, jnp.asarray(2.0, dt), 2.0 * rdf),
             "done": jnp.where(accept, func_tol, min_radius_hit),
             "n_iter": state["n_iter"] + 1,
+            "lin_iters": state["lin_iters"] + l_done,
         }
 
     # -- fused full solve --------------------------------------------------------
