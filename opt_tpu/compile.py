@@ -282,10 +282,16 @@ class CompiledProblem:
                 raise AssertionError(s.kind)
         return vals
 
-    def local_residual_terms(self, slot_values, params) -> List[jnp.ndarray]:
+    def local_residual_terms(
+        self, slot_values, params, consts=None
+    ) -> List[jnp.ndarray]:
         """Residual terms as a pointwise function of slot values (bbox-masked
-        identically to :meth:`residual_terms`)."""
-        b = self._run("slots", {}, {}, {}, params, slot_values=list(slot_values))
+        identically to :meth:`residual_terms`).
+
+        ``consts`` must be passed for specs using SampledImage: the sampled
+        image/derivative arrays are read directly (they are not slots, since
+        sampling coordinates are dynamic)."""
+        b = self._run("slots", {}, consts or {}, {}, params, slot_values=list(slot_values))
         out = []
         for term, val in zip(self.terms, b.energy_values):
             out.append(self._apply_bbox(self._normalize_term(val, term), term))
@@ -356,7 +362,9 @@ def compile_spec(spec_fn: Callable, dim_sizes: Dict[str, int], dtype) -> Compile
         for s in slots:
             if s.kind == "img" and s.ispace not in ispaces:
                 ispaces.append(s.ispace)
-        term.uses_bounds = any(s.kind == "bounds" for s in slots)
+        term.uses_bounds = any(
+            s.kind == "bounds" and not s.internal for s in slots
+        )
         if graphs:
             if len(graphs) > 1 or ispaces:
                 raise SpecError(

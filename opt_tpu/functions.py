@@ -148,7 +148,7 @@ class FunctionSet:
         _, row_masks = self.masks(X)
         c = self.c
         slot_vals = c.gather_slot_values(X, self.consts, self.graphs)
-        f = lambda sv: c.local_residual_terms(sv, self.params)
+        f = lambda sv: c.local_residual_terms(sv, self.params, self.consts)
         _, lin = jax.linearize(f, slot_vals)
 
         diag = {

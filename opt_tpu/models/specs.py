@@ -321,19 +321,22 @@ def shape_from_shading(S):
     edgeMaskR = S.Array("edgeMaskR", 1, (W, H))
     edgeMaskC = S.Array("edgeMaskC", 1, (W, H))
 
-    posX, posY = S.Index(0), S.Index(1)
-
+    # NOTE: Index() must be *called inside* expressions that get inlined into
+    # a ComputedArray (the call site picks up the composed stencil offset,
+    # mirroring the reference's symbolic index shifting, o.t ComputedImage
+    # :shift); capturing it once at spec top level would freeze the centered
+    # coordinates.
     def p(offX, offY):  # eq. 8: back-projected 3D point
         d = X(offX, offY)
-        i = offX + posX
-        j = offY + posY
+        i = offX + S.Index(0)
+        j = offY + S.Index(1)
         return jnp.concatenate(
             [((i - u_x) / f_x) * d, ((j - u_y) / f_y) * d, d], axis=-1
         )
 
     def normalAt(offX, offY):  # eq. 10
-        i = offX + posX
-        j = offY + posY
+        i = offX + S.Index(0)
+        j = offY + S.Index(1)
         n_x = X(offX, offY - 1) * (X(offX, offY) - X(offX - 1, offY)) / f_y
         n_y = X(offX - 1, offY) * (X(offX, offY) - X(offX, offY - 1)) / f_x
         n_z = (

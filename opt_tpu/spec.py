@@ -135,6 +135,9 @@ class SlotInfo:
     expand: int
     channels: int
     is_unknown: bool
+    # True for bounds gates the framework inserted itself (ComputedArray
+    # border zeroing); user InBounds accesses reset this to False.
+    internal: bool = False
 
 
 @dataclasses.dataclass
@@ -386,7 +389,10 @@ class SpecBuilder:
         *off, expand = args
         return self._bounds(tuple(int(o) for o in off), expand=int(expand))
 
-    def _bounds(self, off: Tuple[int, ...], expand: int):
+    def _bounds(self, off: Tuple[int, ...], expand: int, internal: bool = False):
+        """internal=True marks gates the framework inserts itself (ComputedArray
+        border zeroing); those must not count as a user InBounds, which would
+        disable the automatic bbox mask (reference o.t:1930-1933 rule)."""
         off = self._compose(off)
         ispace = self._grid_ispace_for_ndim(len(off))
         shape = ispace.shape(self.dim_sizes)
@@ -401,9 +407,12 @@ class SpecBuilder:
             lambda: SlotInfo(
                 key=key, image=None, kind="bounds", ispace=ispace, graph=None,
                 offset=off, expand=expand, channels=1, is_unknown=False,
+                internal=internal,
             ),
             self.mode,
         )
+        if not internal:
+            self.registry.slots[sid].internal = False
         if self.mode == "slots":
             return self.slot_values[sid]
         return jnp.ones(shape + (1,), self.dtype)
@@ -503,7 +512,14 @@ class SpecBuilder:
                 self._computed_cache[handle.name] = val
             return shift(self._computed_cache[handle.name], self._compose(off))
         # slots / discover: inline with composed offsets so local_F stays
-        # pointwise; derivatives then chain through automatically.
+        # pointwise; derivatives then chain through automatically. A shifted
+        # read of the materialized array is zero (and has zero derivative)
+        # wherever the shift leaves the grid — replicate that by gating the
+        # inlined value with an internal bounds slot, otherwise the slot form
+        # diverges from field-mode F at the borders.
+        gate = None
+        if any(o != 0 for o in off):
+            gate = self._bounds(off, expand=0, internal=True)
         self._offset_ctx.append(off)
         try:
             val = jnp.asarray(handle.fn(), self.dtype)
@@ -511,7 +527,7 @@ class SpecBuilder:
             self._offset_ctx.pop()
         if val.ndim == handle.ispace.ndim:
             val = val[..., None]
-        return val
+        return val if gate is None else val * gate
 
     def _access_sampled(self, handle: SampledImageHandle, x, y):
         decl = handle.image.decl
@@ -520,13 +536,20 @@ class SpecBuilder:
         # The sampled image and its derivative images are constants; only the
         # (possibly unknown-dependent) positions x, y carry derivatives. The
         # positions are already traced values from accessors, so sampling is
-        # pointwise w.r.t. slots and works under both backends.
-        img = self._bound_image(decl) if self.mode == "field" else self._dummy_field(decl)
+        # pointwise w.r.t. slots and works under both backends. Slot-mode runs
+        # must still see the REAL constant images when they are bound (jvp
+        # probes of the slot form feed the preconditioner and the assembled
+        # JᵀJ; dummy fields would silently produce wrong derivatives) — only
+        # the unbound discovery/jaxpr passes fall back to dummies.
+        def _const_field(d):
+            if self.mode == "field" or d.name in self.bindings.get("consts", {}):
+                return self._bound_image(d)
+            return self._dummy_field(d)
+
+        img = _const_field(decl)
         if handle.dx is not None:
-            dxd = handle.dx.decl
-            dyd = handle.dy.decl
-            dx = self._bound_image(dxd) if self.mode == "field" else self._dummy_field(dxd)
-            dy = self._bound_image(dyd) if self.mode == "field" else self._dummy_field(dyd)
+            dx = _const_field(handle.dx.decl)
+            dy = _const_field(handle.dy.decl)
         else:
             dx, dy = central_difference_images(img)
         x = jnp.asarray(x, self.dtype)

@@ -1,0 +1,83 @@
+"""Operator parity across ALL bundled specs against dense oracles.
+
+For every example energy (tiny dims): diag(JᵀJ) from the matrix-free slot
+probing must match the dense Jacobian's column norms, and JᵀJ·p must match
+J.T @ (J @ p). This is the dumpJ-style oracle (reference o.t:2318-2344)
+applied systematically — it pins the slot-form residual function (the basis
+for the preconditioner and the assembled stencil operator) to the field-form
+F that defines the energy.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import opt_tpu as ot
+from opt_tpu.functions import FunctionSet
+from opt_tpu.models.specs import ALL_SPECS
+
+from test_specs import CASES
+
+
+def _dense(plan, inputs):
+    c = plan.compiled
+    unknowns, consts, graphs, params = c.normalize_inputs(inputs)
+    fs = FunctionSet(c, consts, graphs, params)
+    names = sorted(unknowns)
+    shapes = [unknowns[n].shape for n in names]
+    sizes = [int(np.prod(s)) for s in shapes]
+
+    def unflatten(v):
+        out, o = {}, 0
+        for n, s, sz in zip(names, shapes, sizes):
+            out[n] = v[o : o + sz].reshape(s)
+            o += sz
+        return out
+
+    def flatten(d):
+        return jnp.concatenate([jnp.ravel(d[n]) for n in names])
+
+    def r_flat(v):
+        return jnp.concatenate([t.ravel() for t in fs.F(unflatten(v))])
+
+    x0 = flatten(unknowns)
+    J = np.asarray(jax.jacfwd(r_flat)(x0))
+    fs.masks(unknowns)
+    _, row_masks = fs._mask_cache
+    colmask = np.asarray(
+        flatten(
+            {
+                n: (
+                    jnp.ones_like(unknowns[n])
+                    if row_masks[n] is None
+                    else jnp.broadcast_to(row_masks[n], unknowns[n].shape).astype(
+                        unknowns[n].dtype
+                    )
+                )
+                for n in names
+            }
+        )
+    )
+    return fs, unknowns, names, unflatten, flatten, J, colmask
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_diag_and_jtjp_match_dense(name):
+    dims, inputs = CASES[name]
+    plan = ot.Problem(ALL_SPECS[name]).plan(dims=dims)
+    fs, unknowns, names, unflatten, flatten, J, colmask = _dense(plan, inputs)
+
+    # masked dense JtJ: excluded unknowns act as frozen columns/rows
+    Jm = J * colmask[None, :]
+
+    diag_dense = (Jm * Jm).sum(axis=0)
+    diag = np.asarray(flatten(fs.jtj_diag(unknowns)))
+    np.testing.assert_allclose(diag, diag_dense, rtol=1e-3, atol=1e-4)
+
+    rng = np.random.RandomState(7)
+    p = rng.rand(colmask.size).astype(np.float32)
+    _, Jop, JT, apply_jtj = fs.make_jtj_apply(unknowns)
+    got = np.asarray(flatten(apply_jtj(unflatten(jnp.asarray(p * colmask)))))
+    want = Jm.T @ (Jm @ p)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
