@@ -200,6 +200,18 @@ class FunctionSet:
         _, row_masks = self._mask_cache
         return _mask_rows(x, row_masks)
 
+    # -- assembled gather-form JᵀJ (see assembly.py) ---------------------------
+    def assemble_stencil(self, X, plan):
+        """(apply_fn, diag): row/column-masked JᵀJ·p in assembled gather form
+        plus the Jacobi diagonal read off the Δ=0 fields. The TPU equivalent
+        of the reference's fused createjtjcentered kernel (o.t:2029-2089)."""
+        from .assembly import assemble
+
+        _, row_masks = self.masks(X)
+        return assemble(
+            self.c, plan, X, self.consts, self.graphs, self.params, row_masks
+        )
+
     # -- misc ---------------------------------------------------------------
     def zeros_like_unknowns(self, X):
         return {k: jnp.zeros_like(v) for k, v in X.items()}

@@ -80,6 +80,19 @@ class GaussNewtonSolver:
         self.uses_lambda = bool(uses_lambda)
         self.ip = init_params or InitializationParameters()
         self.rules = sharding_rules
+        self._stencil_plan = None
+        if self.ip.use_fused_jtj:
+            from ..assembly import plan_stencil
+            from ..utils.logging import log_solver
+
+            try:
+                self._stencil_plan = plan_stencil(
+                    compiled.spec_fn,
+                    compiled,
+                    memory_limit_bytes=self.ip.fused_jtj_memory_limit_bytes,
+                )
+            except Exception as e:  # pragma: no cover - spec-dependent
+                log_solver(f"fused JtJ assembly disabled ({e!r})")
         self._step_jit = jax.jit(self._step, donate_argnums=(0,))
         self._init_jit = jax.jit(self._init_state)
         self._sp_cache = {}
@@ -171,13 +184,15 @@ class GaussNewtonSolver:
     def _gn_step(self, state, fs: FunctionSet, sp):
         X = self._constrain(state["X"])
         r_terms, J, JT, r0 = self._prepare(X, fs)
+        if self._stencil_plan is not None:
+            A, diag_asm = fs.assemble_stencil(X, self._stencil_plan)
+        else:
+            A, diag_asm = (lambda v: JT(J(v))), None
         if self.compiled.use_preconditioner:
-            pre_raw = fs.jtj_diag(X)
+            pre_raw = diag_asm if diag_asm is not None else fs.jtj_diag(X)
         else:
             pre_raw = {k: jnp.ones_like(v) for k, v in r0.items()}
         pre = fs.mask_rows(self._guarded_invert(pre_raw))
-
-        A = lambda v: JT(J(v))
 
         p0 = _mul(pre, r0)
         rz0 = tree_dot(r0, p0)
@@ -223,7 +238,11 @@ class GaussNewtonSolver:
         radius = state["trust_region_radius"].astype(dt)
         r_terms, J, JT, r0 = self._prepare(X, fs)
 
-        diag = fs.jtj_diag(X)  # actual diag(JᵀJ), also when UsePreconditioner(false)
+        if self._stencil_plan is not None:
+            A_base, diag = fs.assemble_stencil(X, self._stencil_plan)
+        else:
+            A_base, diag = (lambda v: JT(J(v))), fs.jtj_diag(X)
+        # diag: actual diag(JᵀJ), also when UsePreconditioner(false)
         if self.compiled.use_preconditioner:
             pre_raw = diag
         else:
@@ -262,7 +281,7 @@ class GaussNewtonSolver:
         delta0 = _zeros_like(r0)
         Q0 = jnp.zeros((), dt)  # delta=0 ⇒ q=½δ·(r+r)=0 (t:658-662)
 
-        A = lambda v: _axpy(1.0, _mul(ctc, v), JT(J(v)))  # JᵀJp + CtC·p (o.t:2076-2082)
+        A = lambda v: _axpy(1.0, _mul(ctc, v), A_base(v))  # JᵀJp + CtC·p (o.t:2076-2082)
 
         reset_period = sp["residual_reset_period"]
 

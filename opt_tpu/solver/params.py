@@ -34,6 +34,13 @@ class InitializationParameters:
     guarded_invert_type: GuardedInvertType = GuardedInvertType.CERES
     jacobi_scaling: JacobiScalingType = JacobiScalingType.ONCE_PER_SOLVE
     guard_division_by_zero: bool = True  # solverGPUGaussNewton.t:17
+    # Assemble the gather-form JᵀJ stencil once per nonlinear iteration and
+    # apply it as weighted shifts in the CG loop (the reference's fused
+    # createjtjcentered form; its initialization_parameters.use_fused_jtj
+    # analogue). Falls back to composed Jᵀ(J·p) for graph problems or when
+    # the coefficient fields would exceed the memory budget.
+    use_fused_jtj: bool = True
+    fused_jtj_memory_limit_bytes: int = 1 << 31
 
 
 # Runtime-settable parameters (solverGPUGaussNewton.t:26-39). `nIterations`

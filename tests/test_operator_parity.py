@@ -81,3 +81,37 @@ def test_diag_and_jtjp_match_dense(name):
     got = np.asarray(flatten(apply_jtj(unflatten(jnp.asarray(p * colmask)))))
     want = Jm.T @ (Jm @ p)
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_assembled_stencil_matches_dense(name):
+    """The assembled gather-form JᵀJ (assembly.py, the reference's fused
+    createjtjcentered analogue) must agree with the dense oracle including
+    row/column exclusion masking, and its free Jacobi diagonal must match."""
+    from opt_tpu.assembly import plan_stencil, assemble
+
+    dims, inputs = CASES[name]
+    plan = ot.Problem(ALL_SPECS[name]).plan(dims=dims)
+    c = plan.compiled
+    spec_plan = plan_stencil(ALL_SPECS[name], c)
+    if spec_plan is None:
+        assert c.registry.graphs, f"{name}: assembly unexpectedly unavailable"
+        pytest.skip("graph problem: assembly does not apply")
+
+    fs, unknowns, names, unflatten, flatten, J, colmask = _dense(plan, inputs)
+    Jm = J * colmask[None, :]
+    _, row_masks = fs._mask_cache
+    apply_fn, diag = assemble(
+        c, spec_plan, unknowns, fs.consts, fs.graphs, fs.params, row_masks
+    )
+
+    diag_dense = (Jm * Jm).sum(axis=0)
+    np.testing.assert_allclose(
+        np.asarray(flatten(diag)), diag_dense, rtol=1e-3, atol=1e-4
+    )
+
+    rng = np.random.RandomState(11)
+    p = rng.rand(colmask.size).astype(np.float32)
+    got = np.asarray(flatten(apply_fn(unflatten(jnp.asarray(p)))))
+    want = Jm.T @ (Jm @ (p * colmask))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
