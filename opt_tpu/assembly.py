@@ -1,29 +1,36 @@
-"""Assembled gather-form JᵀJ stencil operator for centered problems.
+"""Assembled gather-form JᵀJ operator for grid (centered) and graph domains.
 
 This is the TPU-native equivalent of the reference's symbolic matrix-free
-JᵀJ derivation (``createjtjcentered``, API/src/o.t:2029-2089): instead of
-composing Jᵀ(J·p) from the residual linearization on every CG iteration, the
-solver assembles — once per nonlinear iteration, at the linearization point —
-per-offset stencil coefficient fields
+JᵀJ derivation — ``createjtjcentered`` (API/src/o.t:2029-2089) for stencil
+domains and ``createjtjgraph`` (o.t:2092-2126) for hyperedge domains:
+instead of composing Jᵀ(J·p) from the residual linearization on every CG
+iteration, the solver assembles — once per nonlinear iteration, at the
+linearization point — coefficient fields:
 
-    W[(u_out, u_in, Δ, i, j)][q]  =  Σ_{t, s_out, s_in : s_in - s_out = Δ}
-        Σ_rch ∂r_t[q-s_out, rch]/∂u_out[q, i] · ∂r_t[q-s_out, rch]/∂u_in[q+Δ, j]
+* centered:  W[(u_out, u_in, Δ, i, j)][q]
+    = Σ_{t, s_out, s_in : s_in - s_out = Δ}
+      Σ_rch ∂r_t[q-s_out, rch]/∂u_out[q, i] · ∂r_t[q-s_out, rch]/∂u_in[q+Δ, j]
+  applied in the CG hot loop as weighted shifts:
+    (JᵀJ p)[u_out][q, i] = Σ W[...][q] · p[u_in][q+Δ, j]
 
-so that the CG hot loop applies
+* graph:  G[(g, u_out, k_out, u_in, k_in, i, j)][e]
+    = Σ_{t, slots} Σ_rch ∂r_t[e, rch]/∂u_out[idx_{k_out}(e), i]
+                        · ∂r_t[e, rch]/∂u_in[idx_{k_in}(e), j]
+  applied as edge gathers + one segment scatter-add per (u_out, k_out) —
+  the atomics-free TPU form of the reference's per-edge atomicAdd scatters.
 
-    (JᵀJ p)[u_out][q, i]  =  Σ_{u_in, Δ, j} W[...][q] · p[u_in][q+Δ, j].
+The reference reaches the same forms symbolically (its CAS groups residual
+instances touching the center unknown, o.t:1996-2006, and polysimplify
+minimizes ops, ad.t:803-926); here the per-slot Jacobian fields
+``D[t, s] = ∂r_t/∂slot_s`` are obtained numerically by one-hot jvp probes of
+the pointwise slot-form residual function — no CAS required — and the
+channel-pair sparsity (which (i, j) blocks are structurally zero) is detected
+once per plan by probing with randomized inputs.
 
-The reference reaches the same gather form symbolically (its CAS groups all
-residual instances touching the center unknown, o.t:1996-2006, and
-polysimplify minimizes ops, ad.t:803-926); here the per-slot Jacobian fields
-``D[t, s][q] = ∂r_t[q]/∂x[q+s]`` are obtained numerically by one-hot jvp
-probes of the pointwise slot-form residual function — no CAS required — and
-the channel-pair sparsity (which (i, j) blocks are structurally zero) is
-detected once per plan by probing with randomized inputs.
-
-Exclusion semantics: row masks (1 = active) are folded into W on both sides
-(output row zeroed, excluded p entries never read), matching the exclude
-gating of the reference PCG kernels (solverGPUGaussNewton.t:371,424,450).
+Exclusion semantics: row masks (1 = active) are folded into the coefficient
+fields on both sides (output row zeroed, excluded p entries never read),
+matching the exclude gating of the reference PCG kernels
+(solverGPUGaussNewton.t:371,424,450).
 
 Levenberg-Marquardt wraps this operator with + CtC·p exactly as the
 reference adds the damping diagonal inside applyJTJ (o.t:2076-2082).
@@ -40,32 +47,33 @@ import numpy as np
 
 from .ops.shift import shift
 
-# (u_out, u_in, delta, i, j) -> list of contributing (term_idx, sid_out, sid_in)
+# centered: (u_out, u_in, delta, i, j) -> [(term_idx, sid_out, sid_in), ...]
 WKey = Tuple[str, str, Tuple[int, ...], int, int]
+# graph: (graph, u_out, key_out, u_in, key_in, i, j) -> contributions
+GKey = Tuple[str, str, str, str, str, int, int]
 
 
 @dataclasses.dataclass
-class StencilPlan:
-    """Static description of the nonzero stencil coefficient fields."""
+class AssemblyPlan:
+    """Static description of the nonzero JᵀJ coefficient fields."""
 
     w_spec: Dict[WKey, List[Tuple[int, int, int]]]
+    g_spec: Dict[GKey, List[Tuple[int, int, int]]]
     needed_slots: List[int]  # unknown slot ids probed at assembly time
-    n_fields: int
 
-    def memory_bytes(self, compiled) -> int:
-        per_field = 0
+    def centered_memory_bytes(self, compiled) -> int:
+        total = 0
         for (u_out, *_rest) in self.w_spec:
             shape = compiled.unknown_shape(u_out)[:-1]
-            per_field += int(np.prod(shape)) * np.dtype(compiled.dtype).itemsize
-            break
-        return per_field * self.n_fields
+            total += int(np.prod(shape)) * np.dtype(compiled.dtype).itemsize
+        return total
 
 
-def _probe_inputs(compiled, rng):
+def _probe_inputs(compiled, rng, probe_edges: int):
     """Randomized inputs exercising both branches of mask-style selects:
     constants mix exact {0, 1, -1} with uniform values per pixel so that
     predicates like eq(M, 0) or greater(D, 0) take both truth values across
-    the probe grid."""
+    the probe grid. Graph index arrays are uniform random valid indices."""
     unknowns, consts = {}, {}
     for name, decl in compiled.registry.images.items():
         if decl.alias is not None:
@@ -82,15 +90,24 @@ def _probe_inputs(compiled, rng):
                 np.where(cat == 1, 1.0, np.where(cat == 2, -1.0, rng.uniform(0.3, 1.7, shape))),
             )
             consts[name] = jnp.asarray(vals, compiled.dtype)
+    graphs = {}
+    for gname, gdecl in compiled.registry.graphs.items():
+        graphs[gname] = {
+            slot: jnp.asarray(
+                rng.randint(0, max(1, int(np.prod(isp.shape(compiled.dim_sizes)))), probe_edges),
+                jnp.int32,
+            )
+            for slot, isp in gdecl.slots.items()
+        }
     params = {
         p: jnp.asarray(rng.uniform(0.5, 1.5), compiled.dtype)
         for p in compiled.registry.params
     }
-    return unknowns, consts, params
+    return unknowns, consts, graphs, params
 
 
 def _slot_jacobians(compiled, X, consts, graphs, params, slot_ids):
-    """D[(term_idx, sid)] = ∂r_t/∂slot_sid as [*sp, r_ch, C_s] via one-hot
+    """D[(term_idx, sid)] = ∂r_t/∂slot_sid as [*dom, r_ch, C_s] via one-hot
     jvp probes of the slot-form residual function (same mechanism as the
     exact Jacobi diagonal, functions.py jtj_diag)."""
     sv = compiled.gather_slot_values(X, consts, graphs)
@@ -117,57 +134,52 @@ def _slot_jacobians(compiled, X, consts, graphs, params, slot_ids):
             D[(t_idx, sid)] = jnp.stack(
                 [per_slot_ch[sid][ch][t_idx] for ch in range(s.channels)],
                 axis=-1,
-            )  # [*sp, r_ch, C_s]
+            )  # [*dom, r_ch, C_s]
     return D
 
 
-def plan_stencil(
-    spec_fn, compiled, *, probe_size: int = 8, memory_limit_bytes: int = 1 << 31
-) -> Optional[StencilPlan]:
-    """Build the static stencil plan, or None when assembly does not apply
-    (graph terms present) or would exceed the memory budget.
+def plan_assembly(
+    spec_fn,
+    compiled,
+    *,
+    probe_size: int = 8,
+    probe_edges: int = 32,
+    memory_limit_bytes: int = 1 << 31,
+) -> Optional[AssemblyPlan]:
+    """Build the static assembly plan, or None when it would exceed the
+    centered-field memory budget.
 
     Channel-pair sparsity is detected by evaluating the per-pair coefficient
     fields at two randomized probe input sets on a small grid: a pair whose
-    field is exactly zero at every probe pixel under both draws is
+    field is exactly zero at every probe element under both draws is
     structurally zero (coefficients are analytic in the inputs, and the
     probes mix exact {0,1,-1} with uniform values so mask selects take both
-    branches). This replaces the reference's symbolic zero elimination
-    (polysimplify, ad.t:803-926) without a CAS.
+    branches; NaN/Inf under probes counts as nonzero, never prunable). This
+    replaces the reference's symbolic zero elimination (polysimplify,
+    ad.t:803-926) without a CAS.
     """
     from .compile import compile_spec
-
-    reg = compiled.registry
-    if reg.graphs or any(t.domain[0] != "centered" for t in compiled.terms):
-        return None
 
     probe_dims = {k: min(v, probe_size) for k, v in compiled.dim_sizes.items()}
     probe = compile_spec(spec_fn, probe_dims, compiled.dtype)
 
     unknown_sids = probe.unknown_slot_ids()
-    grid_sids = [
-        sid for sid in unknown_sids if probe.registry.slots[sid].kind == "img"
-    ]
-    if not grid_sids:
+    if not unknown_sids:
         return None
 
     rng = np.random.RandomState(20260816)
-    w_spec: Dict[WKey, List[Tuple[int, int, int]]] = {}
     nonzero: Dict[Tuple[int, int, int, int, int], bool] = {}
     for _draw in range(2):
-        Xp, constsp, paramsp = _probe_inputs(probe, rng)
-        D = _slot_jacobians(probe, Xp, constsp, {}, paramsp, grid_sids)
+        Xp, constsp, graphsp, paramsp = _probe_inputs(probe, rng, probe_edges)
+        D = _slot_jacobians(probe, Xp, constsp, graphsp, paramsp, unknown_sids)
         for t_idx, term in enumerate(probe.terms):
-            t_sids = [sid for sid in grid_sids if sid in term.slot_ids]
+            t_sids = [sid for sid in unknown_sids if sid in term.slot_ids]
             for so in t_sids:
                 for si in t_sids:
                     Do = np.asarray(D[(t_idx, so)])
                     Di = np.asarray(D[(t_idx, si)])
                     # B[q, i, j] = sum_rch Do[q, rch, i] * Di[q, rch, j]
                     B = np.einsum("...ri,...rj->...ij", Do, Di)
-                    # a pair is pruned only when exactly zero at every probe
-                    # pixel; NaN/Inf (possible in guarded specs under random
-                    # probes) counts as nonzero, never as prunable.
                     nz = ~np.all(
                         B.reshape(-1, B.shape[-2], B.shape[-1]) == 0, axis=0
                     )
@@ -177,43 +189,60 @@ def plan_stencil(
                                 nonzero[(t_idx, so, si, i, j)] = True
 
     slots = probe.registry.slots
+    w_spec: Dict[WKey, List[Tuple[int, int, int]]] = {}
+    g_spec: Dict[GKey, List[Tuple[int, int, int]]] = {}
     for (t_idx, so, si, i, j) in sorted(nonzero):
         s_out, s_in = slots[so], slots[si]
-        delta = tuple(b - a for a, b in zip(s_out.offset, s_in.offset))
-        key = (s_out.image, s_in.image, delta, i, j)
-        w_spec.setdefault(key, []).append((t_idx, so, si))
+        if s_out.kind == "img":
+            delta = tuple(b - a for a, b in zip(s_out.offset, s_in.offset))
+            key = (s_out.image, s_in.image, delta, i, j)
+            w_spec.setdefault(key, []).append((t_idx, so, si))
+        else:  # gimg — graph hyperedge coupling
+            key = (
+                s_out.graph, s_out.image, s_out.key[3],
+                s_in.image, s_in.key[3], i, j,
+            )
+            g_spec.setdefault(key, []).append((t_idx, so, si))
 
     needed = set()
-    for contribs in w_spec.values():
+    for contribs in list(w_spec.values()) + list(g_spec.values()):
         for (_t, so, si) in contribs:
             needed.add(so)
             needed.add(si)
-    plan = StencilPlan(
-        w_spec=w_spec, needed_slots=sorted(needed), n_fields=len(w_spec)
+    plan = AssemblyPlan(
+        w_spec=w_spec, g_spec=g_spec, needed_slots=sorted(needed)
     )
-    if plan.memory_bytes(compiled) > memory_limit_bytes:
+    if plan.centered_memory_bytes(compiled) > memory_limit_bytes:
         return None
     return plan
 
 
-def assemble(compiled, plan: StencilPlan, X, consts, graphs, params, row_masks):
+def assemble(compiled, plan: AssemblyPlan, X, consts, graphs, params, row_masks):
     """Assemble the coefficient fields at linearization point X.
 
     Returns (apply_fn, diag) where apply_fn computes the row/column-masked
     JᵀJ·p and diag is the (row-masked) Jacobi diagonal — read off the Δ=0
-    (i, i) fields, so the separate diagonal probe pass is unnecessary.
+    (i, i) fields and the same-endpoint graph fields, so the separate
+    diagonal probe pass is unnecessary.
     """
     D = _slot_jacobians(compiled, X, consts, graphs, params, plan.needed_slots)
     slots = compiled.registry.slots
+    dt = compiled.dtype
 
+    def _pair_field(contribs, i, j):
+        acc = None
+        for (t_idx, so, si) in contribs:
+            Do = D[(t_idx, so)][..., :, i]  # [*dom, r_ch]
+            Di = D[(t_idx, si)][..., :, j]
+            B = jnp.sum(Do * Di, axis=-1)  # [*dom]
+            yield (so, B)
+
+    # -- centered fields --------------------------------------------------
     fields: Dict[WKey, jnp.ndarray] = {}
     for key, contribs in plan.w_spec.items():
         u_out, u_in, delta, i, j = key
         acc = None
-        for (t_idx, so, si) in contribs:
-            Do = D[(t_idx, so)][..., :, i]  # [*sp, r_ch]
-            Di = D[(t_idx, si)][..., :, j]
-            B = jnp.sum(Do * Di, axis=-1)  # [*sp]
+        for so, B in _pair_field(contribs, i, j):
             off = tuple(-o for o in slots[so].offset)
             Bs = shift(B[..., None], off)[..., 0]
             acc = Bs if acc is None else acc + Bs
@@ -225,15 +254,32 @@ def assemble(compiled, plan: StencilPlan, X, consts, graphs, params, row_masks):
             acc = acc * shift(m_in, delta)[..., 0]
         fields[key] = acc
 
+    # -- graph edge fields -------------------------------------------------
+    gfields: Dict[GKey, jnp.ndarray] = {}
+    for key, contribs in plan.g_spec.items():
+        g, u_out, k_out, u_in, k_in, i, j = key
+        acc = None
+        for _so, B in _pair_field(contribs, i, j):
+            acc = B if acc is None else acc + B
+        idx_out = graphs[g][k_out]
+        idx_in = graphs[g][k_in]
+        m_out = row_masks.get(u_out)
+        if m_out is not None:
+            acc = acc * jnp.take(m_out[..., 0], idx_out, axis=0)
+        m_in = row_masks.get(u_in)
+        if m_in is not None:
+            acc = acc * jnp.take(m_in[..., 0], idx_in, axis=0)
+        gfields[key] = acc
+
     unknown_channels = {
         u: compiled.unknown_shape(u)[-1] for u in compiled.unknown_names
     }
 
     def apply_fn(p):
+        out_ch = {u: [None] * c for u, c in unknown_channels.items()}
+
+        # centered: weighted shifts
         shifted = {}
-        out_ch = {
-            u: [None] * c for u, c in unknown_channels.items()
-        }
         for (u_out, u_in, delta, i, j), field in fields.items():
             key_s = (u_in, delta)
             ps = shifted.get(key_s)
@@ -243,25 +289,48 @@ def assemble(compiled, plan: StencilPlan, X, consts, graphs, params, row_masks):
             contrib = field * ps[..., j]
             cur = out_ch[u_out][i]
             out_ch[u_out][i] = contrib if cur is None else cur + contrib
+
+        # graph: edge gathers, grouped into ONE scatter-add per (u_out, k_out)
+        gathered = {}
+        edge_acc: Dict[Tuple[str, str, str], List] = {}
+        for (g, u_out, k_out, u_in, k_in, i, j), field in gfields.items():
+            key_g = (g, u_in, k_in)
+            pg = gathered.get(key_g)
+            if pg is None:
+                pg = jnp.take(p[u_in], graphs[g][k_in], axis=0)  # [E, C_in]
+                gathered[key_g] = pg
+            contrib = field * pg[..., j]  # [E]
+            group = edge_acc.setdefault((g, u_out, k_out), [None] * unknown_channels[u_out])
+            group[i] = contrib if group[i] is None else group[i] + contrib
+
         out = {}
         for u, chans in out_ch.items():
             sp = compiled.unknown_shape(u)[:-1]
             chans = [
-                c if c is not None else jnp.zeros(sp, compiled.dtype)
-                for c in chans
+                c if c is not None else jnp.zeros(sp, dt) for c in chans
             ]
             out[u] = jnp.stack(chans, axis=-1)
+        for (g, u_out, k_out), group in edge_acc.items():
+            E = graphs[g][k_out].shape[0]
+            group = [c if c is not None else jnp.zeros((E,), dt) for c in group]
+            mat = jnp.stack(group, axis=-1)  # [E, C_out]
+            out[u_out] = out[u_out].at[graphs[g][k_out]].add(mat)
         return out
 
-    zero_delta = None
+    # -- free Jacobi diagonal ----------------------------------------------
     diag = {}
     for u, c in unknown_channels.items():
         sp = compiled.unknown_shape(u)[:-1]
-        if zero_delta is None:
-            zero_delta = tuple([0] * len(sp))
         cols = []
         for i in range(c):
             f = fields.get((u, u, tuple([0] * len(sp)), i, i))
-            cols.append(f if f is not None else jnp.zeros(sp, compiled.dtype))
+            cols.append(f if f is not None else jnp.zeros(sp, dt))
         diag[u] = jnp.stack(cols, axis=-1)
+    for (g, u_out, k_out, u_in, k_in, i, j), field in gfields.items():
+        if u_out == u_in and k_out == k_in and i == j:
+            diag[u_out] = diag[u_out].at[graphs[g][k_out], i].add(field)
     return apply_fn, diag
+
+
+# Backwards-compatible name (earlier revisions assembled stencils only).
+plan_stencil = plan_assembly

@@ -82,11 +82,11 @@ class GaussNewtonSolver:
         self.rules = sharding_rules
         self._stencil_plan = None
         if self.ip.use_fused_jtj:
-            from ..assembly import plan_stencil
+            from ..assembly import plan_assembly
             from ..utils.logging import log_solver
 
             try:
-                self._stencil_plan = plan_stencil(
+                self._stencil_plan = plan_assembly(
                     compiled.spec_fn,
                     compiled,
                     memory_limit_bytes=self.ip.fused_jtj_memory_limit_bytes,

@@ -84,19 +84,18 @@ def test_diag_and_jtjp_match_dense(name):
 
 
 @pytest.mark.parametrize("name", sorted(CASES))
-def test_assembled_stencil_matches_dense(name):
-    """The assembled gather-form JᵀJ (assembly.py, the reference's fused
-    createjtjcentered analogue) must agree with the dense oracle including
-    row/column exclusion masking, and its free Jacobi diagonal must match."""
-    from opt_tpu.assembly import plan_stencil, assemble
+def test_assembled_jtj_matches_dense(name):
+    """The assembled gather-form JᵀJ (assembly.py — the reference's fused
+    createjtjcentered/createjtjgraph analogues) must agree with the dense
+    oracle including row/column exclusion masking, and its free Jacobi
+    diagonal must match."""
+    from opt_tpu.assembly import plan_assembly, assemble
 
     dims, inputs = CASES[name]
     plan = ot.Problem(ALL_SPECS[name]).plan(dims=dims)
     c = plan.compiled
-    spec_plan = plan_stencil(ALL_SPECS[name], c)
-    if spec_plan is None:
-        assert c.registry.graphs, f"{name}: assembly unexpectedly unavailable"
-        pytest.skip("graph problem: assembly does not apply")
+    spec_plan = plan_assembly(ALL_SPECS[name], c)
+    assert spec_plan is not None, f"{name}: assembly unexpectedly unavailable"
 
     fs, unknowns, names, unflatten, flatten, J, colmask = _dense(plan, inputs)
     Jm = J * colmask[None, :]
