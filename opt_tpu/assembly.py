@@ -60,6 +60,10 @@ class AssemblyPlan:
     w_spec: Dict[WKey, List[Tuple[int, int, int]]]
     g_spec: Dict[GKey, List[Tuple[int, int, int]]]
     needed_slots: List[int]  # unknown slot ids probed at assembly time
+    # (u_out, u_in, delta) / (g, u_out, k_out, u_in, k_in) groups whose
+    # diagonal pair fields are channel-independent (probed equal): store one
+    # [*dom, 1] field and broadcast, instead of C identical copies.
+    scalar_groups: frozenset = frozenset()
 
     def centered_memory_bytes(self, compiled) -> int:
         total = 0
@@ -168,10 +172,21 @@ def plan_assembly(
         return None
 
     rng = np.random.RandomState(20260816)
+    slots = probe.registry.slots
+
+    def _group_key(so, si):
+        s_out, s_in = slots[so], slots[si]
+        if s_out.kind == "img":
+            delta = tuple(b - a for a, b in zip(s_out.offset, s_in.offset))
+            return (s_out.image, s_in.image, delta)
+        return (s_out.graph, s_out.image, s_out.key[3], s_in.image, s_in.key[3])
+
     nonzero: Dict[Tuple[int, int, int, int, int], bool] = {}
+    probe_fields: List[Dict[Tuple, np.ndarray]] = []
     for _draw in range(2):
         Xp, constsp, graphsp, paramsp = _probe_inputs(probe, rng, probe_edges)
         D = _slot_jacobians(probe, Xp, constsp, graphsp, paramsp, unknown_sids)
+        pf: Dict[Tuple, np.ndarray] = {}
         for t_idx, term in enumerate(probe.terms):
             t_sids = [sid for sid in unknown_sids if sid in term.slot_ids]
             for so in t_sids:
@@ -183,26 +198,60 @@ def plan_assembly(
                     nz = ~np.all(
                         B.reshape(-1, B.shape[-2], B.shape[-1]) == 0, axis=0
                     )
+                    if slots[so].kind == "img":
+                        off = tuple(-o for o in slots[so].offset)
+                        Bacc = np.asarray(shift(jnp.asarray(B), off + (0, 0)))
+                    else:
+                        Bacc = B
+                    gk = _group_key(so, si)
                     for i in range(nz.shape[0]):
                         for j in range(nz.shape[1]):
                             if nz[i, j]:
                                 nonzero[(t_idx, so, si, i, j)] = True
+                            prev = pf.get((gk, i, j))
+                            pf[(gk, i, j)] = (
+                                Bacc[..., i, j]
+                                if prev is None
+                                else prev + Bacc[..., i, j]
+                            )
+        probe_fields.append(pf)
 
-    slots = probe.registry.slots
     w_spec: Dict[WKey, List[Tuple[int, int, int]]] = {}
     g_spec: Dict[GKey, List[Tuple[int, int, int]]] = {}
+    group_pairs: Dict[Tuple, set] = {}
+    group_channels: Dict[Tuple, Tuple[int, int]] = {}
     for (t_idx, so, si, i, j) in sorted(nonzero):
         s_out, s_in = slots[so], slots[si]
+        gk = _group_key(so, si)
+        group_pairs.setdefault(gk, set()).add((i, j))
+        group_channels[gk] = (s_out.channels, s_in.channels)
         if s_out.kind == "img":
-            delta = tuple(b - a for a, b in zip(s_out.offset, s_in.offset))
-            key = (s_out.image, s_in.image, delta, i, j)
+            key = gk + (i, j)
             w_spec.setdefault(key, []).append((t_idx, so, si))
-        else:  # gimg — graph hyperedge coupling
-            key = (
-                s_out.graph, s_out.image, s_out.key[3],
-                s_in.image, s_in.key[3], i, j,
-            )
+        else:
+            key = gk + (i, j)
             g_spec.setdefault(key, []).append((t_idx, so, si))
+
+    # scalar groups: full diagonal with channel-identical fields at both draws
+    scalar = set()
+    for gk, pairs in group_pairs.items():
+        c_out, c_in = group_channels[gk]
+        if c_out != c_in or c_out < 2:
+            continue
+        if pairs != {(i, i) for i in range(c_out)}:
+            continue
+        same = True
+        for pf in probe_fields:
+            f0 = pf.get((gk, 0, 0))
+            for i in range(1, c_out):
+                fi = pf.get((gk, i, i))
+                if f0 is None or fi is None or not np.array_equal(f0, fi):
+                    same = False
+                    break
+            if not same:
+                break
+        if same:
+            scalar.add(gk)
 
     needed = set()
     for contribs in list(w_spec.values()) + list(g_spec.values()):
@@ -210,7 +259,10 @@ def plan_assembly(
             needed.add(so)
             needed.add(si)
     plan = AssemblyPlan(
-        w_spec=w_spec, g_spec=g_spec, needed_slots=sorted(needed)
+        w_spec=w_spec,
+        g_spec=g_spec,
+        needed_slots=sorted(needed),
+        scalar_groups=frozenset(scalar),
     )
     if plan.centered_memory_bytes(compiled) > memory_limit_bytes:
         return None
@@ -241,6 +293,8 @@ def assemble(compiled, plan: AssemblyPlan, X, consts, graphs, params, row_masks)
     fields: Dict[WKey, jnp.ndarray] = {}
     for key, contribs in plan.w_spec.items():
         u_out, u_in, delta, i, j = key
+        if key[:3] in plan.scalar_groups and (i, j) != (0, 0):
+            continue  # channel-identical: only the (0,0) field is materialized
         acc = None
         for so, B in _pair_field(contribs, i, j):
             off = tuple(-o for o in slots[so].offset)
@@ -258,6 +312,8 @@ def assemble(compiled, plan: AssemblyPlan, X, consts, graphs, params, row_masks)
     gfields: Dict[GKey, jnp.ndarray] = {}
     for key, contribs in plan.g_spec.items():
         g, u_out, k_out, u_in, k_in, i, j = key
+        if key[:5] in plan.scalar_groups and (i, j) != (0, 0):
+            continue
         acc = None
         for _so, B in _pair_field(contribs, i, j):
             acc = B if acc is None else acc + B
@@ -275,45 +331,106 @@ def assemble(compiled, plan: AssemblyPlan, X, consts, graphs, params, row_masks)
         u: compiled.unknown_shape(u)[-1] for u in compiled.unknown_names
     }
 
-    def apply_fn(p):
-        out_ch = {u: [None] * c for u, c in unknown_channels.items()}
+    # Group per (u_out, u_in, Δ) / per graph coupling and pre-pack the channel
+    # structure into one of two vectorized forms so the CG hot loop runs a few
+    # wide VPU ops instead of one pass per channel pair:
+    #   'diag'  — pairs are a subset of the diagonal: one [*dom, C] multiply
+    #   'block' — general coupling: one [*dom, C_out, C_in] einsum
+    def _pack_group(pair_fields, c_out, c_in, dom_shape, is_scalar):
+        pairs = sorted(pair_fields)
+        if is_scalar:
+            # one [*dom, 1] field broadcast over channels
+            return ("scalar", pair_fields[(0, 0)][..., None])
+        if all(i == j for (i, j) in pairs):
+            cols = [
+                pair_fields.get((i, i), None) for i in range(min(c_out, c_in))
+            ]
+            cols = [
+                c if c is not None else jnp.zeros(dom_shape, dt) for c in cols
+            ]
+            return ("diag", jnp.stack(cols, axis=-1))
+        block = jnp.zeros(dom_shape + (c_out, c_in), dt)
+        for (i, j), f in pair_fields.items():
+            block = block.at[..., i, j].set(f)
+        return ("block", block)
 
-        # centered: weighted shifts
+    w_groups = {}
+    for (u_out, u_in, delta, i, j), field in fields.items():
+        w_groups.setdefault((u_out, u_in, delta), {})[(i, j)] = field
+    w_packed = []
+    for (u_out, u_in, delta), pf in w_groups.items():
+        dom = compiled.unknown_shape(u_out)[:-1]
+        kind, W = _pack_group(
+            pf, unknown_channels[u_out], unknown_channels[u_in], dom,
+            (u_out, u_in, delta) in plan.scalar_groups,
+        )
+        w_packed.append((u_out, u_in, delta, kind, W))
+
+    g_groups = {}
+    for (g, u_out, k_out, u_in, k_in, i, j), field in gfields.items():
+        g_groups.setdefault((g, u_out, k_out, u_in, k_in), {})[(i, j)] = field
+    g_packed = []
+    for (g, u_out, k_out, u_in, k_in), pf in g_groups.items():
+        E = graphs[g][k_out].shape[0]
+        kind, W = _pack_group(
+            pf, unknown_channels[u_out], unknown_channels[u_in], (E,),
+            (g, u_out, k_out, u_in, k_in) in plan.scalar_groups,
+        )
+        g_packed.append((g, u_out, k_out, u_in, k_in, kind, W))
+
+    def apply_fn(p):
+        out = {u: None for u in unknown_channels}
+
+        # centered: weighted shifts, vectorized over channels
         shifted = {}
-        for (u_out, u_in, delta, i, j), field in fields.items():
+        for (u_out, u_in, delta, kind, W) in w_packed:
             key_s = (u_in, delta)
             ps = shifted.get(key_s)
             if ps is None:
                 ps = shift(p[u_in], delta)
                 shifted[key_s] = ps
-            contrib = field * ps[..., j]
-            cur = out_ch[u_out][i]
-            out_ch[u_out][i] = contrib if cur is None else cur + contrib
+            if kind == "scalar":
+                contrib = W * ps  # [*dom,1] broadcast over channels
+            elif kind == "diag":
+                c = W.shape[-1]
+                contrib = W * ps[..., :c]
+                if c < unknown_channels[u_out]:
+                    pad = [(0, 0)] * (contrib.ndim - 1) + [
+                        (0, unknown_channels[u_out] - c)
+                    ]
+                    contrib = jnp.pad(contrib, pad)
+            else:
+                contrib = jnp.einsum("...ij,...j->...i", W, ps)
+            out[u_out] = contrib if out[u_out] is None else out[u_out] + contrib
 
-        # graph: edge gathers, grouped into ONE scatter-add per (u_out, k_out)
+        # graph: edge gathers, one grouped scatter-add per (u_out, k_out)
         gathered = {}
-        edge_acc: Dict[Tuple[str, str, str], List] = {}
-        for (g, u_out, k_out, u_in, k_in, i, j), field in gfields.items():
+        edge_acc: Dict[Tuple[str, str, str], jnp.ndarray] = {}
+        for (g, u_out, k_out, u_in, k_in, kind, W) in g_packed:
             key_g = (g, u_in, k_in)
             pg = gathered.get(key_g)
             if pg is None:
                 pg = jnp.take(p[u_in], graphs[g][k_in], axis=0)  # [E, C_in]
                 gathered[key_g] = pg
-            contrib = field * pg[..., j]  # [E]
-            group = edge_acc.setdefault((g, u_out, k_out), [None] * unknown_channels[u_out])
-            group[i] = contrib if group[i] is None else group[i] + contrib
+            if kind == "scalar":
+                contrib = W * pg
+            elif kind == "diag":
+                c = W.shape[-1]
+                contrib = W * pg[..., :c]
+                if c < unknown_channels[u_out]:
+                    contrib = jnp.pad(
+                        contrib, [(0, 0), (0, unknown_channels[u_out] - c)]
+                    )
+            else:
+                contrib = jnp.einsum("eij,ej->ei", W, pg)
+            key_a = (g, u_out, k_out)
+            cur = edge_acc.get(key_a)
+            edge_acc[key_a] = contrib if cur is None else cur + contrib
 
-        out = {}
-        for u, chans in out_ch.items():
-            sp = compiled.unknown_shape(u)[:-1]
-            chans = [
-                c if c is not None else jnp.zeros(sp, dt) for c in chans
-            ]
-            out[u] = jnp.stack(chans, axis=-1)
-        for (g, u_out, k_out), group in edge_acc.items():
-            E = graphs[g][k_out].shape[0]
-            group = [c if c is not None else jnp.zeros((E,), dt) for c in group]
-            mat = jnp.stack(group, axis=-1)  # [E, C_out]
+        for u in out:
+            if out[u] is None:
+                out[u] = jnp.zeros(compiled.unknown_shape(u), dt)
+        for (g, u_out, k_out), mat in edge_acc.items():
             out[u_out] = out[u_out].at[graphs[g][k_out]].add(mat)
         return out
 
@@ -321,14 +438,25 @@ def assemble(compiled, plan: AssemblyPlan, X, consts, graphs, params, row_masks)
     diag = {}
     for u, c in unknown_channels.items():
         sp = compiled.unknown_shape(u)[:-1]
+        zero = tuple([0] * len(sp))
+        if (u, u, zero) in plan.scalar_groups:
+            f0 = fields[(u, u, zero, 0, 0)]
+            diag[u] = jnp.broadcast_to(f0[..., None], sp + (c,))
+            continue
         cols = []
         for i in range(c):
-            f = fields.get((u, u, tuple([0] * len(sp)), i, i))
+            f = fields.get((u, u, zero, i, i))
             cols.append(f if f is not None else jnp.zeros(sp, dt))
         diag[u] = jnp.stack(cols, axis=-1)
     for (g, u_out, k_out, u_in, k_in, i, j), field in gfields.items():
-        if u_out == u_in and k_out == k_in and i == j:
-            diag[u_out] = diag[u_out].at[graphs[g][k_out], i].add(field)
+        if u_out == u_in and k_out == k_in:
+            if (g, u_out, k_out, u_in, k_in) in plan.scalar_groups:
+                # one field, broadcast over all channels
+                diag[u_out] = diag[u_out].at[graphs[g][k_out], :].add(
+                    field[:, None]
+                )
+            elif i == j:
+                diag[u_out] = diag[u_out].at[graphs[g][k_out], i].add(field)
     return apply_fn, diag
 
 
