@@ -162,6 +162,16 @@ class Plan:
         self._state = None
         self._bound = None
 
+    def dump_jacobian(self, inputs: Dict[str, Any], dense: bool = False):
+        """Export J at the given inputs as COO triplets (or dense for small
+        problems) — the reference's dumpJ/saveJToCRS debugging surface
+        (o.t:2318-2344, solverGPUGaussNewton.t:252-304)."""
+        from .jacobian import dump_jacobian, dump_jacobian_dense
+
+        unknowns, consts, graphs, params = self._normalize_and_place(inputs)
+        fn = dump_jacobian_dense if dense else dump_jacobian
+        return fn(self.compiled, unknowns, consts, graphs, params)
+
     # -- fused solve (Opt_ProblemSolve, o.t:2548-2551) --------------------------
     def solve(
         self, inputs: Dict[str, Any], stepwise: bool = False, **solver_param_overrides

@@ -114,3 +114,33 @@ def test_assembled_jtj_matches_dense(name):
     got = np.asarray(flatten(apply_fn(unflatten(jnp.asarray(p)))))
     want = Jm.T @ (Jm @ (p * colmask))
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_dump_jacobian_matches_dense(name):
+    """The sparse Jacobian export (jacobian.py — the reference's dumpJ,
+    o.t:2318-2344) must reproduce the dense jacfwd Jacobian exactly, modulo
+    unknown-name column ordering."""
+    dims, inputs = CASES[name]
+    plan = ot.Problem(ALL_SPECS[name]).plan(dims=dims)
+    c = plan.compiled
+    fs, unknowns, names, unflatten, flatten, J, colmask = _dense(plan, inputs)
+
+    Jd = plan.dump_jacobian(dict(inputs), dense=True)
+    assert Jd.shape == J.shape
+
+    # _dense flattens sorted(names); dump uses compiled.unknown_names order —
+    # build the column permutation between the two orderings.
+    sizes_sorted = {n: int(np.prod(unknowns[n].shape)) for n in names}
+    col_of_sorted = {}
+    o = 0
+    for n in names:
+        col_of_sorted[n] = o
+        o += sizes_sorted[n]
+    perm = np.zeros(o, np.int64)
+    od = 0
+    for n in c.unknown_names:
+        sz = sizes_sorted[n]
+        perm[od : od + sz] = np.arange(col_of_sorted[n], col_of_sorted[n] + sz)
+        od += sz
+    np.testing.assert_allclose(Jd, J[:, perm], rtol=1e-4, atol=1e-5)
