@@ -98,9 +98,42 @@ def bench_image_warping(n=512, n_outer=8, n_inner=400):
     return res.num_iterations / secs, res.final_cost
 
 
+def bench_arap_graph(n_side=192, n_outer=8, n_inner=100):
+    """Graph-domain benchmark: ARAP deformation of an n_side^2-vertex grid
+    mesh (~2*n^2 edges), the reference's arap_mesh_deformation workload."""
+    import opt_tpu as ot
+    from opt_tpu.models.specs import arap_mesh_deformation
+
+    N = n_side * n_side
+    ii, jj = np.meshgrid(np.arange(n_side), np.arange(n_side), indexing="ij")
+    pos = np.stack([ii.ravel(), jj.ravel(), np.zeros(N)], -1).astype(np.float32)
+    vid = np.arange(N).reshape(n_side, n_side)
+    v0 = np.concatenate([vid[:-1].ravel(), vid[:, :-1].ravel()])
+    v1 = np.concatenate([vid[1:].ravel(), vid[:, 1:].ravel()])
+    # both edge directions, as createGraphFromNeighborLists does (OptGraph.h)
+    v0b = np.concatenate([v0, v1]).astype(np.int32)
+    v1b = np.concatenate([v1, v0]).astype(np.int32)
+    con = -np.ones((N, 3), np.float32)
+    con[vid[0, 0]] = pos[vid[0, 0]]
+    con[vid[-1, -1]] = pos[vid[-1, -1]] + np.array([10.0, 0, 5.0], np.float32)
+    inputs = {
+        "Offset": pos.copy(),
+        "Angle": np.zeros((N, 3), np.float32),
+        "UrShape": pos,
+        "Constraints": con,
+        "G": {"v0": v0b, "v1": v1b},
+        "w_fitSqrt": np.sqrt(1.0).astype(np.float32),
+        "w_regSqrt": np.sqrt(0.5).astype(np.float32),
+    }
+    plan = ot.Problem(arap_mesh_deformation).plan(dims={"N": N})
+    secs, res = _time_solve(plan, inputs, n_outer, n_inner)
+    return res.num_iterations / secs, res.final_cost
+
+
 def main():
     pcg_rate, poisson_cost = bench_poisson()
     gn_rate, warp_cost = bench_image_warping()
+    arap_rate, arap_cost = bench_arap_graph()
     out = {
         "metric": "pcg_iters_per_sec_poisson512_float4",
         "value": round(pcg_rate, 2),
@@ -108,8 +141,10 @@ def main():
         "vs_baseline": round(pcg_rate / NOMINAL_REF_PCG_ITERS_PER_SEC, 3),
         "extra": {
             "gn_iters_per_sec_image_warping512": round(gn_rate, 2),
+            "gn_iters_per_sec_arap36k_vertices": round(arap_rate, 2),
             "poisson_final_cost": float(poisson_cost),
             "image_warping_final_cost": float(warp_cost),
+            "arap_final_cost": float(arap_cost),
         },
     }
     print(json.dumps(out))

@@ -431,7 +431,18 @@ def assemble(compiled, plan: AssemblyPlan, X, consts, graphs, params, row_masks)
             if out[u] is None:
                 out[u] = jnp.zeros(compiled.unknown_shape(u), dt)
         for (g, u_out, k_out), mat in edge_acc.items():
-            out[u_out] = out[u_out].at[graphs[g][k_out]].add(mat)
+            inc = graphs[g].get(f"__inc_{k_out}")
+            if inc is not None:
+                # gather form: out[v] += sum_d mat_ext[inc[v, d]] — scatters
+                # are ~7x slower than gathers on TPU (see incidence_table)
+                mat_ext = jnp.concatenate(
+                    [mat, jnp.zeros((1,) + mat.shape[1:], dt)], axis=0
+                )
+                out[u_out] = out[u_out] + jnp.take(mat_ext, inc, axis=0).sum(
+                    axis=1
+                )
+            else:
+                out[u_out] = out[u_out].at[graphs[g][k_out]].add(mat)
         return out
 
     # -- free Jacobi diagonal ----------------------------------------------

@@ -30,3 +30,31 @@ def edge_scatter_add(
     """Scatter-add per-edge values into a [num_vertices, C] vertex array."""
     out = jnp.zeros((num_vertices,) + values.shape[1:], values.dtype)
     return out.at[idx].add(values)
+
+
+def incidence_table(idx, num_vertices: int):
+    """Transpose of an edge->vertex index list: [N, D_max] table of edge ids
+    incident to each vertex, padded with the sentinel E (= len(idx)).
+
+    Host-side preprocessing of the static graph that converts the solver's
+    per-edge scatter-adds into gathers (out[v] = Σ_d contrib[inc[v, d]]),
+    which on TPU are ~7x faster than scatters — the atomics-free analogue of
+    the reference's atomicAdd accumulation (o.t:2092-2126). The reference's
+    CSR converter createGraphFromNeighborLists (OptGraph.h:64-75) does the
+    inverse transform on the CPU for the same reason: structure is static.
+    """
+    import numpy as np
+
+    idx = np.asarray(idx)
+    E = idx.shape[0]
+    order = np.argsort(idx, kind="stable")
+    sorted_v = idx[order]
+    counts = np.bincount(idx, minlength=num_vertices)
+    d_max = int(counts.max()) if E else 1
+    table = np.full((num_vertices, max(1, d_max)), E, np.int32)
+    starts = np.zeros(num_vertices + 1, np.int64)
+    np.cumsum(counts, out=starts[1:])
+    # position of each sorted edge within its vertex's run
+    pos = np.arange(E) - starts[sorted_v]
+    table[sorted_v, pos] = order
+    return table

@@ -113,9 +113,13 @@ class ShardingRules:
         for gname, slots in graphs.items():
             g2[gname] = {}
             for s, i in slots.items():
-                es = self.edge_sharding()
-                if i.shape[0] % self.mesh.size != 0:
-                    es = NamedSharding(self.mesh, P())  # replicate odd counts
+                if s.startswith("__inc_"):
+                    # vertex-shaped incidence tables replicate with vertices
+                    es = NamedSharding(self.mesh, P())
+                else:
+                    es = self.edge_sharding()
+                    if i.shape[0] % self.mesh.size != 0:
+                        es = NamedSharding(self.mesh, P())  # replicate odd counts
                 g2[gname][s] = jax.device_put(i, es)
         return u2, c2, g2
 

@@ -104,11 +104,41 @@ class Plan:
 
     def _normalize_and_place(self, inputs):
         unknowns, consts, graphs, params = self.compiled.normalize_inputs(inputs)
+        graphs = self._augment_incidence(graphs)
         if self.rules is not None:
             unknowns, consts, graphs = self.rules.place_inputs(
                 self.compiled, unknowns, consts, graphs
             )
         return unknowns, consts, graphs, params
+
+    def _augment_incidence(self, graphs):
+        """Attach host-precomputed incidence tables ("__inc_<slot>") so the
+        assembled JᵀJ applies graph couplings as gathers instead of scatters
+        (ops/graph_ops.py incidence_table). Cached by the index data."""
+        import hashlib
+
+        from .ops.graph_ops import incidence_table
+
+        if not graphs:
+            return graphs
+        if not hasattr(self, "_inc_cache"):
+            self._inc_cache = {}
+        out = {}
+        for gname, slots in graphs.items():
+            gdecl = self.compiled.registry.graphs[gname]
+            out[gname] = dict(slots)
+            for slot, isp in gdecl.slots.items():
+                if slot not in slots or f"__inc_{slot}" in slots:
+                    continue
+                idx = np.asarray(slots[slot])
+                n = int(np.prod(isp.shape(self.compiled.dim_sizes)))
+                key = (gname, slot, hashlib.sha1(idx.tobytes()).hexdigest())
+                table = self._inc_cache.get(key)
+                if table is None:
+                    table = jnp.asarray(incidence_table(idx, n))
+                    self._inc_cache[key] = table
+                out[gname][f"__inc_{slot}"] = table
+        return out
 
     # -- parameters (Opt_SetSolverParameter, solverGPUGaussNewton.t:1205-1221) --
     def set_solver_parameter(self, name: str, value) -> None:

@@ -144,3 +144,46 @@ def test_dump_jacobian_matches_dense(name):
         perm[od : od + sz] = np.arange(col_of_sorted[n], col_of_sorted[n] + sz)
         od += sz
     np.testing.assert_allclose(Jd, J[:, perm], rtol=1e-4, atol=1e-5)
+
+
+def test_incidence_gather_matches_scatter():
+    """The incidence-table gather form of the graph JᵀJ apply must equal the
+    scatter form exactly."""
+    from opt_tpu.assembly import plan_assembly, assemble
+    from opt_tpu.functions import FunctionSet
+    from opt_tpu.ops.graph_ops import incidence_table
+
+    name = "arap_mesh_deformation"
+    dims, inputs = CASES[name]
+    plan = ot.Problem(ALL_SPECS[name]).plan(dims=dims)
+    c = plan.compiled
+    unknowns, consts, graphs, params = c.normalize_inputs(inputs)
+    fs = FunctionSet(c, consts, graphs, params)
+    fs.masks(unknowns)
+    _, row_masks = fs._mask_cache
+    spec_plan = plan_assembly(ALL_SPECS[name], c)
+
+    rng = np.random.RandomState(3)
+    p = {k: jnp.asarray(rng.rand(*v.shape), v.dtype) for k, v in unknowns.items()}
+
+    apply_scatter, _ = assemble(c, spec_plan, unknowns, consts, graphs, params, row_masks)
+    g2 = {
+        g: {
+            **slots,
+            **{
+                f"__inc_{s}": jnp.asarray(
+                    incidence_table(np.asarray(i), unknowns["Offset"].shape[0])
+                )
+                for s, i in slots.items()
+            },
+        }
+        for g, slots in graphs.items()
+    }
+    apply_gather, _ = assemble(c, spec_plan, unknowns, consts, g2, params, row_masks)
+
+    a = apply_scatter(p)
+    b = apply_gather(p)
+    for k in a:
+        np.testing.assert_allclose(
+            np.asarray(a[k]), np.asarray(b[k]), rtol=1e-5, atol=1e-6
+        )
