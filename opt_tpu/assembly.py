@@ -403,7 +403,11 @@ def assemble(compiled, plan: AssemblyPlan, X, consts, graphs, params, row_masks)
                 contrib = jnp.einsum("...ij,...j->...i", W, ps)
             out[u_out] = contrib if out[u_out] is None else out[u_out] + contrib
 
-        # graph: edge gathers, one grouped scatter-add per (u_out, k_out)
+        # graph: edge gathers in, one channel-packed combined-incidence
+        # gather out per (graph, vertex-space) — TPU gather cost is per ROW,
+        # so slots and unknown channels pack into shared rows (see
+        # ops/graph_ops.py combined_incidence_table); scatter fallback when
+        # no table was bound.
         gathered = {}
         edge_acc: Dict[Tuple[str, str, str], jnp.ndarray] = {}
         for (g, u_out, k_out, u_in, k_in, kind, W) in g_packed:
@@ -430,18 +434,50 @@ def assemble(compiled, plan: AssemblyPlan, X, consts, graphs, params, row_masks)
         for u in out:
             if out[u] is None:
                 out[u] = jnp.zeros(compiled.unknown_shape(u), dt)
+
+        from .ops.graph_ops import slot_groups
+
+        handled = set()
+        for g in {k[0] for k in edge_acc}:
+            gdecl = compiled.registry.graphs[g]
+            for group_key, names, _n in slot_groups(gdecl, compiled.dim_sizes):
+                table = graphs[g].get(group_key)
+                if table is None:
+                    continue
+                u_outs = sorted(
+                    {u for (gg, u, k) in edge_acc if gg == g and k in names}
+                )
+                if not u_outs:
+                    continue
+                E = graphs[g][names[0]].shape[0]
+                offs = {}
+                o = 0
+                for u in u_outs:
+                    offs[u] = o
+                    o += unknown_channels[u]
+                # rows: per slot k (in `names` order) an [E, Ctot] block of
+                # that slot's contributions at each unknown's channel offset
+                blocks = []
+                for k in names:
+                    cols = []
+                    for u in u_outs:
+                        mat = edge_acc.get((g, u, k))
+                        cols.append(
+                            mat
+                            if mat is not None
+                            else jnp.zeros((E, unknown_channels[u]), dt)
+                        )
+                        handled.add((g, u, k))
+                    blocks.append(jnp.concatenate(cols, axis=-1))
+                rows = jnp.concatenate(
+                    blocks + [jnp.zeros((1, o), dt)], axis=0
+                )  # [n_slots*E + 1, Ctot]
+                acc = jnp.take(rows, table, axis=0).sum(axis=1)  # [N, Ctot]
+                for u in u_outs:
+                    out[u] = out[u] + acc[:, offs[u] : offs[u] + unknown_channels[u]]
+
         for (g, u_out, k_out), mat in edge_acc.items():
-            inc = graphs[g].get(f"__inc_{k_out}")
-            if inc is not None:
-                # gather form: out[v] += sum_d mat_ext[inc[v, d]] — scatters
-                # are ~7x slower than gathers on TPU (see incidence_table)
-                mat_ext = jnp.concatenate(
-                    [mat, jnp.zeros((1,) + mat.shape[1:], dt)], axis=0
-                )
-                out[u_out] = out[u_out] + jnp.take(mat_ext, inc, axis=0).sum(
-                    axis=1
-                )
-            else:
+            if (g, u_out, k_out) not in handled:
                 out[u_out] = out[u_out].at[graphs[g][k_out]].add(mat)
         return out
 

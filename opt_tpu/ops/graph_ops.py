@@ -32,6 +32,55 @@ def edge_scatter_add(
     return out.at[idx].add(values)
 
 
+def slot_groups(gdecl, dim_sizes):
+    """Group a graph's endpoint slots by the index space they point into.
+
+    Returns [(group_key, [slot names, sorted], num_vertices)]. Slots of one
+    group share vertices, so their accumulation packs into one combined
+    incidence gather; slots into other spaces (e.g. a data-point slot next to
+    a parameter slot, tests/minimal_graph_only curveFitting.t) go in separate
+    groups.
+    """
+    import numpy as np
+
+    by_ispace = {}
+    for slot in sorted(gdecl.slots):
+        isp = gdecl.slots[slot]
+        by_ispace.setdefault(isp, []).append(slot)
+    out = []
+    for isp, names in by_ispace.items():
+        n = int(np.prod(isp.shape(dim_sizes)))
+        out.append(("__inc__" + "|".join(names), names, n))
+    return out
+
+
+def combined_incidence_table(idx_list, num_vertices: int):
+    """Combined transpose of several edge->vertex index lists over ONE vertex
+    space: [N, D_total] table of row ids into the stacked per-slot edge-row
+    matrix (slot k's edge e ↦ row k*E + e), sentinel-padded with
+    n_slots*E. One gather through this table accumulates every slot's
+    contributions at once — gather cost on TPU is per row, so packing slots
+    (and unknown channels) into shared rows is the whole ballgame.
+    """
+    import numpy as np
+
+    E = idx_list[0].shape[0]
+    all_idx = np.concatenate([np.asarray(i) for i in idx_list])
+    rows = np.concatenate(
+        [k * E + np.arange(E, dtype=np.int64) for k in range(len(idx_list))]
+    )
+    order = np.argsort(all_idx, kind="stable")
+    sorted_v = all_idx[order]
+    counts = np.bincount(all_idx, minlength=num_vertices)
+    d_max = int(counts.max()) if len(all_idx) else 1
+    table = np.full((num_vertices, max(1, d_max)), len(idx_list) * E, np.int32)
+    starts = np.zeros(num_vertices + 1, np.int64)
+    np.cumsum(counts, out=starts[1:])
+    pos = np.arange(len(all_idx)) - starts[sorted_v]
+    table[sorted_v, pos] = rows[order]
+    return table
+
+
 def incidence_table(idx, num_vertices: int):
     """Transpose of an edge->vertex index list: [N, D_max] table of edge ids
     incident to each vertex, padded with the sentinel E (= len(idx)).

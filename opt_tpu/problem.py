@@ -112,12 +112,14 @@ class Plan:
         return unknowns, consts, graphs, params
 
     def _augment_incidence(self, graphs):
-        """Attach host-precomputed incidence tables ("__inc_<slot>") so the
-        assembled JᵀJ applies graph couplings as gathers instead of scatters
-        (ops/graph_ops.py incidence_table). Cached by the index data."""
+        """Attach the host-precomputed combined incidence table ("__inc__")
+        so the assembled JᵀJ applies graph couplings as ONE channel-packed
+        gather per graph instead of scatters (ops/graph_ops.py
+        combined_incidence_table; TPU gather cost is per row, so slots and
+        unknown channels pack into the same rows). Cached by index data."""
         import hashlib
 
-        from .ops.graph_ops import incidence_table
+        from .ops.graph_ops import combined_incidence_table, slot_groups
 
         if not graphs:
             return graphs
@@ -127,17 +129,20 @@ class Plan:
         for gname, slots in graphs.items():
             gdecl = self.compiled.registry.graphs[gname]
             out[gname] = dict(slots)
-            for slot, isp in gdecl.slots.items():
-                if slot not in slots or f"__inc_{slot}" in slots:
+            for group_key, names, n in slot_groups(gdecl, self.compiled.dim_sizes):
+                if group_key in slots or any(s not in slots for s in names):
                     continue
-                idx = np.asarray(slots[slot])
-                n = int(np.prod(isp.shape(self.compiled.dim_sizes)))
-                key = (gname, slot, hashlib.sha1(idx.tobytes()).hexdigest())
+                idxs = [np.asarray(slots[s]) for s in names]
+                key = (
+                    gname,
+                    group_key,
+                    hashlib.sha1(b"".join(i.tobytes() for i in idxs)).hexdigest(),
+                )
                 table = self._inc_cache.get(key)
                 if table is None:
-                    table = jnp.asarray(incidence_table(idx, n))
+                    table = jnp.asarray(combined_incidence_table(idxs, n))
                     self._inc_cache[key] = table
-                out[gname][f"__inc_{slot}"] = table
+                out[gname][group_key] = table
         return out
 
     # -- parameters (Opt_SetSolverParameter, solverGPUGaussNewton.t:1205-1221) --

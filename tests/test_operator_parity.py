@@ -146,14 +146,22 @@ def test_dump_jacobian_matches_dense(name):
     np.testing.assert_allclose(Jd, J[:, perm], rtol=1e-4, atol=1e-5)
 
 
-def test_incidence_gather_matches_scatter():
-    """The incidence-table gather form of the graph JᵀJ apply must equal the
-    scatter form exactly."""
+@pytest.mark.parametrize(
+    "name",
+    [
+        "arap_mesh_deformation",
+        "curve_fitting",  # slots into two different vertex spaces
+        "cotangent_mesh_smoothing",  # 4-endpoint hyperedges
+        "robust_nonrigid_alignment",
+    ],
+)
+def test_incidence_gather_matches_scatter(name):
+    """The packed combined-incidence gather form of the graph JᵀJ apply must
+    equal the scatter form exactly. The gather form is what Plan binds
+    (_augment_incidence); assemble() without tables is the scatter oracle."""
     from opt_tpu.assembly import plan_assembly, assemble
     from opt_tpu.functions import FunctionSet
-    from opt_tpu.ops.graph_ops import incidence_table
 
-    name = "arap_mesh_deformation"
     dims, inputs = CASES[name]
     plan = ot.Problem(ALL_SPECS[name]).plan(dims=dims)
     c = plan.compiled
@@ -166,24 +174,21 @@ def test_incidence_gather_matches_scatter():
     rng = np.random.RandomState(3)
     p = {k: jnp.asarray(rng.rand(*v.shape), v.dtype) for k, v in unknowns.items()}
 
-    apply_scatter, _ = assemble(c, spec_plan, unknowns, consts, graphs, params, row_masks)
-    g2 = {
-        g: {
-            **slots,
-            **{
-                f"__inc_{s}": jnp.asarray(
-                    incidence_table(np.asarray(i), unknowns["Offset"].shape[0])
-                )
-                for s, i in slots.items()
-            },
-        }
-        for g, slots in graphs.items()
-    }
-    apply_gather, _ = assemble(c, spec_plan, unknowns, consts, g2, params, row_masks)
+    apply_scatter, diag_s = assemble(
+        c, spec_plan, unknowns, consts, graphs, params, row_masks
+    )
+    g2 = plan._augment_incidence(graphs)
+    assert any("__inc__" in k for slots in g2.values() for k in slots)
+    apply_gather, diag_g = assemble(
+        c, spec_plan, unknowns, consts, g2, params, row_masks
+    )
 
     a = apply_scatter(p)
     b = apply_gather(p)
     for k in a:
         np.testing.assert_allclose(
             np.asarray(a[k]), np.asarray(b[k]), rtol=1e-5, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(diag_s[k]), np.asarray(diag_g[k]), rtol=1e-6, atol=1e-7
         )
