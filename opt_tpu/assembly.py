@@ -378,6 +378,91 @@ def assemble(compiled, plan: AssemblyPlan, X, consts, graphs, params, row_masks)
         )
         g_packed.append((g, u_out, k_out, u_in, k_in, kind, W))
 
+    # ---- pack graph couplings into per-(slot-pair) blocks over the packed
+    # channel layout of each (graph, vertex-space) group, so the hot loop
+    # runs ONE op per slot pair (and one combined-incidence gather per group)
+    # instead of one per (u_out, u_in) coupling. Only used when the plan's
+    # graphs carry combined incidence tables (Plan._augment_incidence).
+    from .ops.graph_ops import slot_groups
+
+    def _build_graph_exec():
+        graphs_used = sorted({e[0] for e in g_packed})
+        layouts = {}  # (g, group_key) -> (names, u_list, offs, Ctot)
+        slot_of_group = {}  # (g, slot name) -> group_key
+        for g in graphs_used:
+            gdecl = compiled.registry.graphs[g]
+            for group_key, names, _n in slot_groups(gdecl, compiled.dim_sizes):
+                if graphs[g].get(group_key) is None:
+                    continue
+                us = set()
+                for (gg, u_out, k_out, u_in, k_in, _kind, _W) in g_packed:
+                    if gg != g:
+                        continue
+                    if k_out in names:
+                        us.add(u_out)
+                    if k_in in names:
+                        us.add(u_in)
+                if not us:
+                    continue
+                u_list = sorted(us)
+                offs, o = {}, 0
+                for u in u_list:
+                    offs[u] = o
+                    o += unknown_channels[u]
+                layouts[(g, group_key)] = (names, u_list, offs, o)
+                for k in names:
+                    slot_of_group[(g, k)] = group_key
+        # pair blocks: (g, gk_out, gk_in, k_out, k_in) -> ('diag'|'block', W)
+        pair: Dict[Tuple, Tuple[str, jnp.ndarray]] = {}
+        unhandled = []
+        for (g, u_out, k_out, u_in, k_in, kind, W) in g_packed:
+            gk_out = slot_of_group.get((g, k_out))
+            gk_in = slot_of_group.get((g, k_in))
+            if gk_out is None or gk_in is None:
+                unhandled.append((g, u_out, k_out, u_in, k_in, kind, W))
+                continue
+            E = graphs[g][k_out].shape[0]
+            _, _, offs_o, ct_o = layouts[(g, gk_out)]
+            _, _, offs_i, ct_i = layouts[(g, gk_in)]
+            key = (g, gk_out, gk_in, k_out, k_in)
+            oo, oi = offs_o[u_out], offs_i[u_in]
+            co, ci = unknown_channels[u_out], unknown_channels[u_in]
+            prev = pair.get(key)
+            diag_ok = (
+                u_out == u_in
+                and gk_out == gk_in
+                and kind in ("scalar", "diag")
+                and (prev is None or prev[0] == "diag")
+            )
+            if diag_ok:
+                Wd = prev[1] if prev is not None else jnp.zeros((E, ct_o), dt)
+                add = W if kind == "diag" else jnp.broadcast_to(W, (E, co))
+                pair[key] = ("diag", Wd.at[:, oo : oo + co].add(add))
+                continue
+            if prev is not None and prev[0] == "diag":
+                # promote existing diag to a block
+                Wb = jnp.zeros((E, ct_o, ct_i), dt)
+                dprev = prev[1]
+                for uu in layouts[(g, gk_out)][1]:
+                    ou = offs_o[uu]
+                    cu = unknown_channels[uu]
+                    for cch in range(cu):
+                        Wb = Wb.at[:, ou + cch, ou + cch].add(dprev[:, ou + cch])
+            else:
+                Wb = prev[1] if prev is not None else jnp.zeros((E, ct_o, ct_i), dt)
+            if kind == "scalar":
+                for cch in range(co):
+                    Wb = Wb.at[:, oo + cch, oi + cch].add(W[:, 0])
+            elif kind == "diag":
+                for cch in range(W.shape[-1]):
+                    Wb = Wb.at[:, oo + cch, oi + cch].add(W[:, cch])
+            else:
+                Wb = Wb.at[:, oo : oo + co, oi : oi + ci].add(W)
+            pair[key] = ("block", Wb)
+        return layouts, pair, unhandled
+
+    g_layouts, g_pair_blocks, g_unhandled = _build_graph_exec()
+
     def apply_fn(p):
         out = {u: None for u in unknown_channels}
 
@@ -403,14 +488,52 @@ def assemble(compiled, plan: AssemblyPlan, X, consts, graphs, params, row_masks)
                 contrib = jnp.einsum("...ij,...j->...i", W, ps)
             out[u_out] = contrib if out[u_out] is None else out[u_out] + contrib
 
-        # graph: edge gathers in, one channel-packed combined-incidence
-        # gather out per (graph, vertex-space) — TPU gather cost is per ROW,
-        # so slots and unknown channels pack into shared rows (see
-        # ops/graph_ops.py combined_incidence_table); scatter fallback when
-        # no table was bound.
+        # graph fast path: per (graph, vertex-space) group — channel-pack p,
+        # gather once per endpoint slot, ONE op per slot pair, accumulate
+        # with one combined-incidence gather. TPU gather cost is per ROW, so
+        # packing slots and channels into shared rows is the whole ballgame
+        # (see ops/graph_ops.py combined_incidence_table).
+        packed_p = {}
+        for (g, gk), (names, u_list, offs, ctot) in g_layouts.items():
+            packed_p[(g, gk)] = jnp.concatenate([p[u] for u in u_list], axis=-1)
+
+        pg_cache = {}
+        contrib_acc: Dict[Tuple[str, str, str], jnp.ndarray] = {}
+        for (g, gk_out, gk_in, k_out, k_in), (kind, W) in g_pair_blocks.items():
+            key_g = (g, gk_in, k_in)
+            pg = pg_cache.get(key_g)
+            if pg is None:
+                pg = jnp.take(packed_p[(g, gk_in)], graphs[g][k_in], axis=0)
+                pg_cache[key_g] = pg  # [E, Ctot_in]
+            if kind == "diag":
+                contrib = W * pg
+            else:
+                contrib = jnp.einsum("eij,ej->ei", W, pg)
+            key_a = (g, gk_out, k_out)
+            cur = contrib_acc.get(key_a)
+            contrib_acc[key_a] = contrib if cur is None else cur + contrib
+
+        for (g, gk), (names, u_list, offs, ctot) in g_layouts.items():
+            if not any((g, gk, k) in contrib_acc for k in names):
+                continue
+            E = graphs[g][names[0]].shape[0]
+            blocks = [
+                contrib_acc.get((g, gk, k), None) for k in names
+            ]
+            blocks = [
+                b if b is not None else jnp.zeros((E, ctot), dt) for b in blocks
+            ]
+            rows = jnp.concatenate(blocks + [jnp.zeros((1, ctot), dt)], axis=0)
+            acc = jnp.take(rows, graphs[g][gk], axis=0).sum(axis=1)  # [N, Ctot]
+            for u in u_list:
+                sl = acc[:, offs[u] : offs[u] + unknown_channels[u]]
+                out[u] = sl if out[u] is None else out[u] + sl
+
+        # fallback: couplings without a combined table — per-coupling ops and
+        # a scatter-add (still the oracle path in tests)
         gathered = {}
         edge_acc: Dict[Tuple[str, str, str], jnp.ndarray] = {}
-        for (g, u_out, k_out, u_in, k_in, kind, W) in g_packed:
+        for (g, u_out, k_out, u_in, k_in, kind, W) in g_unhandled:
             key_g = (g, u_in, k_in)
             pg = gathered.get(key_g)
             if pg is None:
@@ -434,51 +557,8 @@ def assemble(compiled, plan: AssemblyPlan, X, consts, graphs, params, row_masks)
         for u in out:
             if out[u] is None:
                 out[u] = jnp.zeros(compiled.unknown_shape(u), dt)
-
-        from .ops.graph_ops import slot_groups
-
-        handled = set()
-        for g in {k[0] for k in edge_acc}:
-            gdecl = compiled.registry.graphs[g]
-            for group_key, names, _n in slot_groups(gdecl, compiled.dim_sizes):
-                table = graphs[g].get(group_key)
-                if table is None:
-                    continue
-                u_outs = sorted(
-                    {u for (gg, u, k) in edge_acc if gg == g and k in names}
-                )
-                if not u_outs:
-                    continue
-                E = graphs[g][names[0]].shape[0]
-                offs = {}
-                o = 0
-                for u in u_outs:
-                    offs[u] = o
-                    o += unknown_channels[u]
-                # rows: per slot k (in `names` order) an [E, Ctot] block of
-                # that slot's contributions at each unknown's channel offset
-                blocks = []
-                for k in names:
-                    cols = []
-                    for u in u_outs:
-                        mat = edge_acc.get((g, u, k))
-                        cols.append(
-                            mat
-                            if mat is not None
-                            else jnp.zeros((E, unknown_channels[u]), dt)
-                        )
-                        handled.add((g, u, k))
-                    blocks.append(jnp.concatenate(cols, axis=-1))
-                rows = jnp.concatenate(
-                    blocks + [jnp.zeros((1, o), dt)], axis=0
-                )  # [n_slots*E + 1, Ctot]
-                acc = jnp.take(rows, table, axis=0).sum(axis=1)  # [N, Ctot]
-                for u in u_outs:
-                    out[u] = out[u] + acc[:, offs[u] : offs[u] + unknown_channels[u]]
-
         for (g, u_out, k_out), mat in edge_acc.items():
-            if (g, u_out, k_out) not in handled:
-                out[u_out] = out[u_out].at[graphs[g][k_out]].add(mat)
+            out[u_out] = out[u_out].at[graphs[g][k_out]].add(mat)
         return out
 
     # -- free Jacobi diagonal ----------------------------------------------
