@@ -113,32 +113,41 @@ def _probe_inputs(compiled, rng, probe_edges: int):
 def _slot_jacobians(compiled, X, consts, graphs, params, slot_ids):
     """D[(term_idx, sid)] = ∂r_t/∂slot_sid as [*dom, r_ch, C_s] via one-hot
     jvp probes of the slot-form residual function (same mechanism as the
-    exact Jacobi diagonal, functions.py jtj_diag)."""
+    exact Jacobi diagonal, functions.py jtj_diag). All probes across slots
+    and channels run as ONE vmapped linear evaluation."""
     sv = compiled.gather_slot_values(X, consts, graphs)
     f = lambda s: compiled.local_residual_terms(s, params, consts)
     _, lin = jax.linearize(f, sv)
-    zeros = [jnp.zeros_like(v) for v in sv]
-    per_slot_ch: Dict[int, List[List[jnp.ndarray]]] = {}
+
+    # stack every (slot, channel) one-hot tangent along a leading probe axis
+    n_probes = sum(compiled.registry.slots[sid].channels for sid in slot_ids)
+    probe_of = []  # (sid, ch) per probe index
     for sid in slot_ids:
-        s = compiled.registry.slots[sid]
-        cols = []
-        for ch in range(s.channels):
-            tangents = list(zeros)
-            t = jnp.zeros_like(sv[sid])
-            t = t.at[..., ch].set(1.0)
-            tangents[sid] = t
-            cols.append(lin(tangents))
-        per_slot_ch[sid] = cols
+        for ch in range(compiled.registry.slots[sid].channels):
+            probe_of.append((sid, ch))
+
+    batched_tangents = []
+    for k, v in enumerate(sv):
+        t = jnp.zeros((n_probes,) + v.shape, v.dtype)
+        for pi, (sid, ch) in enumerate(probe_of):
+            if sid == k:
+                t = t.at[(pi, Ellipsis, ch)].set(1.0)
+        batched_tangents.append(t)
+
+    d_all = jax.vmap(lambda *ts: lin(list(ts)))(*batched_tangents)
+    # d_all: list over terms of [n_probes, *dom, r_ch]
+
     D = {}
     for t_idx, term in enumerate(compiled.terms):
         for sid in slot_ids:
             if sid not in term.slot_ids:
                 continue
             s = compiled.registry.slots[sid]
-            D[(t_idx, sid)] = jnp.stack(
-                [per_slot_ch[sid][ch][t_idx] for ch in range(s.channels)],
-                axis=-1,
-            )  # [*dom, r_ch, C_s]
+            base = next(
+                pi for pi, (psid, pch) in enumerate(probe_of) if psid == sid
+            )
+            cols = [d_all[t_idx][base + ch] for ch in range(s.channels)]
+            D[(t_idx, sid)] = jnp.stack(cols, axis=-1)  # [*dom, r_ch, C_s]
     return D
 
 
@@ -272,10 +281,10 @@ def plan_assembly(
 def assemble(compiled, plan: AssemblyPlan, X, consts, graphs, params, row_masks):
     """Assemble the coefficient fields at linearization point X.
 
-    Returns (apply_fn, diag) where apply_fn computes the row/column-masked
-    JᵀJ·p and diag is the (row-masked) Jacobi diagonal — read off the Δ=0
-    (i, i) fields and the same-endpoint graph fields, so the separate
-    diagonal probe pass is unnecessary.
+    Returns (apply_fn, diag, jtf_fn): the row/column-masked JᵀJ·p operator,
+    the (row-masked) Jacobi diagonal — read off the Δ=0 (i, i) fields and the
+    same-endpoint graph fields, so the separate diagonal probe pass is
+    unnecessary — and a JᵀF evaluator over residual term arrays.
     """
     D = _slot_jacobians(compiled, X, consts, graphs, params, plan.needed_slots)
     slots = compiled.registry.slots
@@ -561,6 +570,80 @@ def assemble(compiled, plan: AssemblyPlan, X, consts, graphs, params, row_masks)
             out[u_out] = out[u_out].at[graphs[g][k_out]].add(mat)
         return out
 
+    # -- assembled JᵀF -------------------------------------------------------
+    def jtf_fn(r_terms):
+        """JᵀF from the same D fields: Σ_t Σ_s adjoint_s(Σ_rch D[t,s]·r_t).
+        The reference's evalJTF gather/scatter kernels (o.t:2129-2172,
+        o.t:2228-2253) in one pass — and for graph slots through the packed
+        combined-incidence gather instead of the transpose's scatter-add."""
+        out = {u: None for u in unknown_channels}
+        # (graph, group, slot, image) -> [E, C_img]
+        edge_parts: Dict[Tuple[str, Optional[str], str, str], jnp.ndarray] = {}
+        for (t_idx, sid), Dts in D.items():
+            s = slots[sid]
+            r = r_terms[t_idx]
+            contrib = jnp.einsum("...rc,...r->...c", Dts, r)  # [*dom, C_s]
+            if s.kind == "img":
+                off = tuple(-o for o in s.offset)
+                add = shift(contrib, off)
+                cur = out[s.image]
+                out[s.image] = add if cur is None else cur + add
+            else:
+                gk = None
+                for (g2, gkey), (names, _ul, _offs, _ct) in g_layouts.items():
+                    if g2 == s.graph and s.key[3] in names:
+                        gk = gkey
+                        break
+                key = (s.graph, gk, s.key[3], s.image)
+                cur = edge_parts.get(key)
+                edge_parts[key] = contrib if cur is None else cur + contrib
+
+        # pack graph parts through the combined-incidence gather
+        handled_groups = {}
+        for (g, gk, k, img), contrib in edge_parts.items():
+            if gk is None:
+                continue
+            handled_groups.setdefault((g, gk), {}).setdefault(k, {})[img] = contrib
+        for (g, gk), per_k in handled_groups.items():
+            names, u_list, offs, ctot = g_layouts[(g, gk)]
+            E = graphs[g][names[0]].shape[0]
+            blocks = []
+            for k in names:
+                per_img = per_k.get(k)
+                if not per_img:
+                    blocks.append(jnp.zeros((E, ctot), dt))
+                    continue
+                padded = jnp.zeros((E, ctot), dt)
+                for img, c in per_img.items():
+                    o = offs[img]
+                    padded = padded.at[:, o : o + unknown_channels[img]].set(c)
+                blocks.append(padded)
+            rows = jnp.concatenate(blocks + [jnp.zeros((1, ctot), dt)], axis=0)
+            acc = jnp.take(rows, graphs[g][gk], axis=0).sum(axis=1)
+            for u in u_list:
+                sl = acc[:, offs[u] : offs[u] + unknown_channels[u]]
+                cur = out[u]
+                out[u] = sl if cur is None else cur + sl
+        for (g, gk, k, img), contrib in edge_parts.items():
+            if gk is not None:
+                continue
+            cur = out[img]
+            base = (
+                cur
+                if cur is not None
+                else jnp.zeros(compiled.unknown_shape(img), dt)
+            )
+            out[img] = base.at[graphs[g][k]].add(contrib)
+
+        res = {}
+        for u in unknown_channels:
+            v = out[u]
+            if v is None:
+                v = jnp.zeros(compiled.unknown_shape(u), dt)
+            m = row_masks.get(u)
+            res[u] = v if m is None else v * m
+        return res
+
     # -- free Jacobi diagonal ----------------------------------------------
     diag = {}
     for u, c in unknown_channels.items():
@@ -584,7 +667,7 @@ def assemble(compiled, plan: AssemblyPlan, X, consts, graphs, params, row_masks)
                 )
             elif i == j:
                 diag[u_out] = diag[u_out].at[graphs[g][k_out], i].add(field)
-    return apply_fn, diag
+    return apply_fn, diag, jtf_fn
 
 
 # Backwards-compatible name (earlier revisions assembled stencils only).

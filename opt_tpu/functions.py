@@ -202,9 +202,10 @@ class FunctionSet:
 
     # -- assembled gather-form JᵀJ (see assembly.py) ---------------------------
     def assemble_stencil(self, X, plan):
-        """(apply_fn, diag): row/column-masked JᵀJ·p in assembled gather form
-        plus the Jacobi diagonal read off the Δ=0 fields. The TPU equivalent
-        of the reference's fused createjtjcentered kernel (o.t:2029-2089)."""
+        """(apply_fn, diag, jtf_fn): row/column-masked JᵀJ·p in assembled
+        gather form, the Jacobi diagonal read off the Δ=0 fields, and a JᵀF
+        evaluator. The TPU equivalent of the reference's fused
+        createjtjcentered/createjtjgraph/evalJTF kernels (o.t:2029-2172)."""
         from .assembly import assemble
 
         _, row_masks = self.masks(X)

@@ -174,19 +174,23 @@ class GaussNewtonSolver:
         return jax.lax.cond(active, run, lambda s: s, state)
 
     # ---- shared PCG pieces -------------------------------------------------
-    def _prepare(self, X, fs: FunctionSet):
+    def _prepare(self, X, fs: FunctionSet, need_jtf: bool = True):
         excl, row_masks = fs.masks(X)
         r_terms, J, JT = fs.linearize(X)
+        if not need_jtf:
+            return r_terms, J, JT, None
         jtf = JT(r_terms)
         r0 = {k: -v for k, v in jtf.items()}
         return r_terms, J, JT, r0
 
     def _gn_step(self, state, fs: FunctionSet, sp):
         X = self._constrain(state["X"])
-        r_terms, J, JT, r0 = self._prepare(X, fs)
         if self._stencil_plan is not None:
-            A, diag_asm = fs.assemble_stencil(X, self._stencil_plan)
+            r_terms, J, _JT, _ = self._prepare(X, fs, need_jtf=False)
+            A, diag_asm, jtf_fn = fs.assemble_stencil(X, self._stencil_plan)
+            r0 = {k: -v for k, v in jtf_fn(r_terms).items()}
         else:
+            r_terms, J, JT, r0 = self._prepare(X, fs)
             A, diag_asm = (lambda v: JT(J(v))), None
         if self.compiled.use_preconditioner:
             pre_raw = diag_asm if diag_asm is not None else fs.jtj_diag(X)
@@ -236,11 +240,12 @@ class GaussNewtonSolver:
         dt = self.compiled.dtype
         X = self._constrain(state["X"])
         radius = state["trust_region_radius"].astype(dt)
-        r_terms, J, JT, r0 = self._prepare(X, fs)
-
         if self._stencil_plan is not None:
-            A_base, diag = fs.assemble_stencil(X, self._stencil_plan)
+            r_terms, J, _JT, _ = self._prepare(X, fs, need_jtf=False)
+            A_base, diag, jtf_fn = fs.assemble_stencil(X, self._stencil_plan)
+            r0 = {k: -v for k, v in jtf_fn(r_terms).items()}
         else:
+            r_terms, J, JT, r0 = self._prepare(X, fs)
             A_base, diag = (lambda v: JT(J(v))), fs.jtj_diag(X)
         # diag: actual diag(JᵀJ), also when UsePreconditioner(false)
         if self.compiled.use_preconditioner:

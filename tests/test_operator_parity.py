@@ -100,7 +100,7 @@ def test_assembled_jtj_matches_dense(name):
     fs, unknowns, names, unflatten, flatten, J, colmask = _dense(plan, inputs)
     Jm = J * colmask[None, :]
     _, row_masks = fs._mask_cache
-    apply_fn, diag = assemble(
+    apply_fn, diag, jtf_fn = assemble(
         c, spec_plan, unknowns, fs.consts, fs.graphs, fs.params, row_masks
     )
 
@@ -108,6 +108,13 @@ def test_assembled_jtj_matches_dense(name):
     np.testing.assert_allclose(
         np.asarray(flatten(diag)), diag_dense, rtol=1e-3, atol=1e-4
     )
+
+    # assembled JtF vs dense J^T r (rows of excluded unknowns masked)
+    r_terms = fs.F(unknowns)
+    r = np.concatenate([np.asarray(t).ravel() for t in r_terms])
+    jtf_dense = (Jm.T @ r)
+    jtf = np.asarray(flatten(jtf_fn(r_terms)))
+    np.testing.assert_allclose(jtf, jtf_dense, rtol=1e-3, atol=1e-4)
 
     rng = np.random.RandomState(11)
     p = rng.rand(colmask.size).astype(np.float32)
@@ -174,12 +181,12 @@ def test_incidence_gather_matches_scatter(name):
     rng = np.random.RandomState(3)
     p = {k: jnp.asarray(rng.rand(*v.shape), v.dtype) for k, v in unknowns.items()}
 
-    apply_scatter, diag_s = assemble(
+    apply_scatter, diag_s, jtf_s = assemble(
         c, spec_plan, unknowns, consts, graphs, params, row_masks
     )
     g2 = plan._augment_incidence(graphs)
     assert any("__inc__" in k for slots in g2.values() for k in slots)
-    apply_gather, diag_g = assemble(
+    apply_gather, diag_g, jtf_g = assemble(
         c, spec_plan, unknowns, consts, g2, params, row_masks
     )
 
@@ -191,4 +198,10 @@ def test_incidence_gather_matches_scatter(name):
         )
         np.testing.assert_allclose(
             np.asarray(diag_s[k]), np.asarray(diag_g[k]), rtol=1e-6, atol=1e-7
+        )
+    r_terms = FunctionSet(c, consts, graphs, params).F(unknowns)
+    ja, jb = jtf_s(r_terms), jtf_g(r_terms)
+    for k in ja:
+        np.testing.assert_allclose(
+            np.asarray(ja[k]), np.asarray(jb[k]), rtol=1e-5, atol=1e-6
         )
