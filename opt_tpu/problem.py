@@ -166,6 +166,8 @@ class Plan:
     def step(self) -> bool:
         """One nonlinear iteration; returns True while solving continues
         (Opt_ProblemStep's 0/1 return, solverGPUGaussNewton.t:1016-1177)."""
+        from .utils.logging import log_solver
+
         if self._state is None:
             raise RuntimeError("call init() first")
         consts, graphs, params = self._bound
@@ -174,6 +176,12 @@ class Plan:
             self._state, consts, graphs, params, self.solver_params
         )
         st = self._state
+        if int(st["n_iter"]) != before:
+            # reference logSolver cost-per-iteration line
+            # (solverGPUGaussNewton.t:1160)
+            log_solver(
+                "iteration %d, cost=%g", int(st["n_iter"]), float(st["prev_cost"])
+            )
         cont = (not bool(st["done"])) and int(st["n_iter"]) < int(
             self.solver_params["nIterations"]
         )
