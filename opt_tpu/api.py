@@ -55,7 +55,13 @@ def new_state(
 
 def problem_define(state: OptState, spec_fn, kind: str = "gaussNewtonGPU") -> Problem:
     """Opt_ProblemDefine (o.t:2521-2525): registers metadata only; all
-    compilation happens at plan time, as in the reference."""
+    compilation happens at plan time, as in the reference. ``spec_fn`` may be
+    a callable or a path to a Python energy file (the reference passes a .t
+    filename; o.t:840-853 problemSpecFromFile)."""
+    if isinstance(spec_fn, str):
+        from .native_bridge import _load_spec_fn
+
+        spec_fn = _load_spec_fn(spec_fn)
     p = Problem(spec_fn, kind=kind)
     state.problems.append(p)
     return p

@@ -176,6 +176,18 @@ def plan_assembly(
     probe_dims = {k: min(v, probe_size) for k, v in compiled.dim_sizes.items()}
     probe = compile_spec(spec_fn, probe_dims, compiled.dtype)
 
+    # the plan stores probe slot/term ids and assemble() resolves them in the
+    # real compile — tracing is deterministic so the registries must agree;
+    # bail out to the composed operator if a spec somehow traces
+    # size-dependently.
+    ps, cs = probe.registry.slots, compiled.registry.slots
+    if len(ps) != len(cs) or len(probe.terms) != len(compiled.terms) or any(
+        (a.kind, a.image, a.offset, a.graph, a.channels)
+        != (b.kind, b.image, b.offset, b.graph, b.channels)
+        for a, b in zip(ps, cs)
+    ):
+        return None
+
     unknown_sids = probe.unknown_slot_ids()
     if not unknown_sids:
         return None
