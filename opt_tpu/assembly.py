@@ -439,7 +439,11 @@ def assemble(compiled, plan: AssemblyPlan, X, consts, graphs, params, row_masks)
         for (g, u_out, k_out, u_in, k_in, kind, W) in g_packed:
             gk_out = slot_of_group.get((g, k_out))
             gk_in = slot_of_group.get((g, k_in))
-            if gk_out is None or gk_in is None:
+            if (
+                gk_out is None
+                or gk_in is None
+                or graphs[g].get(f"__ell_inc_{k_out}") is None
+            ):
                 unhandled.append((g, u_out, k_out, u_in, k_in, kind, W))
                 continue
             E = graphs[g][k_out].shape[0]
@@ -480,9 +484,31 @@ def assemble(compiled, plan: AssemblyPlan, X, consts, graphs, params, row_masks)
             else:
                 Wb = Wb.at[:, oo : oo + co, oi : oi + ci].add(W)
             pair[key] = ("block", Wb)
-        return layouts, pair, unhandled
 
-    g_layouts, g_pair_blocks, g_unhandled = _build_graph_exec()
+        # convert pair blocks from edge rows to ELL layout [N, D, ...] once
+        # per nonlinear iteration: the CG loop then accumulates by plain
+        # reduction over d (no HBM-source output gather), and same-slot pairs
+        # read p[v] directly (idx_k[inc_k[v, d]] == v) — only cross-slot
+        # pairs gather, from the small packed vertex array.
+        ell_exec = {}
+        for (g, gk_out, gk_in, k_out, k_in), (kind, W) in pair.items():
+            inc = graphs[g][f"__ell_inc_{k_out}"]  # [N, D] edge ids, sentinel E
+            E = graphs[g][k_out].shape[0]
+            W_ext = jnp.concatenate(
+                [W, jnp.zeros((1,) + W.shape[1:], dt)], axis=0
+            )
+            n_out, d_max = inc.shape
+            W_ell = jnp.take(W_ext, jnp.minimum(inc, E).reshape(-1), axis=0)
+            W_ell = W_ell.reshape((n_out, d_max) + W.shape[1:])
+            ell = (
+                None
+                if k_out == k_in
+                else graphs[g][f"__ell_{k_out}__{k_in}"]  # [N, D] vertex ids
+            )
+            ell_exec[(g, gk_out, gk_in, k_out, k_in)] = (kind, W_ell, ell)
+        return layouts, ell_exec, unhandled
+
+    g_layouts, g_ell_exec, g_unhandled = _build_graph_exec()
 
     def apply_fn(p):
         out = {u: None for u in unknown_channels}
@@ -509,43 +535,45 @@ def assemble(compiled, plan: AssemblyPlan, X, consts, graphs, params, row_masks)
                 contrib = jnp.einsum("...ij,...j->...i", W, ps)
             out[u_out] = contrib if out[u_out] is None else out[u_out] + contrib
 
-        # graph fast path: per (graph, vertex-space) group — channel-pack p,
-        # gather once per endpoint slot, ONE op per slot pair, accumulate
-        # with one combined-incidence gather. TPU gather cost is per ROW, so
-        # packing slots and channels into shared rows is the whole ballgame
-        # (see ops/graph_ops.py combined_incidence_table).
+        # graph fast path (ELL): channel-packed p per (graph, vertex-space)
+        # group; same-slot pairs broadcast p[v] (no gather), cross-slot pairs
+        # gather from the small packed vertex array; accumulation is a plain
+        # reduction over the padded incidence axis — no HBM-source output
+        # gather and no scatter (see ops/graph_ops.py ell_tables).
         packed_p = {}
         for (g, gk), (names, u_list, offs, ctot) in g_layouts.items():
             packed_p[(g, gk)] = jnp.concatenate([p[u] for u in u_list], axis=-1)
 
+        group_acc: Dict[Tuple[str, str], jnp.ndarray] = {}
         pg_cache = {}
-        contrib_acc: Dict[Tuple[str, str, str], jnp.ndarray] = {}
-        for (g, gk_out, gk_in, k_out, k_in), (kind, W) in g_pair_blocks.items():
-            key_g = (g, gk_in, k_in)
-            pg = pg_cache.get(key_g)
-            if pg is None:
-                pg = jnp.take(packed_p[(g, gk_in)], graphs[g][k_in], axis=0)
-                pg_cache[key_g] = pg  # [E, Ctot_in]
-            if kind == "diag":
-                contrib = W * pg
+        for (g, gk_out, gk_in, k_out, k_in), (kind, W_ell, ell) in g_ell_exec.items():
+            pp = packed_p[(g, gk_in)]
+            if ell is None:
+                pg = pp[:, None, :]  # [N, 1->D, Ct] broadcast: same-slot pair
             else:
-                contrib = jnp.einsum("eij,ej->ei", W, pg)
-            key_a = (g, gk_out, k_out)
-            cur = contrib_acc.get(key_a)
-            contrib_acc[key_a] = contrib if cur is None else cur + contrib
+                key_g = (g, k_out, k_in)
+                pg = pg_cache.get(key_g)
+                if pg is None:
+                    pp_ext = jnp.concatenate(
+                        [pp, jnp.zeros((1, pp.shape[-1]), dt)], axis=0
+                    )
+                    n_out, d_max = ell.shape
+                    pg = jnp.take(pp_ext, ell.reshape(-1), axis=0).reshape(
+                        n_out, d_max, pp.shape[-1]
+                    )
+                    pg_cache[key_g] = pg
+            if kind == "diag":
+                contrib = jnp.sum(W_ell * pg, axis=1)  # [N, Ct]
+            elif ell is None:
+                contrib = jnp.einsum("vdij,vj->vi", W_ell, pp)
+            else:
+                contrib = jnp.einsum("vdij,vdj->vi", W_ell, pg)
+            key_a = (g, gk_out)
+            cur = group_acc.get(key_a)
+            group_acc[key_a] = contrib if cur is None else cur + contrib
 
-        for (g, gk), (names, u_list, offs, ctot) in g_layouts.items():
-            if not any((g, gk, k) in contrib_acc for k in names):
-                continue
-            E = graphs[g][names[0]].shape[0]
-            blocks = [
-                contrib_acc.get((g, gk, k), None) for k in names
-            ]
-            blocks = [
-                b if b is not None else jnp.zeros((E, ctot), dt) for b in blocks
-            ]
-            rows = jnp.concatenate(blocks + [jnp.zeros((1, ctot), dt)], axis=0)
-            acc = jnp.take(rows, graphs[g][gk], axis=0).sum(axis=1)  # [N, Ctot]
+        for (g, gk), acc in group_acc.items():
+            _names, u_list, offs, _ctot = g_layouts[(g, gk)]
             for u in u_list:
                 sl = acc[:, offs[u] : offs[u] + unknown_channels[u]]
                 out[u] = sl if out[u] is None else out[u] + sl

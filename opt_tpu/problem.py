@@ -119,7 +119,7 @@ class Plan:
         unknown channels pack into the same rows). Cached by index data."""
         import hashlib
 
-        from .ops.graph_ops import combined_incidence_table, slot_groups
+        from .ops.graph_ops import combined_incidence_table, ell_tables, slot_groups
 
         if not graphs:
             return graphs
@@ -129,20 +129,42 @@ class Plan:
         for gname, slots in graphs.items():
             gdecl = self.compiled.registry.graphs[gname]
             out[gname] = dict(slots)
-            for group_key, names, n in slot_groups(gdecl, self.compiled.dim_sizes):
-                if group_key in slots or any(s not in slots for s in names):
-                    continue
-                idxs = [np.asarray(slots[s]) for s in names]
-                key = (
-                    gname,
-                    group_key,
-                    hashlib.sha1(b"".join(i.tobytes() for i in idxs)).hexdigest(),
-                )
-                table = self._inc_cache.get(key)
-                if table is None:
-                    table = jnp.asarray(combined_incidence_table(idxs, n))
-                    self._inc_cache[key] = table
-                out[gname][group_key] = table
+            if any(k.startswith("__") for k in slots):
+                continue  # caller already augmented
+            all_names = sorted(gdecl.slots)
+            if any(s not in slots for s in all_names):
+                continue
+            idxs = {s: np.asarray(slots[s]) for s in all_names}
+            ckey = (
+                gname,
+                hashlib.sha1(
+                    b"".join(idxs[s].tobytes() for s in all_names)
+                ).hexdigest(),
+            )
+            cached = self._inc_cache.get(ckey)
+            if cached is None:
+                cached = {}
+                # combined per-(vertex-space) tables (used by the JᵀF path)
+                for group_key, names, n in slot_groups(
+                    gdecl, self.compiled.dim_sizes
+                ):
+                    cached[group_key] = jnp.asarray(
+                        combined_incidence_table([idxs[s] for s in names], n)
+                    )
+                # ELL tables for the gather-only JᵀJ apply
+                nvert = {
+                    s: int(
+                        np.prod(gdecl.slots[s].shape(self.compiled.dim_sizes))
+                    )
+                    for s in all_names
+                }
+                inc, ell = ell_tables(idxs, nvert)
+                for s, t in inc.items():
+                    cached[f"__ell_inc_{s}"] = jnp.asarray(t)
+                for (ko, ki), t in ell.items():
+                    cached[f"__ell_{ko}__{ki}"] = jnp.asarray(t)
+                self._inc_cache[ckey] = cached
+            out[gname].update(cached)
         return out
 
     # -- parameters (Opt_SetSolverParameter, solverGPUGaussNewton.t:1205-1221) --
