@@ -698,8 +698,25 @@ def assemble(compiled, plan: AssemblyPlan, X, consts, graphs, params, row_masks)
             f = fields.get((u, u, zero, i, i))
             cols.append(f if f is not None else jnp.zeros(sp, dt))
         diag[u] = jnp.stack(cols, axis=-1)
+    # graph part of the diagonal: read off the same-slot ELL blocks by a
+    # plain reduction (no scatters); scatter fallback only for couplings the
+    # ELL path does not cover.
+    ell_diag_covered = set()
+    for (g, gk_out, gk_in, k_out, k_in), (kind, W_ell, ell) in g_ell_exec.items():
+        if k_out != k_in:
+            continue
+        if kind == "diag":
+            dcontrib = jnp.sum(W_ell, axis=1)  # [N, Ct]
+        else:
+            dcontrib = jnp.sum(
+                jnp.diagonal(W_ell, axis1=-2, axis2=-1), axis=1
+            )  # [N, Ct]
+        _names, u_list, offs, _ct = g_layouts[(g, gk_out)]
+        for u in u_list:
+            diag[u] = diag[u] + dcontrib[:, offs[u] : offs[u] + unknown_channels[u]]
+            ell_diag_covered.add((g, u, k_out))
     for (g, u_out, k_out, u_in, k_in, i, j), field in gfields.items():
-        if u_out == u_in and k_out == k_in:
+        if u_out == u_in and k_out == k_in and (g, u_out, k_out) not in ell_diag_covered:
             if (g, u_out, k_out, u_in, k_in) in plan.scalar_groups:
                 # one field, broadcast over all channels
                 diag[u_out] = diag[u_out].at[graphs[g][k_out], :].add(
