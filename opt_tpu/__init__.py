@@ -44,9 +44,11 @@ from .lib import (
     Matrix3x3Mul,
     Not,
     Or,
+    Reduce,
     Rotate2D,
     Rotate3D,
     Select,
+    Slice,
     Sqrt,
     Stencil,
     UsePreconditioner,
@@ -91,7 +93,7 @@ __all__ = [
     # DSL stdlib
     "All", "And", "Any", "Dot", "Dot3", "Energy", "Exclude", "InBounds",
     "InBoundsExpanded", "Index", "L_2_norm", "L_p", "Matrix3x3Mul", "Not",
-    "Or", "Rotate2D", "Rotate3D", "Select", "Sqrt", "Stencil",
+    "Or", "Reduce", "Rotate2D", "Rotate3D", "Select", "Slice", "Sqrt", "Stencil",
     "UsePreconditioner", "eq", "greater", "greatereq", "length", "less",
     "lesseq", "neq", "normalize",
 ]

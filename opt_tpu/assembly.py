@@ -302,13 +302,21 @@ def assemble(compiled, plan: AssemblyPlan, X, consts, graphs, params, row_masks)
     slots = compiled.registry.slots
     dt = compiled.dtype
 
-    def _pair_field(contribs, i, j):
-        acc = None
+    # full coupling blocks per (term, slot-pair), each ONE einsum; the
+    # per-channel-pair fields below are cheap slices of these.
+    B_all: Dict[Tuple[int, int, int], jnp.ndarray] = {}
+    for contribs in list(plan.w_spec.values()) + list(plan.g_spec.values()):
         for (t_idx, so, si) in contribs:
-            Do = D[(t_idx, so)][..., :, i]  # [*dom, r_ch]
-            Di = D[(t_idx, si)][..., :, j]
-            B = jnp.sum(Do * Di, axis=-1)  # [*dom]
-            yield (so, B)
+            if (t_idx, so, si) not in B_all:
+                # outer-product-and-reduce on the VPU; an einsum here lowers
+                # to batched tiny MXU matmuls (~10x slower at 3x3 blocks)
+                Do = D[(t_idx, so)][..., :, :, None]  # [*dom, r, C_so, 1]
+                Di = D[(t_idx, si)][..., :, None, :]  # [*dom, r, 1, C_si]
+                B_all[(t_idx, so, si)] = jnp.sum(Do * Di, axis=-3)
+
+    def _pair_field(contribs, i, j):
+        for (t_idx, so, si) in contribs:
+            yield (so, B_all[(t_idx, so, si)][..., i, j])
 
     # -- centered fields --------------------------------------------------
     fields: Dict[WKey, jnp.ndarray] = {}

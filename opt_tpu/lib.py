@@ -108,6 +108,16 @@ def Dot(a, b):
 Dot3 = Dot
 
 
+def Slice(v, lo: int, hi: int):
+    """Channel sub-range of a vector value (reference lib.t Slice)."""
+    return jnp.asarray(v)[..., int(lo) : int(hi)]
+
+
+def Reduce(v):
+    """Sum over the channel axis, keepdims (reference lib.t Reduce)."""
+    return jnp.sum(jnp.asarray(v), axis=-1, keepdims=True)
+
+
 def length(v, axis=-1):
     return jnp.sqrt(jnp.sum(jnp.square(v), axis=axis, keepdims=True))
 
