@@ -205,3 +205,27 @@ def test_incidence_gather_matches_scatter(name):
         np.testing.assert_allclose(
             np.asarray(ja[k]), np.asarray(jb[k]), rtol=1e-5, atol=1e-6
         )
+
+
+@pytest.mark.parametrize("name", ["poisson_image_editing", "image_warping", "arap_mesh_deformation"])
+@pytest.mark.parametrize("kind", ["gaussNewtonGPU", "LMGPU"])
+def test_fused_and_composed_solvers_agree(name, kind):
+    """Full solves with use_fused_jtj on (assembled operator) and off
+    (composed Jt(J p) via linearize/transpose) must produce near-identical
+    trajectories — the reference's use_fused_jtj switch equivalence."""
+    from opt_tpu.solver.params import InitializationParameters
+
+    dims, inputs = CASES[name]
+    r = {}
+    for fused in (True, False):
+        ip = InitializationParameters(use_fused_jtj=fused)
+        plan = ot.Problem(ALL_SPECS[name], kind=kind).plan(dims=dims, init_params=ip)
+        assert (plan.solver._stencil_plan is not None) == fused
+        r[fused] = plan.solve(dict(inputs), nIterations=4, lIterations=12)
+    np.testing.assert_allclose(r[True].costs, r[False].costs, rtol=2e-3)
+    for k in r[True].unknowns:
+        np.testing.assert_allclose(
+            np.asarray(r[True].unknowns[k]),
+            np.asarray(r[False].unknowns[k]),
+            rtol=5e-3, atol=2e-4,
+        )
