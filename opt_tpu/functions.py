@@ -23,7 +23,7 @@ solverGPUGaussNewton.t:371,424,450 is on the unknown index only).
 
 from __future__ import annotations
 
-from typing import Any, Dict, List
+from typing import Dict, List
 
 import jax
 import jax.numpy as jnp
@@ -177,10 +177,7 @@ class FunctionSet:
                     diag[s.image] = diag[s.image].at[..., ch].add(add)
                 else:  # gimg
                     idx = self.graphs[s.graph][s.key[3]]
-                    n = diag[s.image].shape[0]
-                    diag[s.image] = (
-                        diag[s.image].at[idx, ch].add(contrib)
-                    )
+                    diag[s.image] = diag[s.image].at[idx, ch].add(contrib)
         return _mask_rows(diag, row_masks)
 
     def jtf_and_pre(self, X):

@@ -22,8 +22,6 @@ from __future__ import annotations
 
 from typing import Dict, Tuple
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 from .assembly import _slot_jacobians

@@ -27,7 +27,6 @@ element-wise PCG algebra into the JᵀJ matvec.
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 from typing import Any, Dict, Optional
 
@@ -175,7 +174,7 @@ class GaussNewtonSolver:
 
     # ---- shared PCG pieces -------------------------------------------------
     def _prepare(self, X, fs: FunctionSet, need_jtf: bool = True):
-        excl, row_masks = fs.masks(X)
+        fs.masks(X)  # populate the mask cache at the linearization point
         r_terms, J, JT = fs.linearize(X)
         if not need_jtf:
             return r_terms, J, JT, None
