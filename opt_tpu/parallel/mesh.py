@@ -113,8 +113,9 @@ class ShardingRules:
         for gname, slots in graphs.items():
             g2[gname] = {}
             for s, i in slots.items():
-                if s.startswith("__inc_"):
-                    # vertex-shaped incidence tables replicate with vertices
+                if s.startswith("__"):
+                    # vertex-shaped incidence/ELL tables replicate with the
+                    # (replicated) vertex arrays
                     es = NamedSharding(self.mesh, P())
                 else:
                     es = self.edge_sharding()
