@@ -130,10 +130,40 @@ def bench_arap_graph(n_side=192, n_outer=8, n_inner=100):
     return res.num_iterations / secs, res.final_cost
 
 
+def bench_batched_curve_fitting(B=512, N=256, repeats=3):
+    """Batched-solve throughput: B independent curve fits in ONE XLA program
+    (new capability over the reference, which runs instances serially)."""
+    import opt_tpu as ot
+    from opt_tpu.models.specs import curve_fitting
+
+    rng = np.random.RandomState(0)
+    x = np.linspace(0, 1, N)
+    truths = rng.uniform(80, 120, (B, 2))
+    data = np.stack(
+        [np.stack([x, a * np.cos(b * x) + b * np.sin(a * x)], -1) for a, b in truths]
+    ).astype(np.float32)
+    init = (truths + rng.randn(B, 2) * 0.05).astype(np.float32)
+    inputs = {
+        "funcParams": init[:, None, :],
+        "data": data,
+        "G": {"d": np.arange(N, dtype=np.int32), "p": np.zeros(N, np.int32)},
+    }
+    plan = ot.Problem(curve_fitting, kind="LMGPU").plan(dims={"N": N, "U": 1})
+    res = plan.solve_batched(dict(inputs), nIterations=10, lIterations=20)
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        res = plan.solve_batched(dict(inputs), nIterations=10, lIterations=20)
+        best = min(best, time.perf_counter() - t0)
+    err = float(np.abs(np.asarray(res.unknowns["funcParams"])[:, 0, :] - truths).max())
+    return B / best, err
+
+
 def main():
     pcg_rate, poisson_cost = bench_poisson()
     gn_rate, warp_cost = bench_image_warping()
     arap_rate, arap_cost = bench_arap_graph()
+    batch_rate, batch_err = bench_batched_curve_fitting()
     out = {
         "metric": "pcg_iters_per_sec_poisson512_float4",
         "value": round(pcg_rate, 2),
@@ -142,6 +172,8 @@ def main():
         "extra": {
             "gn_iters_per_sec_image_warping512": round(gn_rate, 2),
             "gn_iters_per_sec_arap36k_vertices": round(arap_rate, 2),
+            "batched_lm_curvefits_per_sec": round(batch_rate, 1),
+            "batched_curvefit_max_param_err": batch_err,
             "poisson_final_cost": float(poisson_cost),
             "image_warping_final_cost": float(warp_cost),
             "arap_final_cost": float(arap_cost),

@@ -61,7 +61,7 @@ from .lib import (
     neq,
     normalize,
 )
-from .problem import Plan, Problem, SolveResult
+from .problem import BatchedSolveResult, Plan, Problem, SolveResult
 from .solver.params import (
     GuardedInvertType,
     InitializationParameters,
@@ -90,6 +90,7 @@ __all__ = [
     "InitializationParameters",
     "SOLVER_PARAMETER_DEFAULTS",
     "enable_double_precision",
+    "BatchedSolveResult",
     # DSL stdlib
     "All", "And", "Any", "Dot", "Dot3", "Energy", "Exclude", "InBounds",
     "InBoundsExpanded", "Index", "L_2_norm", "L_p", "Matrix3x3Mul", "Not",

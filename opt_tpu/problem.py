@@ -18,6 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .compile import CompiledProblem, compile_spec
+from .spec import SpecError
 from .solver.gauss_newton import GaussNewtonSolver
 from .solver.params import InitializationParameters, normalize_solver_params
 
@@ -39,6 +40,18 @@ def _uses_lambda(kind: str) -> bool:
             "(reference o.t:122)"
         )
     return _KIND_ALIASES[k]
+
+
+@dataclasses.dataclass
+class BatchedSolveResult:
+    """Results of a batched solve: every field has a leading batch axis."""
+
+    unknowns: Dict[str, jnp.ndarray]
+    final_costs: np.ndarray  # [B]
+    costs: np.ndarray  # [B, nIterations] (NaN-padded past each instance's exit)
+    num_iterations: np.ndarray  # [B]
+    num_linear_iterations: np.ndarray  # [B]
+    wall_time_s: float = 0.0
 
 
 @dataclasses.dataclass
@@ -226,6 +239,118 @@ class Plan:
         """Release solver state (Opt_PlanFree analogue)."""
         self._state = None
         self._bound = None
+
+    def solve_batched(
+        self, inputs: Dict[str, Any], **solver_param_overrides
+    ) -> BatchedSolveResult:
+        """Solve a BATCH of problem instances in one XLA program.
+
+        Image and scalar-parameter inputs carry a leading batch axis (or
+        their unbatched shape, in which case they broadcast); graph index
+        arrays are shared topology across the batch. This is new capability
+        over the reference (which solves instances serially): on TPU a batch
+        of small solves keeps the VPU full and amortizes dispatch.
+        """
+        sp = normalize_solver_params({**self.solver_params, **solver_param_overrides})
+        reg = self.compiled.registry
+
+        # determine batch size from any batched input
+        B = None
+        for name, val in inputs.items():
+            if name in reg.images and reg.images[name].alias is None:
+                d = reg.images[name]
+                arr = np.asarray(val) if not hasattr(val, "shape") else val
+                extra = arr.ndim - d.ispace.ndim
+                if extra == 2 or (extra == 1 and arr.shape[-1] != d.channels):
+                    B = int(arr.shape[0])
+                    break
+        if B is None:
+            raise SpecError(
+                "solve_batched: could not infer batch size; pass at least one "
+                "image with a leading batch axis"
+            )
+
+        # vectorized normalization: batched leaves keep their leading axis,
+        # unbatched leaves are passed through with vmap in_axes=None (no
+        # broadcast materialization, no per-instance host loop)
+        from .spec import UNKNOWN
+
+        dtype = self.compiled.dtype
+        unknowns, consts, graphs_in, params = {}, {}, {}, {}
+        u_axes, c_axes, p_axes = {}, {}, {}
+        for name, val in inputs.items():
+            if name in reg.graphs:
+                graphs_in[name] = {
+                    s: jnp.asarray(i, jnp.int32)
+                    for s, i in (
+                        val if isinstance(val, dict)
+                        else {s: getattr(val, s) for s in reg.graphs[name].slots}
+                    ).items()
+                }
+                continue
+            if name in reg.params:
+                arr = jnp.asarray(val, dtype)
+                params[name] = arr
+                p_axes[name] = 0 if arr.ndim >= 1 else None
+                continue
+            if name not in reg.images:
+                raise SpecError(f"unknown input {name!r}")
+            d = reg.images[name]
+            if d.alias is not None:
+                continue
+            arr = jnp.asarray(val)
+            if arr.dtype != jnp.int32 and jnp.issubdtype(arr.dtype, jnp.floating):
+                arr = arr.astype(dtype)
+            nd = d.ispace.ndim
+            batched = arr.ndim == nd + 2 or (
+                arr.ndim == nd + 1 and arr.shape[-1] != d.channels
+            )
+            if arr.ndim == nd or (batched and arr.ndim == nd + 1):
+                arr = arr[..., None]
+            expect = d.ispace.shape(self.compiled.dim_sizes) + (d.channels,)
+            got = tuple(arr.shape[1:]) if batched else tuple(arr.shape)
+            if got != expect:
+                raise SpecError(
+                    f"image {name!r}: expected shape {expect} "
+                    f"(optionally with a leading batch axis), got {tuple(arr.shape)}"
+                )
+            if d.kind == UNKNOWN:
+                if not batched:
+                    arr = jnp.broadcast_to(arr, (B,) + expect)
+                unknowns[name] = arr
+            else:
+                consts[name] = arr
+                c_axes[name] = 0 if batched else None
+        missing = [
+            n for n, d in reg.images.items()
+            if d.alias is None and n not in inputs
+        ] + [n for n in reg.graphs if n not in inputs]
+        if missing:
+            raise SpecError(f"missing inputs: {missing}")
+        for pn in reg.params:
+            if pn not in params:
+                params[pn] = jnp.zeros((), dtype)
+                p_axes[pn] = None
+        graphs = self._augment_incidence(graphs_in)
+
+        t0 = time.perf_counter()
+        state, costs = self.solver._solve_fused_batched(
+            unknowns, consts, graphs, params,
+            self.solver._traced_sp(sp), int(sp["nIterations"]),
+            tuple(sorted(c_axes.items())), tuple(sorted(p_axes.items())),
+        )
+        n, lin, final, costs_h = jax.device_get(
+            (state["n_iter"], state["lin_iters"], state["prev_cost"], costs)
+        )
+        wall = time.perf_counter() - t0
+        return BatchedSolveResult(
+            unknowns=state["X"],
+            final_costs=np.asarray(final),
+            costs=np.asarray(costs_h),
+            num_iterations=np.asarray(n),
+            num_linear_iterations=np.asarray(lin),
+            wall_time_s=wall,
+        )
 
     def dump_jacobian(self, inputs: Dict[str, Any], dense: bool = False):
         """Export J at the given inputs as COO triplets (or dense for small

@@ -375,6 +375,33 @@ class GaussNewtonSolver:
     # -- fused full solve --------------------------------------------------------
     @functools.partial(jax.jit, static_argnums=(0, 6))
     def _solve_fused(self, X, consts, graphs, params, sp, max_iters: int):
+        return self._solve_core(X, consts, graphs, params, sp, max_iters)
+
+    @functools.partial(jax.jit, static_argnums=(0, 6, 7, 8))
+    def _solve_fused_batched(
+        self, X, consts, graphs, params, sp, max_iters: int,
+        const_axes=(), param_axes=(),
+    ):
+        """vmapped full solve over a leading batch axis of unknowns; constant
+        images/params are mapped (axis 0) or shared (None) per leaf, graph
+        topology and solver parameters are shared.
+
+        One XLA program solves the whole batch — the TPU-native answer to
+        many-small-problems workloads (the reference runs them serially, one
+        cudaLaunch stream per problem). Per-instance early exits are handled
+        by the while_loop batching rule (finished instances stop updating)."""
+        c_ax = dict(const_axes)
+        p_ax = dict(param_axes)
+        return jax.vmap(
+            lambda Xi, ci, pi: self._solve_core(Xi, ci, graphs, pi, sp, max_iters),
+            in_axes=(
+                0,
+                {k: c_ax.get(k) for k in consts},
+                {k: p_ax.get(k) for k in params},
+            ),
+        )(X, consts, params)
+
+    def _solve_core(self, X, consts, graphs, params, sp, max_iters: int):
         state = self._init_state(X, consts, graphs, params, sp)
         # history buffer must be non-empty even for nIterations=0: the loop
         # body is traced unconditionally and indexes it.
