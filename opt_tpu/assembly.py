@@ -386,14 +386,54 @@ def assemble(compiled, plan: AssemblyPlan, X, consts, graphs, params, row_masks)
     w_groups = {}
     for (u_out, u_in, delta, i, j), field in fields.items():
         w_groups.setdefault((u_out, u_in, delta), {})[(i, j)] = field
-    w_packed = []
+
+    # pack ACROSS unknowns per (index space, Δ): when several (u_out, u_in)
+    # couplings share a stencil offset (mixed-unknown problems like
+    # image_warping's Offset/Angle), one shift of the channel-packed p and
+    # one block multiply replace one shift + one op per coupling.
+    isp_of = {
+        u: compiled.registry.images[u].ispace for u in compiled.unknown_names
+    }
+    by_isp_delta: Dict[Tuple, list] = {}
     for (u_out, u_in, delta), pf in w_groups.items():
-        dom = compiled.unknown_shape(u_out)[:-1]
-        kind, W = _pack_group(
-            pf, unknown_channels[u_out], unknown_channels[u_in], dom,
-            (u_out, u_in, delta) in plan.scalar_groups,
+        by_isp_delta.setdefault((isp_of[u_out], delta), []).append(
+            (u_out, u_in, pf)
         )
-        w_packed.append((u_out, u_in, delta, kind, W))
+
+    w_layouts = {}  # ispace -> (u_list, offs, ctot)
+    for isp in {k[0] for k in by_isp_delta}:
+        u_list = [u for u in compiled.unknown_names if isp_of[u] == isp]
+        offs, o = {}, 0
+        for u in u_list:
+            offs[u] = o
+            o += unknown_channels[u]
+        w_layouts[isp] = (u_list, offs, o)
+
+    w_packed = []  # (isp, delta, kind, W) — kind 'scalar'|'diag'|'block'
+    for (isp, delta), groups in by_isp_delta.items():
+        u_list, offs, ctot = w_layouts[isp]
+        dom = isp.shape(compiled.dim_sizes)
+        if len(groups) == 1 and groups[0][0] == groups[0][1]:
+            # single same-unknown coupling: keep the cheap narrow forms
+            u_out, u_in, pf = groups[0]
+            kind, W = _pack_group(
+                pf, unknown_channels[u_out], unknown_channels[u_in], dom,
+                (u_out, u_in, delta) in plan.scalar_groups,
+            )
+            w_packed.append((isp, delta, kind, W, offs[u_out], offs[u_in],
+                             unknown_channels[u_out], unknown_channels[u_in]))
+            continue
+        block = jnp.zeros(dom + (ctot, ctot), dt)
+        for (u_out, u_in, pf) in groups:
+            oo, oi = offs[u_out], offs[u_in]
+            if (u_out, u_in, delta) in plan.scalar_groups:
+                f = pf[(0, 0)]
+                for ch in range(unknown_channels[u_out]):
+                    block = block.at[..., oo + ch, oi + ch].add(f)
+            else:
+                for (i, j), f in pf.items():
+                    block = block.at[..., oo + i, oi + j].add(f)
+        w_packed.append((isp, delta, "block", block, 0, 0, ctot, ctot))
 
     g_groups = {}
     for (g, u_out, k_out, u_in, k_in, i, j), field in gfields.items():
@@ -521,27 +561,51 @@ def assemble(compiled, plan: AssemblyPlan, X, consts, graphs, params, row_masks)
     def apply_fn(p):
         out = {u: None for u in unknown_channels}
 
-        # centered: weighted shifts, vectorized over channels
+        # centered: one shift of the channel-packed p per (ispace, Δ), one
+        # multiply per entry, vectorized over channels
+        packed_pc = {
+            isp: jnp.concatenate([p[u] for u in u_list], axis=-1)
+            if len(u_list) > 1
+            else p[u_list[0]]
+            for isp, (u_list, _offs, _ct) in w_layouts.items()
+        }
         shifted = {}
-        for (u_out, u_in, delta, kind, W) in w_packed:
-            key_s = (u_in, delta)
-            ps = shifted.get(key_s)
-            if ps is None:
-                ps = shift(p[u_in], delta)
-                shifted[key_s] = ps
+        acc_c = {isp: None for isp in w_layouts}
+        for (isp, delta, kind, W, oo, oi, co, ci) in w_packed:
+            key_s = (isp, delta)
+            ps_full = shifted.get(key_s)
+            if ps_full is None:
+                ps_full = shift(packed_pc[isp], delta)
+                shifted[key_s] = ps_full
+            ctot = w_layouts[isp][2]
+            ps = ps_full[..., oi : oi + ci] if (oi, ci) != (0, ctot) else ps_full
             if kind == "scalar":
                 contrib = W * ps  # [*dom,1] broadcast over channels
             elif kind == "diag":
                 c = W.shape[-1]
                 contrib = W * ps[..., :c]
-                if c < unknown_channels[u_out]:
-                    pad = [(0, 0)] * (contrib.ndim - 1) + [
-                        (0, unknown_channels[u_out] - c)
-                    ]
-                    contrib = jnp.pad(contrib, pad)
+                if c < co:
+                    contrib = jnp.pad(
+                        contrib,
+                        [(0, 0)] * (contrib.ndim - 1) + [(0, co - c)],
+                    )
             else:
-                contrib = jnp.einsum("...ij,...j->...i", W, ps)
-            out[u_out] = contrib if out[u_out] is None else out[u_out] + contrib
+                # broadcast-mul + reduce stays on the VPU (an einsum here
+                # lowers to batched tiny MXU matmuls, ~10x slower)
+                contrib = jnp.sum(W * ps[..., None, :], axis=-1)
+            if (oo, co) != (0, ctot):
+                contrib = jnp.pad(
+                    contrib,
+                    [(0, 0)] * (contrib.ndim - 1) + [(oo, ctot - oo - co)],
+                )
+            acc_c[isp] = contrib if acc_c[isp] is None else acc_c[isp] + contrib
+        for isp, acc in acc_c.items():
+            if acc is None:
+                continue
+            u_list, offs, _ct = w_layouts[isp]
+            for u in u_list:
+                sl = acc[..., offs[u] : offs[u] + unknown_channels[u]]
+                out[u] = sl if out[u] is None else out[u] + sl
 
         # graph fast path (ELL): channel-packed p per (graph, vertex-space)
         # group; same-slot pairs broadcast p[v] (no gather), cross-slot pairs
