@@ -27,7 +27,7 @@ import numpy as np
 NOMINAL_REF_PCG_ITERS_PER_SEC = 2000.0
 
 
-def _time_solve(plan, inputs, n_outer, n_inner, repeats=3):
+def _time_solve(plan, inputs, n_outer, n_inner, repeats=5):
     import jax
 
     # inputs live on device before timing, as in the reference where problem
