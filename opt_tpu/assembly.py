@@ -337,24 +337,59 @@ def assemble(compiled, plan: AssemblyPlan, X, consts, graphs, params, row_masks)
             acc = acc * shift(m_in, delta)[..., 0]
         fields[key] = acc
 
-    # -- graph edge fields -------------------------------------------------
+    # -- graph couplings ------------------------------------------------------
+    # with ELL tables bound, whole coupling blocks come straight from B_all
+    # (one masked add per (term, slot pair) — no per-channel-pair detour);
+    # without tables, per-(i,j) fields feed the scatter fallback below.
+    g_couplings = {}  # (g,u_out,k_out,u_in,k_in) -> ([(t,so,si)...], diagonal?)
+    for key, contribs in plan.g_spec.items():
+        g, u_out, k_out, u_in, k_in, i, j = key
+        ck = key[:5]
+        entry = g_couplings.setdefault(ck, [set(), True])
+        entry[0].update(contribs)
+        if i != j or u_out != u_in:
+            entry[1] = False
+
+    def _graph_masks(g, u_out, k_out, u_in, k_in):
+        m = None
+        m_out = row_masks.get(u_out)
+        if m_out is not None:
+            m = jnp.take(m_out[..., 0], graphs[g][k_out], axis=0)
+        m_in = row_masks.get(u_in)
+        if m_in is not None:
+            mi = jnp.take(m_in[..., 0], graphs[g][k_in], axis=0)
+            m = mi if m is None else m * mi
+        return m
+
+    def _coupling_block(ck):
+        """Masked [E, C_out, C_in] coupling block summed over contributions."""
+        g, u_out, k_out, u_in, k_in = ck
+        acc = None
+        for (t_idx, so, si) in sorted(g_couplings[ck][0]):
+            B = B_all[(t_idx, so, si)]
+            acc = B if acc is None else acc + B
+        m = _graph_masks(g, u_out, k_out, u_in, k_in)
+        return acc if m is None else acc * m[:, None, None]
+
+    ell_active = {
+        g: all(
+            graphs[g].get(f"__ell_inc_{k}") is not None for k in gdecl.slots
+        )
+        for g, gdecl in compiled.registry.graphs.items()
+    }
+
     gfields: Dict[GKey, jnp.ndarray] = {}
     for key, contribs in plan.g_spec.items():
         g, u_out, k_out, u_in, k_in, i, j = key
+        if ell_active.get(g):
+            continue  # fast path builds whole blocks; no per-pair fields
         if key[:5] in plan.scalar_groups and (i, j) != (0, 0):
             continue
         acc = None
         for _so, B in _pair_field(contribs, i, j):
             acc = B if acc is None else acc + B
-        idx_out = graphs[g][k_out]
-        idx_in = graphs[g][k_in]
-        m_out = row_masks.get(u_out)
-        if m_out is not None:
-            acc = acc * jnp.take(m_out[..., 0], idx_out, axis=0)
-        m_in = row_masks.get(u_in)
-        if m_in is not None:
-            acc = acc * jnp.take(m_in[..., 0], idx_in, axis=0)
-        gfields[key] = acc
+        m = _graph_masks(g, u_out, k_out, u_in, k_in)
+        gfields[key] = acc if m is None else acc * m
 
     unknown_channels = {
         u: compiled.unknown_shape(u)[-1] for u in compiled.unknown_names
@@ -455,7 +490,9 @@ def assemble(compiled, plan: AssemblyPlan, X, consts, graphs, params, row_masks)
     from .ops.graph_ops import slot_groups
 
     def _build_graph_exec():
-        graphs_used = sorted({e[0] for e in g_packed})
+        graphs_used = sorted(
+            {e[0] for e in g_packed} | {ck[0] for ck in g_couplings if ell_active.get(ck[0])}
+        )
         layouts = {}  # (g, group_key) -> (names, u_list, offs, Ctot)
         slot_of_group = {}  # (g, slot name) -> group_key
         for g in graphs_used:
@@ -464,7 +501,7 @@ def assemble(compiled, plan: AssemblyPlan, X, consts, graphs, params, row_masks)
                 if graphs[g].get(group_key) is None:
                     continue
                 us = set()
-                for (gg, u_out, k_out, u_in, k_in, _kind, _W) in g_packed:
+                for (gg, u_out, k_out, u_in, k_in) in g_couplings:
                     if gg != g:
                         continue
                     if k_out in names:
@@ -481,57 +518,54 @@ def assemble(compiled, plan: AssemblyPlan, X, consts, graphs, params, row_masks)
                 layouts[(g, group_key)] = (names, u_list, offs, o)
                 for k in names:
                     slot_of_group[(g, k)] = group_key
-        # pair blocks: (g, gk_out, gk_in, k_out, k_in) -> ('diag'|'block', W)
+
+        # pair blocks straight from the coupling blocks (ELL-active graphs):
+        # one masked [E, C_out, C_in] sum per coupling, one placement per
+        # coupling — no per-channel-pair fields or DUS chains.
         pair: Dict[Tuple, Tuple[str, jnp.ndarray]] = {}
-        unhandled = []
-        for (g, u_out, k_out, u_in, k_in, kind, W) in g_packed:
+        pair_parts: Dict[Tuple, list] = {}
+        for ck in sorted(g_couplings):
+            g, u_out, k_out, u_in, k_in = ck
+            if not ell_active.get(g):
+                continue
             gk_out = slot_of_group.get((g, k_out))
             gk_in = slot_of_group.get((g, k_in))
-            if (
-                gk_out is None
-                or gk_in is None
-                or graphs[g].get(f"__ell_inc_{k_out}") is None
-            ):
-                unhandled.append((g, u_out, k_out, u_in, k_in, kind, W))
+            if gk_out is None or gk_in is None:
                 continue
+            key = (g, gk_out, gk_in, k_out, k_in)
+            pair_parts.setdefault(key, []).append(ck)
+        for key, cks in pair_parts.items():
+            g, gk_out, gk_in, k_out, k_in = key
             E = graphs[g][k_out].shape[0]
             _, _, offs_o, ct_o = layouts[(g, gk_out)]
             _, _, offs_i, ct_i = layouts[(g, gk_in)]
-            key = (g, gk_out, gk_in, k_out, k_in)
-            oo, oi = offs_o[u_out], offs_i[u_in]
-            co, ci = unknown_channels[u_out], unknown_channels[u_in]
-            prev = pair.get(key)
-            diag_ok = (
-                u_out == u_in
-                and gk_out == gk_in
-                and kind in ("scalar", "diag")
-                and (prev is None or prev[0] == "diag")
+            all_diag = gk_out == gk_in and all(
+                g_couplings[ck][1] for ck in cks
             )
-            if diag_ok:
-                Wd = prev[1] if prev is not None else jnp.zeros((E, ct_o), dt)
-                add = W if kind == "diag" else jnp.broadcast_to(W, (E, co))
-                pair[key] = ("diag", Wd.at[:, oo : oo + co].add(add))
-                continue
-            if prev is not None and prev[0] == "diag":
-                # promote existing diag to a block
+            if all_diag:
+                Wd = jnp.zeros((E, ct_o), dt)
+                for ck in cks:
+                    _, u_out, _, _, _ = ck
+                    oo = offs_o[u_out]
+                    co = unknown_channels[u_out]
+                    cb = _coupling_block(ck)  # [E, C, C], diagonal structure
+                    Wd = Wd.at[:, oo : oo + co].add(
+                        jnp.diagonal(cb, axis1=-2, axis2=-1)
+                    )
+                pair[key] = ("diag", Wd)
+            else:
                 Wb = jnp.zeros((E, ct_o, ct_i), dt)
-                dprev = prev[1]
-                for uu in layouts[(g, gk_out)][1]:
-                    ou = offs_o[uu]
-                    cu = unknown_channels[uu]
-                    for cch in range(cu):
-                        Wb = Wb.at[:, ou + cch, ou + cch].add(dprev[:, ou + cch])
-            else:
-                Wb = prev[1] if prev is not None else jnp.zeros((E, ct_o, ct_i), dt)
-            if kind == "scalar":
-                for cch in range(co):
-                    Wb = Wb.at[:, oo + cch, oi + cch].add(W[:, 0])
-            elif kind == "diag":
-                for cch in range(W.shape[-1]):
-                    Wb = Wb.at[:, oo + cch, oi + cch].add(W[:, cch])
-            else:
-                Wb = Wb.at[:, oo : oo + co, oi : oi + ci].add(W)
-            pair[key] = ("block", Wb)
+                for ck in cks:
+                    _, u_out, _, u_in, _ = ck
+                    oo, oi = offs_o[u_out], offs_i[u_in]
+                    co, ci = unknown_channels[u_out], unknown_channels[u_in]
+                    Wb = Wb.at[:, oo : oo + co, oi : oi + ci].add(
+                        _coupling_block(ck)
+                    )
+                pair[key] = ("block", Wb)
+
+        # couplings without tables fall back to the scatter path
+        unhandled = list(g_packed)
 
         # convert pair blocks from edge rows to ELL layout [N, D, ...] once
         # per nonlinear iteration: the CG loop then accumulates by plain
