@@ -229,3 +229,54 @@ def test_fused_and_composed_solvers_agree(name, kind):
             np.asarray(r[False].unknowns[k]),
             rtol=5e-3, atol=2e-4,
         )
+
+
+def test_graph_problem_with_exclusion_masks():
+    """Graph JᵀJ/diag/JᵀF with Exclude on the vertex space: ELL fast path and
+    dense oracle must agree on row/column masking (exclude gating on the
+    unknown index, reference solverGPUGaussNewton.t:371,424,450)."""
+    from opt_tpu.assembly import plan_assembly, assemble
+    from opt_tpu.functions import FunctionSet
+
+    def spec(S):
+        N = S.Dim("N")
+        X = S.Unknown("X", 3, (N,))
+        A = S.Array("A", 3, (N,))
+        M = S.Array("M", 1, (N,))
+        G = S.Graph("G", v0=(N,), v1=(N,))
+        S.Exclude(ot.Not(ot.eq(M(0), 0)))
+        S.Energy(2.0 * (X(0) - A(0)))
+        S.Energy(X(G.v0) - X(G.v1))
+
+    n = 12
+    rng = np.random.RandomState(5)
+    v0 = np.arange(n, dtype=np.int32)
+    v1 = ((np.arange(n) + 1) % n).astype(np.int32)
+    inputs = {
+        "X": rng.rand(n, 3).astype(np.float32),
+        "A": rng.rand(n, 3).astype(np.float32),
+        "M": (rng.rand(n) > 0.6).astype(np.float32),  # some excluded vertices
+        "G": {"v0": v0, "v1": v1},
+    }
+    plan = ot.Problem(spec).plan(dims={"N": n})
+    c = plan.compiled
+    fs, unknowns, names, unflatten, flatten, J, colmask = _dense(plan, inputs)
+    Jm = J * colmask[None, :]
+    _, row_masks = fs._mask_cache
+    spec_plan = plan_assembly(spec, c)
+    g2 = plan._augment_incidence(fs.graphs)
+    apply_fn, diag, jtf_fn = assemble(
+        c, spec_plan, unknowns, fs.consts, g2, fs.params, row_masks
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(flatten(diag)), (Jm * Jm).sum(0), rtol=1e-4, atol=1e-5
+    )
+    r_terms = fs.F(unknowns)
+    r = np.concatenate([np.asarray(t).ravel() for t in r_terms])
+    np.testing.assert_allclose(
+        np.asarray(flatten(jtf_fn(r_terms))), Jm.T @ r, rtol=1e-4, atol=1e-5
+    )
+    p = rng.rand(colmask.size).astype(np.float32)
+    got = np.asarray(flatten(apply_fn(unflatten(jnp.asarray(p)))))
+    np.testing.assert_allclose(got, Jm.T @ (Jm @ (p * colmask)), rtol=1e-4, atol=1e-4)
