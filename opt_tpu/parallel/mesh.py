@@ -7,9 +7,14 @@ new design with no reference counterpart. Strategy (BASELINE.json north_star):
   zero-padded shift ops in ops/shift.py lower to XLA SPMD halo exchanges over
   ICI automatically, so stencil JᵀJp needs no hand-written communication.
 * graph index spaces shard hyperedges over the flattened mesh; vertex arrays
-  (unknowns) stay replicated per device, with the edge scatter-adds reduced
-  by an XLA all-reduce. (Owner-block sharding with psum_scatter is the next
-  optimization step.)
+  (unknowns) shard by contiguous owner blocks along axis 0, and the ELL/
+  incidence tables (problem.Plan._augment_incidence) shard by the same
+  blocks — each device owns a vertex range plus the accumulation rows that
+  produce it. Cross-endpoint reads in the assembled JᵀJ apply are gathers
+  through the ELL vertex table, which XLA SPMD lowers to an all-gather of
+  the (small) packed p vector per CG iteration; accumulation itself stays
+  local to the owner. Odd sizes fall back to replication (perf, not
+  correctness).
 * CG dot products / costs are plain jnp.sum — XLA inserts the psum.
 
 Everything runs through ``jax.jit`` with sharding constraints; there is no
@@ -75,8 +80,11 @@ class ShardingRules:
                         if shape[d] % size != 0:
                             spec[d] = None
         else:
-            # 1-D (graph vertex) spaces replicate: scatter targets
-            spec = [None] * ispace_ndim
+            # 1-D (graph vertex) spaces: owner-block sharding over the
+            # flattened mesh; replicate when the count doesn't divide
+            spec = [tuple(ax)] + [None] * (ispace_ndim - 1)
+            if shape is not None and shape[0] % self.mesh.size != 0:
+                spec[0] = None
         if channels_axis:
             spec = spec + [None]
         return P(*spec)
@@ -114,9 +122,15 @@ class ShardingRules:
             g2[gname] = {}
             for s, i in slots.items():
                 if s.startswith("__"):
-                    # vertex-shaped incidence/ELL tables replicate with the
-                    # (replicated) vertex arrays
-                    es = NamedSharding(self.mesh, P())
+                    # vertex-shaped incidence/ELL tables ([N, D]) shard by
+                    # the same owner blocks as the vertex arrays they
+                    # accumulate into; replicate odd counts
+                    if i.shape[0] % self.mesh.size == 0:
+                        es = NamedSharding(
+                            self.mesh, P(tuple(self.mesh.axis_names), None)
+                        )
+                    else:
+                        es = NamedSharding(self.mesh, P())
                 else:
                     es = self.edge_sharding()
                     if i.shape[0] % self.mesh.size != 0:

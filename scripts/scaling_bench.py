@@ -46,6 +46,44 @@ def bench_poisson(mesh, n, n_inner, repeats=3):
     return max(1, res.num_linear_iterations) / best, float(res.final_cost)
 
 
+def bench_arap(mesh, n_side, n_inner, repeats=3):
+    """Graph-domain scaling: owner-block vertex sharding + edge sharding
+    (vertex arrays and ELL accumulation tables shard by contiguous blocks
+    over the flattened mesh; see opt_tpu/parallel/mesh.py)."""
+    import opt_tpu as ot
+    from opt_tpu.models.specs import arap_mesh_deformation
+
+    N = n_side * n_side
+    ii, jj = np.meshgrid(np.arange(n_side), np.arange(n_side), indexing="ij")
+    pos = np.stack([ii.ravel(), jj.ravel(), np.zeros(N)], -1).astype(np.float32)
+    vid = np.arange(N).reshape(n_side, n_side)
+    v0 = np.concatenate([vid[:-1].ravel(), vid[:, :-1].ravel()])
+    v1 = np.concatenate([vid[1:].ravel(), vid[:, 1:].ravel()])
+    con = -1e6 * np.ones((N, 3), np.float32)
+    con[vid[0, 0]] = pos[vid[0, 0]]
+    con[vid[-1, -1]] = pos[vid[-1, -1]] + np.array([5.0, 0, 2.0], np.float32)
+    inputs = {
+        "Offset": pos.copy(),
+        "Angle": np.zeros((N, 3), np.float32),
+        "UrShape": pos,
+        "Constraints": con,
+        "G": {
+            "v0": np.concatenate([v0, v1]).astype(np.int32),
+            "v1": np.concatenate([v1, v0]).astype(np.int32),
+        },
+        "w_fitSqrt": np.float32(1.0),
+        "w_regSqrt": np.float32(0.7),
+    }
+    plan = ot.Problem(arap_mesh_deformation).plan(dims={"N": N}, mesh=mesh)
+    res = plan.solve(dict(inputs), nIterations=4, lIterations=n_inner)
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        res = plan.solve(dict(inputs), nIterations=4, lIterations=n_inner)
+        best = min(best, time.perf_counter() - t0)
+    return max(1, res.num_linear_iterations) / best, float(res.final_cost)
+
+
 def main():
     import jax
     from opt_tpu.parallel.mesh import make_mesh
@@ -53,35 +91,37 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="1,2,4,8")
     ap.add_argument("--n", type=int, default=512)
+    ap.add_argument("--graph-side", type=int, default=128)
     ap.add_argument("--inner", type=int, default=500)
     args = ap.parse_args()
 
     sizes = [int(s) for s in args.sizes.split(",")]
     devices = jax.devices()
     rows = []
-    base_rate = None
-    base_cost = None
+    base = {}
     for s in sizes:
         if s > len(devices):
             print(f"skip mesh size {s}: only {len(devices)} devices")
             continue
         mesh = make_mesh(devices[:s]) if s > 1 else None
-        rate, cost = bench_poisson(mesh, args.n, args.inner)
-        if base_rate is None:
-            base_rate, base_cost = rate, cost
-        eff = rate / (base_rate * s)
-        rows.append(
-            {
-                "devices": s,
-                "pcg_iters_per_sec": round(rate, 1),
-                "scaling_efficiency": round(eff, 3),
-                "final_cost": cost,
-            }
-        )
-        assert abs(cost - base_cost) / max(abs(base_cost), 1e-9) < 1e-3, (
-            f"sharded solve diverged from single-device cost: {cost} vs {base_cost}"
-        )
-        print(json.dumps(rows[-1]))
+        row = {"devices": s}
+        for name, fn in (
+            ("poisson", lambda m: bench_poisson(m, args.n, args.inner)),
+            ("arap", lambda m: bench_arap(m, args.graph_side, min(args.inner, 100))),
+        ):
+            rate, cost = fn(mesh)
+            if name not in base:
+                base[name] = (rate, cost)
+            brate, bcost = base[name]
+            row[f"{name}_pcg_iters_per_sec"] = round(rate, 1)
+            row[f"{name}_scaling_efficiency"] = round(rate / (brate * s), 3)
+            row[f"{name}_final_cost"] = cost
+            assert abs(cost - bcost) / max(abs(bcost), 1e-9) < 1e-3, (
+                f"{name}: sharded solve diverged from single-device cost: "
+                f"{cost} vs {bcost}"
+            )
+        rows.append(row)
+        print(json.dumps(row))
     print(json.dumps({"scaling": rows}))
 
 

@@ -73,3 +73,54 @@ def test_sharded_graph_solve():
     res = plan.solve(inputs, nIterations=15, lIterations=40)
     got = np.asarray(res.unknowns["funcParams"])[0]
     assert abs(got[0] - 100.0) < 0.3 and abs(got[1] - 102.0) < 0.3, got
+
+
+def _arap_inputs(n_side):
+    N = n_side * n_side
+    ii, jj = np.meshgrid(np.arange(n_side), np.arange(n_side), indexing="ij")
+    pos = np.stack([ii.ravel(), jj.ravel(), np.zeros(N)], -1).astype(np.float32)
+    vid = np.arange(N).reshape(n_side, n_side)
+    v0 = np.concatenate([vid[:-1].ravel(), vid[:, :-1].ravel()])
+    v1 = np.concatenate([vid[1:].ravel(), vid[:, 1:].ravel()])
+    con = -1e6 * np.ones((N, 3), np.float32)
+    con[vid[0, 0]] = pos[vid[0, 0]]
+    con[vid[-1, -1]] = pos[vid[-1, -1]] + np.array([2.0, 0, 1.0], np.float32)
+    return N, {
+        "Offset": pos.copy(),
+        "Angle": np.zeros((N, 3), np.float32),
+        "UrShape": pos,
+        "Constraints": con,
+        "G": {
+            "v0": np.concatenate([v0, v1]).astype(np.int32),
+            "v1": np.concatenate([v1, v0]).astype(np.int32),
+        },
+        "w_fitSqrt": np.float32(1.0),
+        "w_regSqrt": np.float32(0.7),
+    }
+
+
+def test_owner_block_graph_sharding_matches_single_device():
+    """Vertex arrays + ELL tables shard by owner blocks over the mesh; the
+    sharded ARAP solve must match the single-device solve and actually be
+    block-sharded (not replicated)."""
+    from opt_tpu.models.specs import arap_mesh_deformation as arap_spec
+
+    n_side = 16  # N=256, divisible by 8 devices
+    N, inputs = _arap_inputs(n_side)
+    res1 = ot.Problem(arap_spec).plan(dims={"N": N}).solve(
+        dict(inputs), nIterations=3, lIterations=20
+    )
+    mesh = make_mesh()
+    plan8 = ot.Problem(arap_spec).plan(dims={"N": N}, mesh=mesh)
+    res8 = plan8.solve(dict(inputs), nIterations=3, lIterations=20)
+    assert np.allclose(res1.final_cost, res8.final_cost, rtol=1e-4), (
+        res1.final_cost,
+        res8.final_cost,
+    )
+    assert np.allclose(
+        np.asarray(res1.unknowns["Offset"]),
+        np.asarray(res8.unknowns["Offset"]),
+        atol=1e-4,
+    )
+    shard_shapes = {s.data.shape for s in res8.unknowns["Offset"].addressable_shards}
+    assert shard_shapes == {(N // 8, 3)}, shard_shapes
