@@ -126,17 +126,28 @@ def _slot_jacobians(compiled, X, consts, graphs, params, slot_ids):
         for ch in range(compiled.registry.slots[sid].channels):
             probe_of.append((sid, ch))
 
+    # one-hot tangents as lazily-broadcast selector constants: a [n_probes,
+    # C_k] 0/1 matrix broadcast over the domain axes. Materializing dense
+    # [n_probes, *dom, C] tangents with dynamic-update-slices costs more HBM
+    # traffic than the probe evaluation itself; a broadcast is free until
+    # consumed and XLA folds it into the jvp products.
     batched_tangents = []
     for k, v in enumerate(sv):
-        t = jnp.zeros((n_probes,) + v.shape, v.dtype)
+        sel = np.zeros((n_probes, v.shape[-1]), np.float64)
         for pi, (sid, ch) in enumerate(probe_of):
             if sid == k:
-                t = t.at[(pi, Ellipsis, ch)].set(1.0)
-        batched_tangents.append(t)
+                sel[pi, ch] = 1.0
+        sel_j = jnp.asarray(sel, v.dtype).reshape(
+            (n_probes,) + (1,) * (v.ndim - 1) + (v.shape[-1],)
+        )
+        batched_tangents.append(jnp.broadcast_to(sel_j, (n_probes,) + v.shape))
 
     d_all = jax.vmap(lambda *ts: lin(list(ts)))(*batched_tangents)
     # d_all: list over terms of [n_probes, *dom, r_ch]
 
+    # ONE probe-axis transpose per term, then minor-dim slices per slot:
+    # stacking per-channel slices instead costs ~3x in relayouts
+    moved = [jnp.moveaxis(d, 0, -1) for d in d_all]  # [*dom, r_ch, n_probes]
     D = {}
     for t_idx, term in enumerate(compiled.terms):
         for sid in slot_ids:
@@ -146,8 +157,8 @@ def _slot_jacobians(compiled, X, consts, graphs, params, slot_ids):
             base = next(
                 pi for pi, (psid, pch) in enumerate(probe_of) if psid == sid
             )
-            cols = [d_all[t_idx][base + ch] for ch in range(s.channels)]
-            D[(t_idx, sid)] = jnp.stack(cols, axis=-1)  # [*dom, r_ch, C_s]
+            # [*dom, r_ch, C_s]
+            D[(t_idx, sid)] = moved[t_idx][..., base : base + s.channels]
     return D
 
 
@@ -371,18 +382,74 @@ def assemble(compiled, plan: AssemblyPlan, X, consts, graphs, params, row_masks)
         m = _graph_masks(g, u_out, k_out, u_in, k_in)
         return acc if m is None else acc * m[:, None, None]
 
-    ell_active = {
-        g: all(
-            graphs[g].get(f"__ell_inc_{k}") is not None for k in gdecl.slots
-        )
-        for g, gdecl in compiled.registry.graphs.items()
+    # ---- classify coupling coverage -----------------------------------------
+    # Every coupling runs through exactly one of three paths:
+    #   * combined within-group ELL (both slots in one vertex-space group
+    #     with combined incidence + cross tables bound): pre-summed same-slot
+    #     blocks + ONE stacked cross gather per group — the fast path.
+    #   * per-pair ELL (slots in different vertex-space groups, per-slot
+    #     tables bound): rare cross-space unknown couplings.
+    #   * scatter fallback (no tables): per-(i, j) fields + .at[].add — the
+    #     oracle path in tests.
+    from .ops.graph_ops import slot_groups
+
+    unknown_channels = {
+        u: compiled.unknown_shape(u)[-1] for u in compiled.unknown_names
     }
+
+    g_layouts = {}  # (g, group_key) -> (names, u_list, offs, Ctot)
+    _slot_of_group = {}
+    for g in sorted({ck[0] for ck in g_couplings}):
+        gdecl = compiled.registry.graphs[g]
+        for group_key, names, _n in slot_groups(gdecl, compiled.dim_sizes):
+            if graphs[g].get(group_key) is None:
+                continue
+            us = set()
+            for (gg, u_out, k_out, u_in, k_in) in g_couplings:
+                if gg != g:
+                    continue
+                if k_out in names:
+                    us.add(u_out)
+                if k_in in names:
+                    us.add(u_in)
+            if not us:
+                continue
+            u_list = sorted(us)
+            offs, o = {}, 0
+            for u in u_list:
+                offs[u] = o
+                o += unknown_channels[u]
+            g_layouts[(g, group_key)] = (names, u_list, offs, o)
+            for k in names:
+                _slot_of_group[(g, k)] = group_key
+
+    grp_cks: Dict[Tuple[str, str], list] = {}
+    pair_cks: Dict[Tuple, list] = {}
+    covered = set()
+    for ck in sorted(g_couplings):
+        g, u_out, k_out, u_in, k_in = ck
+        gk_o = _slot_of_group.get((g, k_out))
+        gk_i = _slot_of_group.get((g, k_in))
+        if gk_o is None or gk_i is None:
+            continue
+        if gk_o == gk_i:
+            if graphs[g].get("__ellx__" + gk_o[len("__inc__"):]) is None:
+                continue
+            grp_cks.setdefault((g, gk_o), []).append(ck)
+        else:
+            if (
+                graphs[g].get(f"__ell_inc_{k_out}") is None
+                or graphs[g].get(f"__ell_{k_out}__{k_in}") is None
+            ):
+                continue
+            pair_cks.setdefault((g, gk_o, gk_i, k_out, k_in), []).append(ck)
+        covered.add(ck)
 
     gfields: Dict[GKey, jnp.ndarray] = {}
     for key, contribs in plan.g_spec.items():
         g, u_out, k_out, u_in, k_in, i, j = key
-        if ell_active.get(g):
-            continue  # fast path builds whole blocks; no per-pair fields
+        if key[:5] in covered:
+            continue  # ELL paths build whole blocks; no per-pair fields
         if key[:5] in plan.scalar_groups and (i, j) != (0, 0):
             continue
         acc = None
@@ -390,10 +457,6 @@ def assemble(compiled, plan: AssemblyPlan, X, consts, graphs, params, row_masks)
             acc = B if acc is None else acc + B
         m = _graph_masks(g, u_out, k_out, u_in, k_in)
         gfields[key] = acc if m is None else acc * m
-
-    unknown_channels = {
-        u: compiled.unknown_shape(u)[-1] for u in compiled.unknown_names
-    }
 
     # Group per (u_out, u_in, Δ) / per graph coupling and pre-pack the channel
     # structure into one of two vectorized forms so the CG hot loop runs a few
@@ -482,115 +545,123 @@ def assemble(compiled, plan: AssemblyPlan, X, consts, graphs, params, row_masks)
         )
         g_packed.append((g, u_out, k_out, u_in, k_in, kind, W))
 
-    # ---- pack graph couplings into per-(slot-pair) blocks over the packed
-    # channel layout of each (graph, vertex-space) group, so the hot loop
-    # runs ONE op per slot pair (and one combined-incidence gather per group)
-    # instead of one per (u_out, u_in) coupling. Only used when the plan's
-    # graphs carry combined incidence tables (Plan._augment_incidence).
-    from .ops.graph_ops import slot_groups
+    # ---- combined within-group ELL exec -------------------------------------
+    # Per (graph, vertex-space group): ONE stacked block array over all
+    # incidence rows — position 0 holds the same-slot block P(k, k)[e],
+    # positions 1..m-1 the cross blocks P(k, rot_j(k))[e] in the rotation
+    # order of ops/graph_ops.combined_cross_table — gathered through the
+    # combined incidence table in ONE take (gather cost is per row; packing
+    # all slots and couplings into shared rows is the whole ballgame). The
+    # same-slot blocks reduce over incidences at assembly time (their
+    # p-value is p[v] for every incidence), so the CG hot loop applies a
+    # single [N, Ct, Ct] block plus one cross gather + reduction.
+    grp_exec = {}
+    for (g, gk), cks in grp_cks.items():
+        names, u_list, offs, ct = g_layouts[(g, gk)]
+        m = len(names)
+        E = graphs[g][names[0]].shape[0]
+        by_pair: Dict[Tuple[str, str], list] = {}
+        for ck in cks:
+            by_pair.setdefault((ck[2], ck[4]), []).append(ck)
 
-    def _build_graph_exec():
-        graphs_used = sorted(
-            {e[0] for e in g_packed} | {ck[0] for ck in g_couplings if ell_active.get(ck[0])}
+        def _build_P(ko, ki, _offs=offs, _ct=ct, _E=E, _bp=by_pair):
+            parts = _bp.get((ko, ki))
+            if parts is None:
+                return None
+            acc = jnp.zeros((_E, _ct, _ct), dt)
+            for ck in parts:
+                _, u_out, _, u_in, _ = ck
+                oo, oi = _offs[u_out], _offs[u_in]
+                co, ci = unknown_channels[u_out], unknown_channels[u_in]
+                acc = acc.at[:, oo : oo + co, oi : oi + ci].add(
+                    _coupling_block(ck)
+                )
+            return acc
+
+        P = {}
+        for a in range(m):
+            for b in range(a, m):
+                ko, ki = names[a], names[b]
+                blk = _build_P(ko, ki)
+                if blk is not None:
+                    P[(ko, ki)] = blk
+                    if a != b:
+                        # JᵀJ symmetry: P(ki, ko)[e] = P(ko, ki)[e]ᵀ exactly
+                        # (products commute elementwise; masks are per
+                        # (unknown, vertex) so the product is symmetric too)
+                        P[(ki, ko)] = jnp.swapaxes(blk, -1, -2)
+                elif a != b:
+                    blk_t = _build_P(ki, ko)
+                    if blk_t is not None:
+                        P[(ki, ko)] = blk_t
+                        P[(ko, ki)] = jnp.swapaxes(blk_t, -1, -2)
+
+        has_cross = any(k1 != k2 for (k1, k2) in P)
+        n_stack = m if has_cross else 1
+        # stacked rows are stored FLAT ([rows, n_stack*ct*ct], one large
+        # minor dim) — trailing [.., ct, ct] block dims tile terribly on TPU
+        # (lane padding), measured ~1.5x slower in both the permute gather
+        # and the CG-loop reads; the block shape reappears only inside the
+        # fused consumer reductions.
+        zero = jnp.zeros((E, ct, ct), dt)
+        rows = []
+        for a, k in enumerate(names):
+            cols = [P.get((k, k), zero)]
+            for j in range(n_stack - 1):
+                cols.append(P.get((k, names[(a + 1 + j) % m]), zero))
+            rows.append(
+                jnp.concatenate(
+                    [c.reshape(E, ct * ct) for c in cols], axis=-1
+                )
+            )  # [E, n_stack*ct*ct]
+        W_grp = jnp.concatenate(
+            rows + [jnp.zeros((1, n_stack * ct * ct), dt)], axis=0
+        )  # [m*E + 1, ...]; the inc sentinel (m*E) reads the zero row
+        inc = graphs[g][gk]
+        n_out, d_tot = inc.shape
+        G = jnp.take(W_grp, inc.reshape(-1), axis=0).reshape(
+            (n_out, d_tot, n_stack * ct * ct)
         )
-        layouts = {}  # (g, group_key) -> (names, u_list, offs, Ctot)
-        slot_of_group = {}  # (g, slot name) -> group_key
-        for g in graphs_used:
-            gdecl = compiled.registry.graphs[g]
-            for group_key, names, _n in slot_groups(gdecl, compiled.dim_sizes):
-                if graphs[g].get(group_key) is None:
-                    continue
-                us = set()
-                for (gg, u_out, k_out, u_in, k_in) in g_couplings:
-                    if gg != g:
-                        continue
-                    if k_out in names:
-                        us.add(u_out)
-                    if k_in in names:
-                        us.add(u_in)
-                if not us:
-                    continue
-                u_list = sorted(us)
-                offs, o = {}, 0
-                for u in u_list:
-                    offs[u] = o
-                    o += unknown_channels[u]
-                layouts[(g, group_key)] = (names, u_list, offs, o)
-                for k in names:
-                    slot_of_group[(g, k)] = group_key
-
-        # pair blocks straight from the coupling blocks (ELL-active graphs):
-        # one masked [E, C_out, C_in] sum per coupling, one placement per
-        # coupling — no per-channel-pair fields or DUS chains.
-        pair: Dict[Tuple, Tuple[str, jnp.ndarray]] = {}
-        pair_parts: Dict[Tuple, list] = {}
-        for ck in sorted(g_couplings):
-            g, u_out, k_out, u_in, k_in = ck
-            if not ell_active.get(g):
-                continue
-            gk_out = slot_of_group.get((g, k_out))
-            gk_in = slot_of_group.get((g, k_in))
-            if gk_out is None or gk_in is None:
-                continue
-            key = (g, gk_out, gk_in, k_out, k_in)
-            pair_parts.setdefault(key, []).append(ck)
-        for key, cks in pair_parts.items():
-            g, gk_out, gk_in, k_out, k_in = key
-            E = graphs[g][k_out].shape[0]
-            _, _, offs_o, ct_o = layouts[(g, gk_out)]
-            _, _, offs_i, ct_i = layouts[(g, gk_in)]
-            all_diag = gk_out == gk_in and all(
-                g_couplings[ck][1] for ck in cks
+        S_sum = jnp.sum(G[:, :, : ct * ct], axis=1).reshape(n_out, ct, ct)
+        if has_cross:
+            # output-channel-major layout [N, i, D*(m-1)*k]: the CG-loop
+            # cross apply becomes ONE broadcast-multiply with a single
+            # minor-axis (lane) reduction — reductions over scattered middle
+            # axes measured ~30% slower per iteration
+            Cb = G[:, :, ct * ct :].reshape(n_out, d_tot, m - 1, ct, ct)
+            C_ell = jnp.transpose(Cb, (0, 3, 1, 2, 4)).reshape(
+                n_out, ct, d_tot * (m - 1) * ct
             )
-            if all_diag:
-                Wd = jnp.zeros((E, ct_o), dt)
-                for ck in cks:
-                    _, u_out, _, _, _ = ck
-                    oo = offs_o[u_out]
-                    co = unknown_channels[u_out]
-                    cb = _coupling_block(ck)  # [E, C, C], diagonal structure
-                    Wd = Wd.at[:, oo : oo + co].add(
-                        jnp.diagonal(cb, axis1=-2, axis2=-1)
-                    )
-                pair[key] = ("diag", Wd)
-            else:
-                Wb = jnp.zeros((E, ct_o, ct_i), dt)
-                for ck in cks:
-                    _, u_out, _, u_in, _ = ck
-                    oo, oi = offs_o[u_out], offs_i[u_in]
-                    co, ci = unknown_channels[u_out], unknown_channels[u_in]
-                    Wb = Wb.at[:, oo : oo + co, oi : oi + ci].add(
-                        _coupling_block(ck)
-                    )
-                pair[key] = ("block", Wb)
+            cross = graphs[g]["__ellx__" + gk[len("__inc__"):]]
+        else:
+            C_ell, cross = None, None
+        grp_exec[(g, gk)] = (S_sum, C_ell, cross, ct)
 
-        # couplings without tables fall back to the scatter path
-        unhandled = list(g_packed)
+    # ---- cross-group per-pair ELL exec (unknowns in different vertex
+    # spaces coupled through one hyperedge) ------------------------------------
+    pair_exec = {}
+    for key, cks in pair_cks.items():
+        g, gk_out, gk_in, k_out, k_in = key
+        E = graphs[g][k_out].shape[0]
+        _, _, offs_o, ct_o = g_layouts[(g, gk_out)]
+        _, _, offs_i, ct_i = g_layouts[(g, gk_in)]
+        Wb = jnp.zeros((E, ct_o, ct_i), dt)
+        for ck in cks:
+            _, u_out, _, u_in, _ = ck
+            oo, oi = offs_o[u_out], offs_i[u_in]
+            co, ci = unknown_channels[u_out], unknown_channels[u_in]
+            Wb = Wb.at[:, oo : oo + co, oi : oi + ci].add(_coupling_block(ck))
+        inc = graphs[g][f"__ell_inc_{k_out}"]  # [N_out, D] edge ids, sentinel E
+        W_ext = jnp.concatenate([Wb, jnp.zeros((1, ct_o, ct_i), dt)], axis=0)
+        n_out, d_max = inc.shape
+        W_ell = jnp.take(
+            W_ext, jnp.minimum(inc, E).reshape(-1), axis=0
+        ).reshape((n_out, d_max, ct_o, ct_i))
+        ell = graphs[g][f"__ell_{k_out}__{k_in}"]  # [N_out, D] vertex ids
+        pair_exec[key] = (W_ell, ell)
 
-        # convert pair blocks from edge rows to ELL layout [N, D, ...] once
-        # per nonlinear iteration: the CG loop then accumulates by plain
-        # reduction over d (no HBM-source output gather), and same-slot pairs
-        # read p[v] directly (idx_k[inc_k[v, d]] == v) — only cross-slot
-        # pairs gather, from the small packed vertex array.
-        ell_exec = {}
-        for (g, gk_out, gk_in, k_out, k_in), (kind, W) in pair.items():
-            inc = graphs[g][f"__ell_inc_{k_out}"]  # [N, D] edge ids, sentinel E
-            E = graphs[g][k_out].shape[0]
-            W_ext = jnp.concatenate(
-                [W, jnp.zeros((1,) + W.shape[1:], dt)], axis=0
-            )
-            n_out, d_max = inc.shape
-            W_ell = jnp.take(W_ext, jnp.minimum(inc, E).reshape(-1), axis=0)
-            W_ell = W_ell.reshape((n_out, d_max) + W.shape[1:])
-            ell = (
-                None
-                if k_out == k_in
-                else graphs[g][f"__ell_{k_out}__{k_in}"]  # [N, D] vertex ids
-            )
-            ell_exec[(g, gk_out, gk_in, k_out, k_in)] = (kind, W_ell, ell)
-        return layouts, ell_exec, unhandled
-
-    g_layouts, g_ell_exec, g_unhandled = _build_graph_exec()
+    # couplings without tables fall back to the scatter path
+    g_unhandled = list(g_packed)
 
     def apply_fn(p):
         out = {u: None for u in unknown_channels}
@@ -641,39 +712,48 @@ def assemble(compiled, plan: AssemblyPlan, X, consts, graphs, params, row_masks)
                 sl = acc[..., offs[u] : offs[u] + unknown_channels[u]]
                 out[u] = sl if out[u] is None else out[u] + sl
 
-        # graph fast path (ELL): channel-packed p per (graph, vertex-space)
-        # group; same-slot pairs broadcast p[v] (no gather), cross-slot pairs
-        # gather from the small packed vertex array; accumulation is a plain
-        # reduction over the padded incidence axis — no HBM-source output
-        # gather and no scatter (see ops/graph_ops.py ell_tables).
+        # graph fast path: channel-packed p per (graph, vertex-space) group;
+        # pre-summed same-slot blocks apply as one [N, Ct, Ct]·p[v] product
+        # (no gather at all); cross couplings gather p once through the
+        # combined cross table and reduce over the padded incidence axis —
+        # no HBM-source output gather and no scatter.
         packed_p = {}
         for (g, gk), (names, u_list, offs, ctot) in g_layouts.items():
-            packed_p[(g, gk)] = jnp.concatenate([p[u] for u in u_list], axis=-1)
+            packed_p[(g, gk)] = (
+                jnp.concatenate([p[u] for u in u_list], axis=-1)
+                if len(u_list) > 1
+                else p[u_list[0]]
+            )
 
         group_acc: Dict[Tuple[str, str], jnp.ndarray] = {}
-        pg_cache = {}
-        for (g, gk_out, gk_in, k_out, k_in), (kind, W_ell, ell) in g_ell_exec.items():
+        for (g, gk), (S_sum, C_ell, cross, ct) in grp_exec.items():
+            pp = packed_p[(g, gk)]
+            # [N, i, k] · [N, 1, k]: broadcast-mul + one minor-axis reduce
+            contrib = jnp.sum(S_sum * pp[:, None, :], axis=-1)  # [N, Ct]
+            if C_ell is not None:
+                pp_ext = jnp.concatenate(
+                    [pp, jnp.zeros((1, pp.shape[-1]), dt)], axis=0
+                )
+                n_out = cross.shape[0]
+                pc = jnp.take(pp_ext, cross.reshape(-1), axis=0).reshape(
+                    (n_out, 1, C_ell.shape[-1])
+                )  # [N, 1, D*(m-1)*k] in (d, j, k) order, matching C_ell
+                contrib = contrib + jnp.sum(C_ell * pc, axis=-1)
+            key_a = (g, gk)
+            cur = group_acc.get(key_a)
+            group_acc[key_a] = contrib if cur is None else cur + contrib
+
+        for key, (W_ell, ell) in pair_exec.items():
+            g, gk_out, gk_in, k_out, k_in = key
             pp = packed_p[(g, gk_in)]
-            if ell is None:
-                pg = pp[:, None, :]  # [N, 1->D, Ct] broadcast: same-slot pair
-            else:
-                key_g = (g, k_out, k_in)
-                pg = pg_cache.get(key_g)
-                if pg is None:
-                    pp_ext = jnp.concatenate(
-                        [pp, jnp.zeros((1, pp.shape[-1]), dt)], axis=0
-                    )
-                    n_out, d_max = ell.shape
-                    pg = jnp.take(pp_ext, ell.reshape(-1), axis=0).reshape(
-                        n_out, d_max, pp.shape[-1]
-                    )
-                    pg_cache[key_g] = pg
-            if kind == "diag":
-                contrib = jnp.sum(W_ell * pg, axis=1)  # [N, Ct]
-            elif ell is None:
-                contrib = jnp.einsum("vdij,vj->vi", W_ell, pp)
-            else:
-                contrib = jnp.einsum("vdij,vdj->vi", W_ell, pg)
+            pp_ext = jnp.concatenate(
+                [pp, jnp.zeros((1, pp.shape[-1]), dt)], axis=0
+            )
+            n_out, d_max = ell.shape
+            pg = jnp.take(pp_ext, ell.reshape(-1), axis=0).reshape(
+                (n_out, d_max, pp.shape[-1])
+            )
+            contrib = jnp.einsum("vdik,vdk->vi", W_ell, pg)
             key_a = (g, gk_out)
             cur = group_acc.get(key_a)
             group_acc[key_a] = contrib if cur is None else cur + contrib
@@ -804,25 +884,17 @@ def assemble(compiled, plan: AssemblyPlan, X, consts, graphs, params, row_masks)
             f = fields.get((u, u, zero, i, i))
             cols.append(f if f is not None else jnp.zeros(sp, dt))
         diag[u] = jnp.stack(cols, axis=-1)
-    # graph part of the diagonal: read off the same-slot ELL blocks by a
-    # plain reduction (no scatters); scatter fallback only for couplings the
-    # ELL path does not cover.
-    ell_diag_covered = set()
-    for (g, gk_out, gk_in, k_out, k_in), (kind, W_ell, ell) in g_ell_exec.items():
-        if k_out != k_in:
-            continue
-        if kind == "diag":
-            dcontrib = jnp.sum(W_ell, axis=1)  # [N, Ct]
-        else:
-            dcontrib = jnp.sum(
-                jnp.diagonal(W_ell, axis1=-2, axis2=-1), axis=1
-            )  # [N, Ct]
-        _names, u_list, offs, _ct = g_layouts[(g, gk_out)]
+    # graph part of the diagonal: the pre-summed same-slot blocks already
+    # hold Σ_incidences P(k,k)[e] per vertex — the Jacobi diagonal is their
+    # diagonal, no scatters; scatter fallback only for couplings no ELL
+    # path covers (those have per-pair gfields).
+    for (g, gk), (S_sum, _C, _x, _ct) in grp_exec.items():
+        dcontrib = jnp.diagonal(S_sum, axis1=-2, axis2=-1)  # [N, Ct]
+        _names, u_list, offs, _ct = g_layouts[(g, gk)]
         for u in u_list:
             diag[u] = diag[u] + dcontrib[:, offs[u] : offs[u] + unknown_channels[u]]
-            ell_diag_covered.add((g, u, k_out))
     for (g, u_out, k_out, u_in, k_in, i, j), field in gfields.items():
-        if u_out == u_in and k_out == k_in and (g, u_out, k_out) not in ell_diag_covered:
+        if u_out == u_in and k_out == k_in:
             if (g, u_out, k_out, u_in, k_in) in plan.scalar_groups:
                 # one field, broadcast over all channels
                 diag[u_out] = diag[u_out].at[graphs[g][k_out], :].add(

@@ -81,6 +81,36 @@ def combined_incidence_table(idx_list, num_vertices: int):
     return table
 
 
+def combined_cross_table(idx_list, num_vertices: int, inc=None):
+    """[N, D_tot, m-1] cross-endpoint vertex ids for the combined-incidence
+    table over m same-space slots: where ``inc[v, d]`` holds slot k's edge e
+    (row k*E+e), entry ``j`` is ``idx_{(k+1+j) mod m}[e]`` — the vertices
+    whose p-values feed the cross coupling blocks, in fixed rotation order
+    (the stacked block array uses the same rotation). Sentinel entries map
+    to ``num_vertices`` (a zero row in the extended p array).
+
+    One gather through this table replaces the m·(m-1) per-ordered-slot-pair
+    ELL gathers: gather cost on TPU is per row, so packing all cross
+    endpoints of a vertex's incidences into shared rows is the win.
+    """
+    import numpy as np
+
+    m = len(idx_list)
+    if inc is None:
+        inc = combined_incidence_table(idx_list, num_vertices)
+    if m == 1:
+        return np.zeros(inc.shape + (0,), np.int32)
+    E = idx_list[0].shape[0]
+    idx_arr = np.stack([np.asarray(i) for i in idx_list])  # [m, E]
+    k = inc // E  # sentinel (m*E) -> m
+    e = inc % E
+    out = np.empty(inc.shape + (m - 1,), np.int32)
+    for j in range(m - 1):
+        kk = (k + 1 + j) % m
+        out[:, :, j] = np.where(k >= m, num_vertices, idx_arr[kk, e])
+    return out
+
+
 def ell_tables(idx_by_slot, num_vertices_by_slot):
     """ELL-format tables for gather-only JᵀJ application.
 

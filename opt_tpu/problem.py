@@ -132,7 +132,12 @@ class Plan:
         unknown channels pack into the same rows). Cached by index data."""
         import hashlib
 
-        from .ops.graph_ops import combined_incidence_table, ell_tables, slot_groups
+        from .ops.graph_ops import (
+            combined_cross_table,
+            combined_incidence_table,
+            ell_tables,
+            slot_groups,
+        )
 
         if not graphs:
             return graphs
@@ -157,12 +162,22 @@ class Plan:
             cached = self._inc_cache.get(ckey)
             if cached is None:
                 cached = {}
-                # combined per-(vertex-space) tables (used by the JᵀF path)
+                # combined per-(vertex-space) tables: the incidence table
+                # (JᵀF path + JᵀJ accumulation) and the cross-endpoint
+                # vertex table (JᵀJ cross-coupling p reads)
                 for group_key, names, n in slot_groups(
                     gdecl, self.compiled.dim_sizes
                 ):
-                    cached[group_key] = jnp.asarray(
-                        combined_incidence_table([idxs[s] for s in names], n)
+                    inc = combined_incidence_table(
+                        [idxs[s] for s in names], n
+                    )
+                    cached[group_key] = jnp.asarray(inc)
+                    cached["__ellx__" + group_key[len("__inc__"):]] = (
+                        jnp.asarray(
+                            combined_cross_table(
+                                [idxs[s] for s in names], n, inc=inc
+                            )
+                        )
                     )
                 # ELL tables for the gather-only JᵀJ apply
                 nvert = {
