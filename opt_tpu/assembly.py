@@ -304,10 +304,11 @@ def plan_assembly(
 def assemble(compiled, plan: AssemblyPlan, X, consts, graphs, params, row_masks):
     """Assemble the coefficient fields at linearization point X.
 
-    Returns (apply_fn, diag, jtf_fn): the row/column-masked JᵀJ·p operator,
-    the (row-masked) Jacobi diagonal — read off the Δ=0 (i, i) fields and the
-    same-endpoint graph fields, so the separate diagonal probe pass is
-    unnecessary — and a JᵀF evaluator over residual term arrays.
+    Returns (apply_fn, diag, jtf_fn, cg_meta): the row/column-masked JᵀJ·p
+    operator, the (row-masked) Jacobi diagonal — read off the Δ=0 (i, i)
+    fields and the same-endpoint graph fields, so the separate diagonal
+    probe pass is unnecessary — a JᵀF evaluator over residual term arrays,
+    and the fused-Pallas-CG descriptor (ops/pallas_cg.py) or None.
     """
     D = _slot_jacobians(compiled, X, consts, graphs, params, plan.needed_slots)
     slots = compiled.registry.slots
@@ -902,7 +903,16 @@ def assemble(compiled, plan: AssemblyPlan, X, consts, graphs, params, row_masks)
                 )
             elif i == j:
                 diag[u_out] = diag[u_out].at[graphs[g][k_out], i].add(field)
-    return apply_fn, diag, jtf_fn
+
+    # fused-CG eligibility: hand the raw packed stencil fields to the Pallas
+    # whole-solve kernel when the operator is a pure scalar-coupling 2-D
+    # stencil (ops/pallas_cg.py); None otherwise.
+    from .ops.pallas_cg import plan_fused_grid_cg
+
+    cg_meta = plan_fused_grid_cg(
+        compiled, w_packed, grp_exec, pair_exec, g_unhandled
+    )
+    return apply_fn, diag, jtf_fn, cg_meta
 
 
 # Backwards-compatible name (earlier revisions assembled stencils only).

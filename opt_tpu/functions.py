@@ -199,10 +199,11 @@ class FunctionSet:
 
     # -- assembled gather-form JᵀJ (see assembly.py) ---------------------------
     def assemble_stencil(self, X, plan):
-        """(apply_fn, diag, jtf_fn): row/column-masked JᵀJ·p in assembled
-        gather form, the Jacobi diagonal read off the Δ=0 fields, and a JᵀF
-        evaluator. The TPU equivalent of the reference's fused
-        createjtjcentered/createjtjgraph/evalJTF kernels (o.t:2029-2172)."""
+        """(apply_fn, diag, jtf_fn, cg_meta): row/column-masked JᵀJ·p in
+        assembled gather form, the Jacobi diagonal read off the Δ=0 fields,
+        a JᵀF evaluator, and the fused-Pallas-CG descriptor (or None). The
+        TPU equivalent of the reference's fused createjtjcentered/
+        createjtjgraph/evalJTF kernels (o.t:2029-2172)."""
         from .assembly import assemble
 
         _, row_masks = self.masks(X)

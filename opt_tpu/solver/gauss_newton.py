@@ -92,6 +92,21 @@ class GaussNewtonSolver:
                 )
             except Exception as e:  # pragma: no cover - spec-dependent
                 log_solver(f"fused JtJ assembly disabled ({e!r})")
+        mode = getattr(self.ip, "use_pallas_cg", "auto")
+        if mode in (True, "on"):
+            self._pallas_mode = "compiled"
+        elif mode == "interpret":
+            self._pallas_mode = "interpret"
+        elif mode in (False, "off", None):
+            self._pallas_mode = None
+        else:  # "auto": compiled kernels on TPU backends only
+            self._pallas_mode = (
+                "compiled"
+                if jax.default_backend() in ("tpu", "axon")
+                else None
+            )
+        if self.rules is not None:
+            self._pallas_mode = None  # sharded solves stay on the XLA path
         self._step_jit = jax.jit(self._step, donate_argnums=(0,))
         self._init_jit = jax.jit(self._init_state)
         self._sp_cache = {}
@@ -184,9 +199,12 @@ class GaussNewtonSolver:
 
     def _gn_step(self, state, fs: FunctionSet, sp):
         X = self._constrain(state["X"])
+        cg_meta = None
         if self._stencil_plan is not None:
             r_terms, J, _JT, _ = self._prepare(X, fs, need_jtf=False)
-            A, diag_asm, jtf_fn = fs.assemble_stencil(X, self._stencil_plan)
+            A, diag_asm, jtf_fn, cg_meta = fs.assemble_stencil(
+                X, self._stencil_plan
+            )
             r0 = {k: -v for k, v in jtf_fn(r_terms).items()}
         else:
             r_terms, J, JT, r0 = self._prepare(X, fs)
@@ -196,6 +214,30 @@ class GaussNewtonSolver:
         else:
             pre_raw = {k: jnp.ones_like(v) for k, v in r0.items()}
         pre = fs.mask_rows(self._guarded_invert(pre_raw))
+
+        if cg_meta is not None and self._pallas_mode is not None:
+            # whole-inner-loop fused Pallas kernel (ops/pallas_cg.py):
+            # identical algebra and exits to the while_loop below
+            from ..ops.pallas_cg import fused_grid_cg
+
+            delta, l_done = fused_grid_cg(
+                cg_meta,
+                r0,
+                pre,
+                sp["lIterations"],
+                sp["cg_rz_tolerance"],
+                guard_div=self.ip.guard_division_by_zero,
+                interpret=self._pallas_mode == "interpret",
+            )
+            X_new = {k: X[k] + delta[k] for k in X}
+            new_cost = fs.cost(X_new)
+            return {
+                **state,
+                "X": X_new,
+                "prev_cost": new_cost.astype(state["prev_cost"].dtype),
+                "n_iter": state["n_iter"] + 1,
+                "lin_iters": state["lin_iters"] + l_done,
+            }
 
         p0 = _mul(pre, r0)
         rz0 = tree_dot(r0, p0)
@@ -241,7 +283,9 @@ class GaussNewtonSolver:
         radius = state["trust_region_radius"].astype(dt)
         if self._stencil_plan is not None:
             r_terms, J, _JT, _ = self._prepare(X, fs, need_jtf=False)
-            A_base, diag, jtf_fn = fs.assemble_stencil(X, self._stencil_plan)
+            A_base, diag, jtf_fn, _cg_meta = fs.assemble_stencil(
+                X, self._stencil_plan
+            )
             r0 = {k: -v for k, v in jtf_fn(r_terms).items()}
         else:
             r_terms, J, JT, r0 = self._prepare(X, fs)

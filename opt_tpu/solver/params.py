@@ -41,6 +41,12 @@ class InitializationParameters:
     # the coefficient fields would exceed the memory budget.
     use_fused_jtj: bool = True
     fused_jtj_memory_limit_bytes: int = 1 << 31
+    # Fused multi-iteration CG as one Pallas kernel for VMEM-sized 2-D grid
+    # problems with channel-identical stencil couplings (ops/pallas_cg.py).
+    # "auto": enabled on TPU backends when the assembled operator qualifies;
+    # True/False force it on/off; "interpret" runs the kernel in Pallas
+    # interpret mode (any backend — used by tests for CPU parity).
+    use_pallas_cg: Any = "auto"
 
 
 # Runtime-settable parameters (solverGPUGaussNewton.t:26-39). `nIterations`

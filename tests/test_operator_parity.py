@@ -100,7 +100,7 @@ def test_assembled_jtj_matches_dense(name):
     fs, unknowns, names, unflatten, flatten, J, colmask = _dense(plan, inputs)
     Jm = J * colmask[None, :]
     _, row_masks = fs._mask_cache
-    apply_fn, diag, jtf_fn = assemble(
+    apply_fn, diag, jtf_fn, _meta = assemble(
         c, spec_plan, unknowns, fs.consts, fs.graphs, fs.params, row_masks
     )
 
@@ -181,12 +181,12 @@ def test_incidence_gather_matches_scatter(name):
     rng = np.random.RandomState(3)
     p = {k: jnp.asarray(rng.rand(*v.shape), v.dtype) for k, v in unknowns.items()}
 
-    apply_scatter, diag_s, jtf_s = assemble(
+    apply_scatter, diag_s, jtf_s, _m1 = assemble(
         c, spec_plan, unknowns, consts, graphs, params, row_masks
     )
     g2 = plan._augment_incidence(graphs)
     assert any("__inc__" in k for slots in g2.values() for k in slots)
-    apply_gather, diag_g, jtf_g = assemble(
+    apply_gather, diag_g, jtf_g, _m2 = assemble(
         c, spec_plan, unknowns, consts, g2, params, row_masks
     )
 
@@ -265,7 +265,7 @@ def test_graph_problem_with_exclusion_masks():
     _, row_masks = fs._mask_cache
     spec_plan = plan_assembly(spec, c)
     g2 = plan._augment_incidence(fs.graphs)
-    apply_fn, diag, jtf_fn = assemble(
+    apply_fn, diag, jtf_fn, _meta = assemble(
         c, spec_plan, unknowns, fs.consts, g2, fs.params, row_masks
     )
 

@@ -1,0 +1,90 @@
+"""Fused Pallas CG kernel parity (ops/pallas_cg.py).
+
+Runs the kernel in Pallas interpret mode on CPU and checks the whole solve
+matches the XLA while_loop path — same final cost, same unknowns, and that
+the kernel actually activated (the plan qualifies) where expected.
+"""
+
+import numpy as np
+
+import opt_tpu as ot
+from opt_tpu.models.specs import poisson_image_editing
+from opt_tpu.solver.params import InitializationParameters
+
+
+def _poisson_inputs(n):
+    rng = np.random.RandomState(0)
+    mask = np.ones((n, n), np.float32)
+    mask[n // 4 : -n // 4, n // 4 : -n // 4] = 0.0
+    return {
+        "X": rng.rand(n, n, 4).astype(np.float32),
+        "T": rng.rand(n, n, 4).astype(np.float32),
+        "M": mask,
+    }
+
+
+def test_fused_pallas_cg_matches_xla_loop():
+    n = 32
+    inputs = _poisson_inputs(n)
+    base = ot.Problem(poisson_image_editing).plan(dims={"W": n, "H": n})
+    res_xla = base.solve(dict(inputs), nIterations=1, lIterations=120)
+
+    plan_p = ot.Problem(poisson_image_editing).plan(
+        dims={"W": n, "H": n},
+        init_params=InitializationParameters(use_pallas_cg="interpret"),
+    )
+    # the qualifying check: poisson (single 2-D unknown, scalar couplings)
+    # must activate the kernel
+    assert plan_p.solver._pallas_mode == "interpret"
+    res_pal = plan_p.solve(dict(inputs), nIterations=1, lIterations=120)
+
+    assert np.allclose(res_xla.final_cost, res_pal.final_cost, rtol=1e-4), (
+        res_xla.final_cost,
+        res_pal.final_cost,
+    )
+    assert np.allclose(
+        np.asarray(res_xla.unknowns["X"]),
+        np.asarray(res_pal.unknowns["X"]),
+        atol=2e-3,
+    )
+    # iteration accounting flows through the kernel's SMEM output
+    assert res_pal.num_linear_iterations > 10
+
+
+def test_pallas_auto_mode_stays_off_on_cpu():
+    n = 16
+    plan = ot.Problem(poisson_image_editing).plan(dims={"W": n, "H": n})
+    assert plan.solver._pallas_mode is None  # tests force the CPU backend
+
+
+def test_pallas_not_planned_for_graph_problems():
+    """Graph problems must not produce a fused-CG descriptor."""
+    from opt_tpu.models.specs import arap_mesh_deformation
+
+    n_side = 6
+    N = n_side * n_side
+    ii, jj = np.meshgrid(np.arange(n_side), np.arange(n_side), indexing="ij")
+    pos = np.stack([ii.ravel(), jj.ravel(), np.zeros(N)], -1).astype(np.float32)
+    vid = np.arange(N).reshape(n_side, n_side)
+    v0 = np.concatenate([vid[:-1].ravel(), vid[:, :-1].ravel()])
+    v1 = np.concatenate([vid[1:].ravel(), vid[:, 1:].ravel()])
+    con = -1e6 * np.ones((N, 3), np.float32)
+    con[0] = pos[0]
+    inputs = {
+        "Offset": pos.copy(),
+        "Angle": np.zeros((N, 3), np.float32),
+        "UrShape": pos,
+        "Constraints": con,
+        "G": {
+            "v0": np.concatenate([v0, v1]).astype(np.int32),
+            "v1": np.concatenate([v1, v0]).astype(np.int32),
+        },
+        "w_fitSqrt": np.float32(1.0),
+        "w_regSqrt": np.float32(0.7),
+    }
+    plan = ot.Problem(arap_mesh_deformation).plan(
+        dims={"N": N},
+        init_params=InitializationParameters(use_pallas_cg="interpret"),
+    )
+    res = plan.solve(dict(inputs), nIterations=2, lIterations=10)
+    assert np.isfinite(res.final_cost)
