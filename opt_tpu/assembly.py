@@ -904,13 +904,13 @@ def assemble(compiled, plan: AssemblyPlan, X, consts, graphs, params, row_masks)
             elif i == j:
                 diag[u_out] = diag[u_out].at[graphs[g][k_out], i].add(field)
 
-    # fused-CG eligibility: hand the raw packed stencil fields to the Pallas
-    # whole-solve kernel when the operator is a pure scalar-coupling 2-D
-    # stencil (ops/pallas_cg.py); None otherwise.
+    # fused-CG eligibility: hand the masked per-channel-pair stencil fields
+    # to the Pallas whole-solve kernel when the operator is a pure 2-D
+    # stencil over one index space (ops/pallas_cg.py); None otherwise.
     from .ops.pallas_cg import plan_fused_grid_cg
 
     cg_meta = plan_fused_grid_cg(
-        compiled, w_packed, grp_exec, pair_exec, g_unhandled
+        compiled, plan, fields, w_layouts, grp_exec, pair_exec, g_unhandled
     )
     return apply_fn, diag, jtf_fn, cg_meta
 

@@ -3,12 +3,12 @@
 The XLA formulation of the CG inner loop (solver/gauss_newton.py) already
 keeps state VMEM-resident across ``lax.while_loop`` iterations, but every
 iteration still round-trips the loop carry through the XLA while-loop
-machinery op by op. For grid problems whose whole working set fits in VMEM
-— the reference's flagship poisson_image_editing class: one 2-D unknown
-image, channel-identical ("scalar") stencil couplings — the entire PCG
-solve can instead run as a single Pallas kernel: weights, residual, search
-direction and iterate never leave VMEM, the K stencil shifts are register
-rolls, and the two CG dot products are in-kernel reductions.
+machinery op by op. For 2-D grid problems whose whole working set fits in
+VMEM — the reference's flagship poisson_image_editing and image_warping
+classes — the entire PCG solve can instead run as a single Pallas kernel:
+weights, residual, search direction and iterate never leave VMEM, the
+stencil shifts are register rolls, and the two CG dot products are
+in-kernel reductions.
 
 This is the hand-written analogue of the reference's fused PCGStep1/2/3
 CUDA kernels (solverGPUGaussNewton.t:421-550) taken one step further: the
@@ -16,27 +16,34 @@ reference fuses one linear iteration per launch; here ALL linear
 iterations (with the same rᵀz-floor early exit as the XLA path) are one
 launch.
 
+The operator is expressed as per-channel-pair triples over the packed
+unknown channels: (JᵀJ·p)[q, i] = Σ_t F_t[q] · p[q + Δ_t, j_t] for triples
+t = (Δ, i, j, field) derived from the assembled per-(i, j) coefficient
+fields (assembly.py) — mixed unknowns on one index space pack their
+channels exactly as the XLA path does.
+
 Correctness notes
 -----------------
 * Shifts use circular rolls. ``shift(p, Δ)`` (ops/shift.py) is zero-padded;
   the kernel folds the in-bounds mask of each offset into its weight field
-  at setup (W'_Δ = W_Δ · M_Δ), which makes roll and zero-padded shift give
+  at setup (F' = F · M_Δ), which makes roll and zero-padded shift give
   bit-equal products: wherever the roll wraps, the weight is exactly zero.
 * State is channel-major [C, H, W] inside the kernel so the minor two dims
   are the large spatial dims (trailing [.., C] lane-pads at small C).
 * The iteration algebra matches GaussNewtonSolver._gn_step body exactly
   (same guarded divisions, same break conditions), so final costs agree
   with the XLA loop to reduction-ordering roundoff.
+* The loop carry lives on Mosaic's scoped-VMEM stack; the kernel raises
+  ``CompilerParams.vmem_limit_bytes`` past the 16 MiB default.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 # conservative single-core VMEM working-set budget (v5e/v5p have 128 MiB;
 # leave headroom for Mosaic temporaries and double-buffering)
@@ -59,7 +66,7 @@ def _roll(x, s: int, axis: int, interpret: bool):
 
 
 def _kernel(
-    W_ref,
+    F_ref,
     b_ref,
     pre_ref,
     lits_ref,
@@ -67,29 +74,36 @@ def _kernel(
     delta_ref,
     iters_ref,
     *,
-    deltas: Tuple[Tuple[int, int], ...],
+    triples: Tuple[Tuple[Tuple[int, int], int, int, int], ...],
+    n_channels: int,
     guard_div: bool,
     interpret: bool,
 ):
-    W = W_ref[...]  # [K, H, W] masked scalar weight fields
-    b = b_ref[...]  # [C, H, W] = -JᵀF
+    F = F_ref[...]  # [T, H, W] masked per-channel-pair weight fields
+    b = b_ref[...]  # [C, H, W] = -JᵀF, packed channels
     pre = pre_ref[...]  # [C, H, W] guarded-inverted preconditioner
 
     H, Wd = b.shape[1], b.shape[2]
 
     def apply(p):
-        # (JᵀJ p)[q] = Σ_Δ W'_Δ[q] · p[q+Δ]; roll is exact because the
-        # in-bounds masks are folded into W' (see module docstring)
-        acc = None
-        for k, (dy, dx) in enumerate(deltas):
-            pk = p
-            if dy % H:
-                pk = _roll(pk, (-dy) % H, 1, interpret)
-            if dx % Wd:
-                pk = _roll(pk, (-dx) % Wd, 2, interpret)
-            t = W[k][None, :, :] * pk
-            acc = t if acc is None else acc + t
-        return acc
+        # (JᵀJ p)[q, i] = Σ_t F_t[q] · p[q+Δ_t, j_t]; roll is exact because
+        # the in-bounds masks are folded into F (see module docstring)
+        rolled = {}
+        acc = [None] * n_channels
+        for (dy, dx), i, j, fid in triples:
+            key = (dy % H, dx % Wd, j)
+            pk = rolled.get(key)
+            if pk is None:
+                pk = p[j]
+                if dy % H:
+                    pk = _roll(pk, (-dy) % H, 0, interpret)
+                if dx % Wd:
+                    pk = _roll(pk, (-dx) % Wd, 1, interpret)
+                rolled[key] = pk
+            t = F[fid] * pk
+            acc[i] = t if acc[i] is None else acc[i] + t
+        zeros = jnp.zeros((H, Wd), b.dtype)
+        return jnp.stack([a if a is not None else zeros for a in acc])
 
     def safe_div(num, den):
         if not guard_div:
@@ -137,51 +151,68 @@ def _kernel(
 
 
 def plan_fused_grid_cg(
-    compiled, w_packed, grp_exec, pair_exec, g_unhandled
+    compiled,
+    plan,
+    fields: Dict,
+    w_layouts: Dict,
+    grp_exec,
+    pair_exec,
+    g_unhandled,
 ) -> Optional[Dict]:
     """Decide applicability from the assembled operator structure and build
-    the kernel inputs: {u, deltas, W [K, H, W] with in-bounds masks folded}.
+    the kernel inputs.
 
     Requirements: no graph couplings of any kind, exactly one 2-D index
-    space with one unknown image, every stencil coupling 'scalar'
-    (channel-identical weight), float32, and a VMEM-sized working set.
+    space (all of whose unknowns pack into the kernel state), float32, and
+    a VMEM-sized working set. Returns {u_list, offs, channels, triples,
+    F [T, H, W]} or None.
     """
     from .shift import in_bounds_mask
 
     if grp_exec or pair_exec or g_unhandled:
         return None
-    if not w_packed:
+    if not fields:
         return None
     if compiled.dtype != jnp.float32:
         return None
-    isps = {e[0] for e in w_packed}
-    if len(isps) != 1:
+    if len(w_layouts) != 1:
         return None
-    (isp,) = isps
+    ((isp, (u_list, offs, ctot)),) = w_layouts.items()
     if isp.ndim != 2:
         return None
-    us = [u for u in compiled.unknown_names]
-    if len(us) != 1:
-        return None
-    u = us[0]
-    if any(e[2] != "scalar" for e in w_packed):
+    if sorted(compiled.unknown_names) != sorted(u_list):
         return None
     dom = isp.shape(compiled.dim_sizes)
-    C = compiled.unknown_shape(u)[-1]
-    K = len(w_packed)
-    working = (K * dom[0] * dom[1] + 7 * C * dom[0] * dom[1]) * 4
+    channels = {u: compiled.unknown_shape(u)[-1] for u in u_list}
+
+    field_list = []
+    triples = []
+    masks = {}
+    for (u_out, u_in, delta, i, j), f in sorted(fields.items()):
+        m = masks.get(delta)
+        if m is None:
+            m = in_bounds_mask(dom, delta, dtype=compiled.dtype)[..., 0]
+            masks[delta] = m
+        fid = len(field_list)
+        field_list.append(f * m)
+        d = tuple(int(o) for o in delta)
+        if (u_out, u_in, delta) in plan.scalar_groups:
+            # channel-identical diagonal: one field, C triples
+            for c in range(channels[u_out]):
+                triples.append((d, offs[u_out] + c, offs[u_in] + c, fid))
+        else:
+            triples.append((d, offs[u_out] + i, offs[u_in] + j, fid))
+
+    working = (len(field_list) + 7 * ctot) * dom[0] * dom[1] * 4
     if working > VMEM_BUDGET_BYTES:
         return None
-    deltas = []
-    fields = []
-    for (_isp, delta, _kind, W, _oo, _oi, _co, _ci) in w_packed:
-        deltas.append(tuple(int(d) for d in delta))
-        m = in_bounds_mask(dom, delta, dtype=compiled.dtype)[..., 0]
-        fields.append(W[..., 0] * m)
     return {
-        "u": u,
-        "deltas": tuple(deltas),
-        "W": jnp.stack(fields, axis=0),
+        "u_list": tuple(u_list),
+        "offs": dict(offs),
+        "channels": channels,
+        "ctot": ctot,
+        "triples": tuple(triples),
+        "F": jnp.stack(field_list, axis=0),
     }
 
 
@@ -198,45 +229,40 @@ def fused_grid_cg(
     """Run the fused CG kernel; returns (delta pytree, iterations executed)."""
     from jax.experimental import pallas as pl
 
-    u = meta["u"]
-    b = jnp.moveaxis(r0[u], -1, 0)  # [C, H, W]
-    prem = jnp.moveaxis(pre[u], -1, 0)
-    W = meta["W"]
+    u_list = meta["u_list"]
+
+    def pack(d):
+        a = (
+            jnp.concatenate([d[u] for u in u_list], axis=-1)
+            if len(u_list) > 1
+            else d[u_list[0]]
+        )
+        return jnp.moveaxis(a, -1, 0)  # [C, H, W]
+
+    b = pack(r0)
+    prem = pack(pre)
+    F = meta["F"]
     C, H, Wd = b.shape
 
     kernel = functools.partial(
         _kernel,
-        deltas=meta["deltas"],
+        triples=meta["triples"],
+        n_channels=C,
         guard_div=guard_div,
         interpret=interpret,
     )
-    if interpret:
-        in_specs = None
-        out_specs = None
-    else:
-        from jax.experimental.pallas import tpu as pltpu
-
-        in_specs = [
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ]
-        out_specs = [
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ]
     kwargs = {}
-    if in_specs is not None:
+    if not interpret:
         from jax.experimental.pallas import tpu as pltpu
 
+        vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+        smem = pl.BlockSpec(memory_space=pltpu.SMEM)
         kwargs = {
-            "in_specs": in_specs,
-            "out_specs": out_specs,
-            # the while-loop carry (delta, r, p + Ap/z temporaries) lives on
-            # the kernel's scoped-VMEM stack; the 16 MiB default rejects
-            # 512²x4 problems that comfortably fit physical VMEM
+            "in_specs": [vmem, vmem, vmem, smem, smem],
+            "out_specs": [vmem, smem],
+            # the while-loop carry lives on the kernel's scoped-VMEM stack;
+            # the 16 MiB default rejects 512²x4 problems that comfortably
+            # fit physical VMEM
             "compiler_params": pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024
             ),
@@ -250,10 +276,15 @@ def fused_grid_cg(
         interpret=interpret,
         **kwargs,
     )(
-        W,
+        F,
         b,
         prem,
         jnp.asarray(l_iterations, jnp.int32).reshape(1),
         jnp.asarray(rz_tolerance, b.dtype).reshape(1),
     )
-    return {u: jnp.moveaxis(delta, 0, -1)}, iters[0]
+    packed = jnp.moveaxis(delta, 0, -1)  # [H, W, C]
+    out = {}
+    for u in u_list:
+        o = meta["offs"][u]
+        out[u] = packed[..., o : o + meta["channels"][u]]
+    return out, iters[0]

@@ -51,6 +51,49 @@ def test_fused_pallas_cg_matches_xla_loop():
     assert res_pal.num_linear_iterations > 10
 
 
+def test_fused_pallas_cg_mixed_unknown_blocks():
+    """image_warping class: two unknowns packed on one index space with
+    scalar + block couplings must match the XLA loop."""
+    from opt_tpu.models.specs import image_warping
+
+    n = 24
+    rng = np.random.RandomState(1)
+    ur = np.stack(
+        np.meshgrid(np.arange(n), np.arange(n), indexing="ij"), -1
+    ).astype(np.float32)
+    con = -np.ones((n, n, 2), np.float32)
+    con[2, 2] = [3.0, 1.5]
+    con[n - 3, n - 3] = [n - 5.0, n - 2.0]
+    inputs = {
+        "Offset": ur + rng.rand(n, n, 2).astype(np.float32) * 0.1,
+        "Angle": np.zeros((n, n), np.float32),
+        "UrShape": ur,
+        "Constraints": con,
+        "Mask": np.zeros((n, n), np.float32),
+        "w_fitSqrt": np.sqrt(10.0).astype(np.float32),
+        "w_regSqrt": np.sqrt(1.0).astype(np.float32),
+    }
+    base = ot.Problem(image_warping).plan(dims={"W": n, "H": n})
+    res_xla = base.solve(dict(inputs), nIterations=3, lIterations=30)
+
+    plan_p = ot.Problem(image_warping).plan(
+        dims={"W": n, "H": n},
+        init_params=InitializationParameters(use_pallas_cg="interpret"),
+    )
+    assert plan_p.solver._pallas_mode == "interpret"
+    res_pal = plan_p.solve(dict(inputs), nIterations=3, lIterations=30)
+    assert np.allclose(res_xla.final_cost, res_pal.final_cost, rtol=1e-3), (
+        res_xla.final_cost,
+        res_pal.final_cost,
+    )
+    for u in ("Offset", "Angle"):
+        assert np.allclose(
+            np.asarray(res_xla.unknowns[u]),
+            np.asarray(res_pal.unknowns[u]),
+            atol=5e-3,
+        ), u
+
+
 def test_pallas_auto_mode_stays_off_on_cpu():
     n = 16
     plan = ot.Problem(poisson_image_editing).plan(dims={"W": n, "H": n})
