@@ -79,30 +79,30 @@ def _kernel(
     guard_div: bool,
     interpret: bool,
 ):
-    F = F_ref[...]  # [T, H, W] masked per-channel-pair weight fields
-    b = b_ref[...]  # [C, H, W] = -JᵀF, packed channels
-    pre = pre_ref[...]  # [C, H, W] guarded-inverted preconditioner
+    F = F_ref[...]  # [T, *spatial] masked per-channel-pair weight fields
+    b = b_ref[...]  # [C, *spatial] = -JᵀF, packed channels
+    pre = pre_ref[...]  # [C, *spatial] guarded-inverted preconditioner
 
-    H, Wd = b.shape[1], b.shape[2]
+    spatial = b.shape[1:]
 
     def apply(p):
         # (JᵀJ p)[q, i] = Σ_t F_t[q] · p[q+Δ_t, j_t]; roll is exact because
         # the in-bounds masks are folded into F (see module docstring)
         rolled = {}
         acc = [None] * n_channels
-        for (dy, dx), i, j, fid in triples:
-            key = (dy % H, dx % Wd, j)
+        for delta, i, j, fid in triples:
+            shifts = tuple((-d) % n for d, n in zip(delta, spatial))
+            key = (shifts, j)
             pk = rolled.get(key)
             if pk is None:
                 pk = p[j]
-                if dy % H:
-                    pk = _roll(pk, (-dy) % H, 0, interpret)
-                if dx % Wd:
-                    pk = _roll(pk, (-dx) % Wd, 1, interpret)
+                for ax, s in enumerate(shifts):
+                    if s:
+                        pk = _roll(pk, s, ax, interpret)
                 rolled[key] = pk
             t = F[fid] * pk
             acc[i] = t if acc[i] is None else acc[i] + t
-        zeros = jnp.zeros((H, Wd), b.dtype)
+        zeros = jnp.zeros(spatial, b.dtype)
         return jnp.stack([a if a is not None else zeros for a in acc])
 
     def safe_div(num, den):
@@ -162,10 +162,10 @@ def plan_fused_grid_cg(
     """Decide applicability from the assembled operator structure and build
     the kernel inputs.
 
-    Requirements: no graph couplings of any kind, exactly one 2-D index
-    space (all of whose unknowns pack into the kernel state), float32, and
-    a VMEM-sized working set. Returns {u_list, offs, channels, triples,
-    F [T, H, W]} or None.
+    Requirements: no graph couplings of any kind, exactly one 2-D or 3-D
+    index space (all of whose unknowns pack into the kernel state),
+    float32, and a VMEM-sized working set. Returns {u_list, offs, channels,
+    triples, F [T, *spatial]} or None.
     """
     from .shift import in_bounds_mask
 
@@ -178,7 +178,7 @@ def plan_fused_grid_cg(
     if len(w_layouts) != 1:
         return None
     ((isp, (u_list, offs, ctot)),) = w_layouts.items()
-    if isp.ndim != 2:
+    if isp.ndim not in (2, 3):
         return None
     if sorted(compiled.unknown_names) != sorted(u_list):
         return None
@@ -203,7 +203,9 @@ def plan_fused_grid_cg(
         else:
             triples.append((d, offs[u_out] + i, offs[u_in] + j, fid))
 
-    working = (len(field_list) + 7 * ctot) * dom[0] * dom[1] * 4
+    import numpy as _np
+
+    working = (len(field_list) + 7 * ctot) * int(_np.prod(dom)) * 4
     if working > VMEM_BUDGET_BYTES:
         return None
     return {
@@ -242,7 +244,7 @@ def fused_grid_cg(
     b = pack(r0)
     prem = pack(pre)
     F = meta["F"]
-    C, H, Wd = b.shape
+    C = b.shape[0]
 
     kernel = functools.partial(
         _kernel,
@@ -270,7 +272,7 @@ def fused_grid_cg(
     delta, iters = pl.pallas_call(
         kernel,
         out_shape=[
-            jax.ShapeDtypeStruct((C, H, Wd), b.dtype),
+            jax.ShapeDtypeStruct(b.shape, b.dtype),
             jax.ShapeDtypeStruct((1,), jnp.int32),
         ],
         interpret=interpret,

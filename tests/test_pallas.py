@@ -94,6 +94,44 @@ def test_fused_pallas_cg_mixed_unknown_blocks():
         ), u
 
 
+def test_fused_pallas_cg_3d_grid():
+    """volumetric class: 3-D index space, 6-neighbor stencil, mixed
+    Offset+Angle unknowns."""
+    from opt_tpu.models.specs import volumetric_mesh_deformation
+
+    n = 8
+    rng = np.random.RandomState(2)
+    ii, jj, kk = np.meshgrid(
+        np.arange(n), np.arange(n), np.arange(n), indexing="ij"
+    )
+    ur = np.stack([ii, jj, kk], -1).astype(np.float32)
+    con = -1e6 * np.ones((n, n, n, 3), np.float32)
+    con[0, 0, 0] = ur[0, 0, 0]
+    con[-1, -1, -1] = ur[-1, -1, -1] + [1.0, 0.5, 0.0]
+    inputs = {
+        "Offset": ur + rng.rand(n, n, n, 3).astype(np.float32) * 0.05,
+        "Angle": np.zeros((n, n, n, 3), np.float32),
+        "UrShape": ur,
+        "Constraints": con,
+        "w_fitSqrt": np.sqrt(2.0).astype(np.float32),
+        "w_regSqrt": np.sqrt(1.0).astype(np.float32),
+    }
+    dims = {"W": n, "H": n, "D": n}
+    base = ot.Problem(volumetric_mesh_deformation).plan(dims=dims)
+    res_xla = base.solve(dict(inputs), nIterations=2, lIterations=15)
+
+    plan_p = ot.Problem(volumetric_mesh_deformation).plan(
+        dims=dims,
+        init_params=InitializationParameters(use_pallas_cg="interpret"),
+    )
+    assert plan_p.solver._pallas_mode == "interpret"
+    res_pal = plan_p.solve(dict(inputs), nIterations=2, lIterations=15)
+    assert np.allclose(res_xla.final_cost, res_pal.final_cost, rtol=1e-3), (
+        res_xla.final_cost,
+        res_pal.final_cost,
+    )
+
+
 def test_pallas_auto_mode_stays_off_on_cpu():
     n = 16
     plan = ot.Problem(poisson_image_editing).plan(dims={"W": n, "H": n})
