@@ -80,7 +80,9 @@ class GaussNewtonSolver:
         self.ip = init_params or InitializationParameters()
         self.rules = sharding_rules
         self._stencil_plan = None
-        if self.ip.use_fused_jtj:
+        if self.ip.use_fused_jtj and not getattr(
+            self.ip, "use_explicit_jtj", False
+        ):
             from ..assembly import plan_assembly
             from ..utils.logging import log_solver
 
@@ -200,7 +202,20 @@ class GaussNewtonSolver:
     def _gn_step(self, state, fs: FunctionSet, sp):
         X = self._constrain(state["X"])
         cg_meta = None
-        if self._stencil_plan is not None:
+        if getattr(self.ip, "use_explicit_jtj", False):
+            # reference's optional cusparse branch: explicit sparse J, two
+            # matvecs per CG iteration (explicit.py)
+            from ..explicit import build_explicit_j, explicit_jtj_apply
+
+            r_terms, J, JT, r0 = self._prepare(X, fs)
+            Jexp, _, _ = build_explicit_j(
+                self.compiled, X, fs.consts, fs.graphs, fs.params
+            )
+            A, diag_asm = (
+                explicit_jtj_apply(self.compiled, Jexp, fs.row_masks),
+                None,
+            )
+        elif self._stencil_plan is not None:
             r_terms, J, _JT, _ = self._prepare(X, fs, need_jtf=False)
             A, diag_asm, jtf_fn, cg_meta = fs.assemble_stencil(
                 X, self._stencil_plan
@@ -281,7 +296,16 @@ class GaussNewtonSolver:
         dt = self.compiled.dtype
         X = self._constrain(state["X"])
         radius = state["trust_region_radius"].astype(dt)
-        if self._stencil_plan is not None:
+        if getattr(self.ip, "use_explicit_jtj", False):
+            from ..explicit import build_explicit_j, explicit_jtj_apply
+
+            r_terms, J, JT, r0 = self._prepare(X, fs)
+            Jexp, _, _ = build_explicit_j(
+                self.compiled, X, fs.consts, fs.graphs, fs.params
+            )
+            A_base = explicit_jtj_apply(self.compiled, Jexp, fs.row_masks)
+            diag = fs.jtj_diag(X)
+        elif self._stencil_plan is not None:
             r_terms, J, _JT, _ = self._prepare(X, fs, need_jtf=False)
             A_base, diag, jtf_fn, _cg_meta = fs.assemble_stencil(
                 X, self._stencil_plan

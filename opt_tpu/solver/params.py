@@ -47,6 +47,11 @@ class InitializationParameters:
     # True/False force it on/off; "interpret" runs the kernel in Pallas
     # interpret mode (any backend — used by tests for CPU parity).
     use_pallas_cg: Any = "auto"
+    # Explicit sparse-J path (the reference's optional use_cusparse branch,
+    # solverGPUGaussNewton.t:74-90 — off by default there too): build J as
+    # a BCOO once per nonlinear iteration and run JᵀJ·p as two sparse
+    # matvecs (explicit.py). Verification / special-purpose surface.
+    use_explicit_jtj: bool = False
 
 
 # Runtime-settable parameters (solverGPUGaussNewton.t:26-39). `nIterations`
