@@ -66,19 +66,30 @@ def _roll(x, s: int, axis: int, interpret: bool):
 
 
 def _kernel(
-    F_ref,
-    b_ref,
-    pre_ref,
-    lits_ref,
-    tol_ref,
-    delta_ref,
-    iters_ref,
-    *,
+    *refs,
     triples: Tuple[Tuple[Tuple[int, int], int, int, int], ...],
     n_channels: int,
     guard_div: bool,
     interpret: bool,
+    lm: bool,
 ):
+    if lm:
+        (
+            F_ref,
+            b_ref,
+            pre_ref,
+            ctc_ref,
+            lits_ref,
+            tol_ref,
+            reset_ref,
+            qtol_ref,
+            delta_ref,
+            iters_ref,
+        ) = refs
+        ctc = ctc_ref[...]  # [C, *spatial] LM damping diagonal (masked)
+    else:
+        F_ref, b_ref, pre_ref, lits_ref, tol_ref, delta_ref, iters_ref = refs
+        ctc = None
     F = F_ref[...]  # [T, *spatial] masked per-channel-pair weight fields
     b = b_ref[...]  # [C, *spatial] = -JᵀF, packed channels
     pre = pre_ref[...]  # [C, *spatial] guarded-inverted preconditioner
@@ -103,7 +114,10 @@ def _kernel(
             t = F[fid] * pk
             acc[i] = t if acc[i] is None else acc[i] + t
         zeros = jnp.zeros(spatial, b.dtype)
-        return jnp.stack([a if a is not None else zeros for a in acc])
+        out = jnp.stack([a if a is not None else zeros for a in acc])
+        if ctc is not None:
+            out = out + ctc * p  # + CtC·p (o.t:2076-2082)
+        return out
 
     def safe_div(num, den):
         if not guard_div:
@@ -115,12 +129,15 @@ def _kernel(
     rz0 = jnp.sum(r * p)
     floor = tol_ref[0] * rz0
     lits = lits_ref[0]
+    if lm:
+        reset_period = reset_ref[0]
+        q_tol = qtol_ref[0]
 
     def cond(c):
-        _delta, _r, _p, _rz, l, brk = c
+        l, brk = c[-2], c[-1]
         return jnp.logical_and(l < lits, jnp.logical_not(brk))
 
-    def body(c):
+    def gn_body(c):
         delta, r, p, rz, l, brk = c
         Ap = apply(p)
         den = jnp.sum(p * Ap)
@@ -134,18 +151,42 @@ def _kernel(
         brk = jnp.logical_or(rz_new <= floor, den <= 0)
         return (delta, r, p, rz_new, l + 1, brk)
 
-    delta, _r, _p, _rz, l, _brk = jax.lax.while_loop(
-        cond,
-        body,
-        (
-            jnp.zeros_like(b),
-            r,
-            p,
-            rz0,
-            jnp.zeros((), jnp.int32),
-            jnp.zeros((), jnp.bool_),
-        ),
-    )
+    def lm_body(c):
+        # mirrors GaussNewtonSolver._lm_step body: drift-cancelling residual
+        # recomputation every reset_period iterations (t:491-534) and the
+        # Ceres Q/ζ early exit (t:446-489, t:1093-1102)
+        delta, r, p, rz, Q0, l, brk = c
+        Ap = apply(p)
+        den = jnp.sum(p * Ap)
+        alpha = safe_div(rz, den)
+        delta = delta + alpha * p
+        use_reset = (l + 1) % reset_period == 0
+        r = jax.lax.cond(
+            use_reset,
+            lambda _: b - apply(delta),
+            lambda _: r - alpha * Ap,
+            None,
+        )
+        z = pre * r
+        rz_new = jnp.sum(z * r)
+        Q1 = 0.5 * jnp.sum(delta * (b + r))
+        beta = safe_div(rz_new, rz)
+        p = z + beta * p
+        zeta = (l + 1).astype(b.dtype) * (Q1 - Q0) / Q1
+        brk = zeta < q_tol
+        brk = jnp.logical_or(brk, rz_new <= floor)
+        return (delta, r, p, rz_new, Q1, l + 1, brk)
+
+    zero_l = jnp.zeros((), jnp.int32)
+    false_ = jnp.zeros((), jnp.bool_)
+    if lm:
+        init = (jnp.zeros_like(b), r, p, rz0, jnp.zeros((), b.dtype), zero_l, false_)
+        out = jax.lax.while_loop(cond, lm_body, init)
+        delta, l = out[0], out[5]
+    else:
+        init = (jnp.zeros_like(b), r, p, rz0, zero_l, false_)
+        out = jax.lax.while_loop(cond, gn_body, init)
+        delta, l = out[0], out[4]
     delta_ref[...] = delta
     iters_ref[0] = l
 
@@ -227,11 +268,20 @@ def fused_grid_cg(
     *,
     guard_div: bool = True,
     interpret: bool = False,
+    ctc: Optional[Dict[str, jnp.ndarray]] = None,
+    reset_period=None,
+    q_tolerance=None,
 ):
-    """Run the fused CG kernel; returns (delta pytree, iterations executed)."""
+    """Run the fused CG kernel; returns (delta pytree, iterations executed).
+
+    Passing ``ctc`` (plus ``reset_period`` and ``q_tolerance``) runs the LM
+    inner loop: + CtC·p damping, drift-cancelling residual recomputation and
+    the Ceres Q/ζ early exit, all in-kernel.
+    """
     from jax.experimental import pallas as pl
 
     u_list = meta["u_list"]
+    lm = ctc is not None
 
     def pack(d):
         a = (
@@ -252,7 +302,22 @@ def fused_grid_cg(
         n_channels=C,
         guard_div=guard_div,
         interpret=interpret,
+        lm=lm,
     )
+    operands = [F, b, prem]
+    n_smem = 2
+    if lm:
+        operands.append(pack(ctc))
+    operands += [
+        jnp.asarray(l_iterations, jnp.int32).reshape(1),
+        jnp.asarray(rz_tolerance, b.dtype).reshape(1),
+    ]
+    if lm:
+        operands += [
+            jnp.asarray(reset_period, jnp.int32).reshape(1),
+            jnp.asarray(q_tolerance, b.dtype).reshape(1),
+        ]
+        n_smem = 4
     kwargs = {}
     if not interpret:
         from jax.experimental.pallas import tpu as pltpu
@@ -260,7 +325,7 @@ def fused_grid_cg(
         vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
         smem = pl.BlockSpec(memory_space=pltpu.SMEM)
         kwargs = {
-            "in_specs": [vmem, vmem, vmem, smem, smem],
+            "in_specs": [vmem] * (len(operands) - n_smem) + [smem] * n_smem,
             "out_specs": [vmem, smem],
             # the while-loop carry lives on the kernel's scoped-VMEM stack;
             # the 16 MiB default rejects 512²x4 problems that comfortably
@@ -277,13 +342,7 @@ def fused_grid_cg(
         ],
         interpret=interpret,
         **kwargs,
-    )(
-        F,
-        b,
-        prem,
-        jnp.asarray(l_iterations, jnp.int32).reshape(1),
-        jnp.asarray(rz_tolerance, b.dtype).reshape(1),
-    )
+    )(*operands)
     packed = jnp.moveaxis(delta, 0, -1)  # [H, W, C]
     out = {}
     for u in u_list:

@@ -296,6 +296,7 @@ class GaussNewtonSolver:
         dt = self.compiled.dtype
         X = self._constrain(state["X"])
         radius = state["trust_region_radius"].astype(dt)
+        cg_meta = None
         if getattr(self.ip, "use_explicit_jtj", False):
             from ..explicit import build_explicit_j, explicit_jtj_apply
 
@@ -307,7 +308,7 @@ class GaussNewtonSolver:
             diag = fs.jtj_diag(X)
         elif self._stencil_plan is not None:
             r_terms, J, _JT, _ = self._prepare(X, fs, need_jtf=False)
-            A_base, diag, jtf_fn, _cg_meta = fs.assemble_stencil(
+            A_base, diag, jtf_fn, cg_meta = fs.assemble_stencil(
                 X, self._stencil_plan
             )
             r0 = {k: -v for k, v in jtf_fn(r_terms).items()}
@@ -345,6 +346,27 @@ class GaussNewtonSolver:
             pre_lm[k] = 1.0 / (ctc[k] + radius * ctc_un[k])
         ctc = fs.mask_rows(ctc)
         pre_lm = fs.mask_rows(pre_lm)
+
+        if cg_meta is not None and self._pallas_mode is not None:
+            # whole LM inner loop in the fused Pallas kernel: damping,
+            # residual reset and Q/ζ exit included (ops/pallas_cg.py)
+            from ..ops.pallas_cg import fused_grid_cg
+
+            delta, l_done = fused_grid_cg(
+                cg_meta,
+                r0,
+                pre_lm,
+                sp["lIterations"],
+                sp["cg_rz_tolerance"],
+                guard_div=self.ip.guard_division_by_zero,
+                interpret=self._pallas_mode == "interpret",
+                ctc=ctc,
+                reset_period=sp["residual_reset_period"],
+                q_tolerance=sp["q_tolerance"],
+            )
+            return self._lm_finish(
+                state, fs, sp, X, delta, l_done, r_terms, J, SSq
+            )
 
         b = r0  # t:652 "copy over to b"
         p0 = _mul(pre_lm, r0)
@@ -389,8 +411,13 @@ class GaussNewtonSolver:
             body,
             (delta0, r0, p0, rz0, Q0, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.bool_)),
         )
+        return self._lm_finish(state, fs, sp, X, delta, l_done, r_terms, J, SSq)
 
-        # trust-region bookkeeping (t:1106-1164)
+    def _lm_finish(self, state, fs, sp, X, delta, l_done, r_terms, J, SSq):
+        """Ceres-style trust-region bookkeeping (t:1106-1164), shared by the
+        XLA and fused-Pallas inner loops."""
+        dt = self.compiled.dtype
+        radius = state["trust_region_radius"].astype(dt)
         model_cost = fs.model_cost(X, r_terms, J, delta)
         prev_cost = state["prev_cost"].astype(dt)
         model_cost_change = prev_cost - model_cost

@@ -94,6 +94,30 @@ def test_fused_pallas_cg_mixed_unknown_blocks():
         ), u
 
 
+def test_fused_pallas_cg_lm_trust_region():
+    """LM in-kernel: CtC damping, residual reset and Q/ζ exit must track the
+    XLA loop through the trust-region accept/reject sequence."""
+    n = 24
+    inputs = _poisson_inputs(n)
+    base = ot.Problem(poisson_image_editing, kind="LMGPU").plan(
+        dims={"W": n, "H": n}
+    )
+    res_xla = base.solve(
+        dict(inputs), nIterations=4, lIterations=40, residual_reset_period=7
+    )
+    plan_p = ot.Problem(poisson_image_editing, kind="LMGPU").plan(
+        dims={"W": n, "H": n},
+        init_params=InitializationParameters(use_pallas_cg="interpret"),
+    )
+    res_pal = plan_p.solve(
+        dict(inputs), nIterations=4, lIterations=40, residual_reset_period=7
+    )
+    assert np.allclose(res_xla.final_cost, res_pal.final_cost, rtol=1e-3), (
+        res_xla.final_cost,
+        res_pal.final_cost,
+    )
+
+
 def test_fused_pallas_cg_3d_grid():
     """volumetric class: 3-D index space, 6-neighbor stencil, mixed
     Offset+Angle unknowns."""
