@@ -70,7 +70,7 @@ from .solver.params import (
 )
 from .spec import SpecError
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 
 def enable_double_precision():

@@ -62,3 +62,20 @@ def test_sqrt3_subdivide_counts():
     v2, f2 = sqrt3_subdivide(verts, faces)
     assert len(v2) == 4 + 4
     assert len(f2) == 2 * 6  # two triangles per original edge
+
+
+def test_create_delete_cycle():
+    """Plan create/free cycling (reference tests/create_delete_cycle:
+    1000 iterations; trimmed here — the leak class it guards against is
+    per-cycle host object growth, visible within a few cycles)."""
+    state = api.new_state(verbosity=0)
+    rng = np.random.RandomState(0)
+    inputs = {"X": rng.rand(8, 8).astype(np.float32),
+              "A": rng.rand(8, 8).astype(np.float32)}
+    for _ in range(50):
+        problem = api.problem_define(state, laplacian, "gaussNewtonGPU")
+        plan = api.problem_plan(state, problem, {"W": 8, "H": 8})
+        api.problem_init(plan, dict(inputs))
+        api.plan_free(plan)
+        api.problem_delete(state, problem)
+    assert not state.problems
