@@ -130,6 +130,157 @@ def bench_arap_graph(n_side=192, n_outer=8, n_inner=100):
     return res.num_iterations / secs, res.final_cost
 
 
+def bench_optical_flow(n=256, levels=2, n_outer=2, n_inner=50, repeats=4):
+    """Dense-flow benchmark with the reference's pyramid schedule
+    (optical_flow/src/CombinedSolver.h:22-61): coarse-level solve, flow
+    upsample, fine-level solve — measured as GN iterations/second across
+    the whole pyramid run (BASELINE.md benchmark config)."""
+    import jax
+    import opt_tpu as ot
+    from opt_tpu.models.specs import optical_flow
+
+    rng = np.random.RandomState(0)
+    base = rng.rand(n + 8, n + 8).astype(np.float32)
+    base = (
+        base
+        + np.roll(base, 1, 0)
+        + np.roll(base, 1, 1)
+        + np.roll(base, -1, 0)
+        + np.roll(base, -1, 1)
+    ) / 5.0
+    im0 = base[4 : 4 + n, 4 : 4 + n].copy()
+    im1 = base[6 : 6 + n, 5 : 5 + n].copy()  # translated by (2, 1)
+
+    def deriv(img):
+        dx = np.zeros_like(img)
+        dy = np.zeros_like(img)
+        dx[1:-1, :] = 0.5 * (img[2:, :] - img[:-2, :])
+        dy[:, 1:-1] = 0.5 * (img[:, 2:] - img[:, :-2])
+        return dx, dy
+
+    pyr = [(im0, im1)]
+    for _ in range(levels - 1):
+        a, b = pyr[-1]
+        pyr.append((a[::2, ::2].copy(), b[::2, ::2].copy()))
+    pyr = pyr[::-1]  # coarse to fine
+
+    plans = {}
+    for a, _b in pyr:
+        h, w = a.shape
+        if (h, w) not in plans:
+            plans[(h, w)] = ot.Problem(optical_flow).plan(dims={"W": h, "H": w})
+
+    def run_pyramid():
+        flow = np.zeros(pyr[0][0].shape + (2,), np.float32)
+        total_iters = 0
+        final_cost = 0.0
+        for li, (a, b) in enumerate(pyr):
+            h, w = a.shape
+            dx, dy = deriv(b)
+            res = plans[(h, w)].solve(
+                {
+                    "X": flow,
+                    "I": a,
+                    "I_hat": b,
+                    "I_hat_dx": dx,
+                    "I_hat_dy": dy,
+                    "w_fit": 10.0,
+                    "w_reg": 0.1,
+                },
+                nIterations=n_outer,
+                lIterations=n_inner,
+            )
+            total_iters += res.num_iterations
+            final_cost = res.final_cost
+            flow = np.asarray(res.unknowns["X"])
+            if li + 1 < len(pyr):
+                flow = 2.0 * np.kron(flow, np.ones((2, 2, 1), np.float32))
+        return total_iters, final_cost
+
+    run_pyramid()  # warmup (compile both levels)
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        iters, cost = run_pyramid()
+        best = min(best, time.perf_counter() - t0)
+    return iters / best, cost
+
+
+def bench_robust_nonrigid(n_side=100, n_outer=8, n_inner=50, repeats=4):
+    """Lifted robust kernel benchmark (robust_nonrigid_alignment): ARAP +
+    point-to-plane fitting with per-vertex RobustWeights unknowns
+    (BASELINE.md benchmark config)."""
+    import opt_tpu as ot
+    from opt_tpu.models.specs import robust_nonrigid_alignment
+
+    N = n_side * n_side
+    rng = np.random.RandomState(0)
+    ii, jj = np.meshgrid(np.arange(n_side), np.arange(n_side), indexing="ij")
+    pos = np.stack(
+        [ii.ravel(), jj.ravel(), np.sin(ii.ravel() * 0.1)], -1
+    ).astype(np.float32)
+    vid = np.arange(N).reshape(n_side, n_side)
+    v0 = np.concatenate([vid[:-1].ravel(), vid[:, :-1].ravel()])
+    v1 = np.concatenate([vid[1:].ravel(), vid[:, 1:].ravel()])
+    warp = np.stack(
+        [
+            0.4 * np.sin(jj.ravel() * 0.05),
+            0.2 * np.cos(ii.ravel() * 0.07),
+            0.1 * np.ones(N),
+        ],
+        -1,
+    ).astype(np.float32)
+    targets = pos + warp
+    targets[rng.rand(N) > 0.7] = -1e6  # unconstrained vertices
+    normals = np.tile(np.array([[0, 0, 1.0]], np.float32), (N, 1))
+    inputs = {
+        "Offset": pos.copy(),
+        "Angle": np.zeros((N, 3), np.float32),
+        "RobustWeights": np.ones((N,), np.float32),
+        "UrShape": pos,
+        "Constraints": targets,
+        "ConstraintNormals": normals,
+        "G": {
+            "v0": np.concatenate([v0, v1]).astype(np.int32),
+            "v1": np.concatenate([v1, v0]).astype(np.int32),
+        },
+        "w_fitSqrt": np.sqrt(10.0).astype(np.float32),
+        "w_regSqrt": np.sqrt(4.0).astype(np.float32),
+    }
+    plan = ot.Problem(robust_nonrigid_alignment).plan(dims={"N": N})
+    secs, res = _time_solve(plan, inputs, n_outer, n_inner, repeats=repeats)
+    return res.num_iterations / secs, res.final_cost
+
+
+def bench_shape_from_shading(n=512, n_outer=8, n_inner=10, repeats=4):
+    """Shading-heavy benchmark (shape_from_shading): 9-parameter spherical
+    harmonics with ComputedArray-cached shading residuals (BASELINE.md
+    benchmark config)."""
+    import opt_tpu as ot
+    from opt_tpu.models.specs import shape_from_shading
+
+    rng = np.random.RandomState(0)
+    depth = 2.0 + rng.rand(n, n).astype(np.float32) * 0.1
+    inputs = {
+        "X": depth.copy(),
+        "D_i": depth,
+        "Im": rng.rand(n, n).astype(np.float32),
+        "edgeMaskR": np.ones((n, n), np.float32),
+        "edgeMaskC": np.ones((n, n), np.float32),
+        "w_p": 1.0,
+        "w_s": 10.0,
+        "w_g": 1.0,
+        "f_x": 500.0,
+        "f_y": 500.0,
+        "u_x": n / 2.0,
+        "u_y": n / 2.0,
+        **{f"L_{i}": (0.5 if i == 1 else 0.1) for i in range(1, 10)},
+    }
+    plan = ot.Problem(shape_from_shading).plan(dims={"W": n, "H": n})
+    secs, res = _time_solve(plan, inputs, n_outer, n_inner, repeats=repeats)
+    return res.num_iterations / secs, res.final_cost
+
+
 def bench_batched_curve_fitting(B=512, N=256, repeats=3):
     """Batched-solve throughput: B independent curve fits in ONE XLA program
     (new capability over the reference, which runs instances serially)."""
@@ -163,6 +314,9 @@ def main():
     pcg_rate, poisson_cost = bench_poisson()
     gn_rate, warp_cost = bench_image_warping()
     arap_rate, arap_cost = bench_arap_graph()
+    flow_rate, flow_cost = bench_optical_flow()
+    robust_rate, robust_cost = bench_robust_nonrigid()
+    sfs_rate, sfs_cost = bench_shape_from_shading()
     batch_rate, batch_err = bench_batched_curve_fitting()
     out = {
         "metric": "pcg_iters_per_sec_poisson512_float4",
@@ -172,11 +326,17 @@ def main():
         "extra": {
             "gn_iters_per_sec_image_warping512": round(gn_rate, 2),
             "gn_iters_per_sec_arap36k_vertices": round(arap_rate, 2),
+            "gn_iters_per_sec_optical_flow256_pyramid": round(flow_rate, 2),
+            "gn_iters_per_sec_robust_nonrigid10k": round(robust_rate, 2),
+            "gn_iters_per_sec_sfs512": round(sfs_rate, 2),
             "batched_lm_curvefits_per_sec": round(batch_rate, 1),
             "batched_curvefit_max_param_err": batch_err,
             "poisson_final_cost": float(poisson_cost),
             "image_warping_final_cost": float(warp_cost),
             "arap_final_cost": float(arap_cost),
+            "optical_flow_final_cost": float(flow_cost),
+            "robust_nonrigid_final_cost": float(robust_cost),
+            "sfs_final_cost": float(sfs_cost),
         },
     }
     print(json.dumps(out))
