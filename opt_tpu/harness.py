@@ -61,6 +61,12 @@ class CombinedSolverBase:
         """CombinedSolverBase.h:73-80 addOptSolvers."""
         self._enabled.extend(kinds)
 
+    def add_scipy_reference_solver(self, max_nfev: int = 200):
+        """Register the independent scipy TRF solver as a comparison run —
+        the reference's Ceres-comparison slot (CombinedSolverBase.h:62-65,
+        CeresSolverBase.h). Small problems only (dense Jacobian)."""
+        self._enabled.append(("scipy", max_nfev))
+
     # -- hooks ---------------------------------------------------------------
     def combined_solve_init(self):
         raise NotImplementedError
@@ -85,9 +91,24 @@ class CombinedSolverBase:
         """CombinedSolverBase.h:22-30."""
         self.combined_solve_init()
         for kind in self._enabled:
-            self.runs.append(self._single_solve(kind))
+            if isinstance(kind, tuple) and kind[0] == "scipy":
+                self.runs.append(self._scipy_solve(kind[1]))
+            else:
+                self.runs.append(self._single_solve(kind))
         self.combined_solve_finalize()
         return self.runs
+
+    def _scipy_solve(self, max_nfev: int) -> SolverRun:
+        from .reference_solver import solve_scipy
+
+        run = SolverRun(name="CERES-analogue(scipy)")
+        t0 = time.perf_counter()
+        cost, _unknowns = solve_scipy(
+            self.spec_fn, self.dims, dict(self.problem_inputs), max_nfev=max_nfev
+        )
+        ms = (time.perf_counter() - t0) * 1e3
+        run.iterations.append(SolverIteration(cost, ms))
+        return run
 
     def _single_solve(self, kind: str) -> SolverRun:
         """CombinedSolverBase.h:98-119 + OptUtils.h:47-64 launchProfiledSolve."""

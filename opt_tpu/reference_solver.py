@@ -1,0 +1,96 @@
+"""Independent reference solver — the Ceres-comparison analogue.
+
+The reference's de-facto correctness oracle is cross-solver final-cost
+agreement: every example can run the same problem through Opt(GN), Opt(LM)
+and a CPU Ceres solver and compare final energies
+(examples/shared/CombinedSolverBase.h:62-65, CeresSolverBase.h; SURVEY §4).
+Here the independent solver is scipy.optimize.least_squares (TRF — the same
+trust-region family as Ceres), fed the SAME energy definition through the
+compiled residual function but optimized entirely by scipy's own algorithm
+with an autodiff Jacobian. Agreement in final cost validates the solver
+stack end-to-end; the energy definition itself is validated separately
+against dense oracles (tests/test_operator_parity.py).
+
+Limitations (oracle scope, mirroring the reference's Ceres usage): small
+problems (dense Jacobian), no Exclude-frozen unknowns.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import numpy as np
+
+
+def solve_scipy(
+    spec_fn,
+    dims: Dict[str, int],
+    inputs: Dict[str, Any],
+    max_nfev: int = 200,
+    method: str = "trf",
+):
+    """Run the energy through scipy.optimize.least_squares.
+
+    Returns (final_cost, unknowns dict). Cost convention matches the
+    framework: ½ Σ r² over non-excluded residual centers.
+    """
+    import jax
+    import jax.numpy as jnp
+    from scipy.optimize import least_squares
+
+    from .compile import compile_spec
+    from .functions import FunctionSet
+
+    compiled = compile_spec(spec_fn, dims, jnp.float32)
+    unknowns, consts, graphs, params = compiled.normalize_inputs(inputs)
+    fs = FunctionSet(compiled, consts, graphs, params)
+    excl, _ = fs.masks(unknowns)
+
+    names = list(compiled.unknown_names)
+    shapes = {u: unknowns[u].shape for u in names}
+    sizes = {u: int(np.prod(shapes[u])) for u in names}
+
+    def unpack(x):
+        out = {}
+        o = 0
+        for u in names:
+            out[u] = jnp.asarray(
+                x[o : o + sizes[u]], jnp.float32
+            ).reshape(shapes[u])
+            o += sizes[u]
+        return out
+
+    def resid_jnp(x):
+        X = unpack(x)
+        terms = fs.F(X)
+        parts = []
+        for term, val in zip(compiled.terms, terms):
+            m = compiled.term_cost_mask(term, excl)
+            if m is not None:
+                # cost masks squares by (1 - m); scale residuals by sqrt
+                val = val * jnp.sqrt(jnp.maximum(1.0 - m, 0.0))
+            parts.append(val.reshape(-1))
+        return jnp.concatenate(parts)
+
+    resid = jax.jit(resid_jnp)
+    jac = jax.jit(jax.jacfwd(resid_jnp))
+
+    x0 = np.concatenate(
+        [np.asarray(unknowns[u], np.float64).reshape(-1) for u in names]
+    )
+    res = least_squares(
+        lambda x: np.asarray(resid(jnp.asarray(x, jnp.float32)), np.float64),
+        x0,
+        jac=lambda x: np.asarray(jac(jnp.asarray(x, jnp.float32)), np.float64),
+        method=method,
+        max_nfev=max_nfev,
+    )
+    final_cost = 0.5 * float(np.sum(res.fun**2))
+    out = {}
+    o = 0
+    for u in names:
+        out[u] = np.asarray(
+            res.x[o : o + sizes[u]], np.float32
+        ).reshape(shapes[u])
+        o += sizes[u]
+    return final_cost, out
