@@ -9,7 +9,7 @@ weightReg=1) with setConstraints annealing (CombinedSolver.h:59-61,77-100).
 
 import numpy as np
 
-from common import data_path, example_argparser, setup_backend
+from common import data_path, example_argparser, maybe_add_ceres, setup_backend
 
 import opt_tpu as ot
 from opt_tpu.harness import CombinedSolverBase
@@ -96,6 +96,7 @@ def main():
         params = {"numIter": 10, "nonLinearIter": 20, "linearIter": 100}
     solver = ARAPSolver(verts, edges, ci, ct, params)
     solver.add_opt_solvers()
+    maybe_add_ceres(solver, args)
     solver.solve_all()
     solver.report_final_costs()
     solver.save_results_csv(args.results)

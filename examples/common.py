@@ -25,8 +25,20 @@ def example_argparser(description: str) -> argparse.ArgumentParser:
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--small", action="store_true", help="tiny config for smoke runs")
     ap.add_argument("--perf", action="store_true", help="reference perf-mode iteration counts")
+    ap.add_argument(
+        "--ceres",
+        action="store_true",
+        help="also run the independent scipy reference solver (the "
+        "reference's USE_CERES comparison; small problems only)",
+    )
     ap.add_argument("--results", default="results", help="CSV output directory")
     return ap
+
+
+def maybe_add_ceres(solver, args, max_nfev: int = 200) -> None:
+    """Register the scipy comparison run when --ceres was passed."""
+    if getattr(args, "ceres", False):
+        solver.add_scipy_reference_solver(max_nfev=max_nfev)
 
 
 def setup_backend(args) -> None:

@@ -9,7 +9,7 @@ numIter=19, nonLinearIter=8, linearIter=400 (main.cpp:110-134).
 
 import numpy as np
 
-from common import data_path, example_argparser, setup_backend
+from common import data_path, example_argparser, maybe_add_ceres, setup_backend
 
 import opt_tpu as ot
 from opt_tpu.harness import CombinedSolverBase
@@ -95,6 +95,7 @@ def main():
         params = {"numIter": 19, "nonLinearIter": 8, "linearIter": 400}
     solver = WarpSolver(mask, cons, ur, params)
     solver.add_opt_solvers()
+    maybe_add_ceres(solver, args)
     solver.solve_all()
     solver.report_final_costs()
     solver.save_results_csv(args.results)
