@@ -232,7 +232,8 @@ def bench_robust_nonrigid(n_side=100, n_outer=8, n_inner=50, repeats=4):
     ).astype(np.float32)
     targets = pos + warp
     targets[rng.rand(N) > 0.7] = -1e6  # unconstrained vertices
-    normals = np.tile(np.array([[0, 0, 1.0]], np.float32), (N, 1))
+    normals = rng.randn(N, 3).astype(np.float32)
+    normals /= np.linalg.norm(normals, axis=-1, keepdims=True)
     inputs = {
         "Offset": pos.copy(),
         "Angle": np.zeros((N, 3), np.float32),

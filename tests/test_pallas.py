@@ -156,6 +156,30 @@ def test_fused_pallas_cg_3d_grid():
     )
 
 
+def test_fused_pallas_cg_under_vmap_batched_solve():
+    """solve_batched vmaps the whole solve; the pallas_call inside must
+    batch correctly (maps the batch to a kernel grid dimension)."""
+    from opt_tpu.models.specs import laplacian
+
+    B, n = 4, 16
+    rng = np.random.RandomState(0)
+    inputs = {
+        "X": rng.rand(B, n, n).astype(np.float32),
+        "A": rng.rand(B, n, n).astype(np.float32),
+    }
+    r1 = ot.Problem(laplacian).plan(dims={"W": n, "H": n}).solve_batched(
+        dict(inputs), nIterations=3, lIterations=20
+    )
+    r2 = ot.Problem(laplacian).plan(
+        dims={"W": n, "H": n},
+        init_params=InitializationParameters(use_pallas_cg="interpret"),
+    ).solve_batched(dict(inputs), nIterations=3, lIterations=20)
+    assert np.allclose(r1.final_costs, r2.final_costs, rtol=1e-3), (
+        r1.final_costs,
+        r2.final_costs,
+    )
+
+
 def test_pallas_auto_mode_stays_off_on_cpu():
     n = 16
     plan = ot.Problem(poisson_image_editing).plan(dims={"W": n, "H": n})
