@@ -624,19 +624,53 @@ def assemble(compiled, plan: AssemblyPlan, X, consts, graphs, params, row_masks)
             (n_out, d_tot, n_stack * ct * ct)
         )
         S_sum = jnp.sum(G[:, :, : ct * ct], axis=1).reshape(n_out, ct, ct)
+        exec_entry = {"S": S_sum, "ct": ct, "dia": [], "C": None,
+                      "cross": None}
         if has_cross:
-            # output-channel-major layout [N, i, D*(m-1)*k]: the CG-loop
-            # cross apply becomes ONE broadcast-multiply with a single
-            # minor-axis (lane) reduction — reductions over scattered middle
-            # axes measured ~30% slower per iteration
+            suffix = gk[len("__inc__"):]
             Cb = G[:, :, ct * ct :].reshape(n_out, d_tot, m - 1, ct, ct)
-            C_ell = jnp.transpose(Cb, (0, 3, 1, 2, 4)).reshape(
-                n_out, ct, d_tot * (m - 1) * ct
-            )
-            cross = graphs[g]["__ellx__" + gk[len("__inc__"):]]
-        else:
-            C_ell, cross = None, None
-        grp_exec[(g, gk)] = (S_sum, C_ell, cross, ct)
+            dia_masks = {}
+            pref = f"__diamask__{suffix}__"
+            for key in graphs[g]:
+                if key.startswith(pref):
+                    dia_masks[int(key[len(pref):])] = graphs[g][key]
+            if dia_masks:
+                # DIA split (ops/graph_ops.dia_split): incidences at the
+                # dominant vertex-id offsets pre-sum into per-offset blocks
+                # applied as SHIFTED adds — the CG-loop gather (~85% of a
+                # graph CG iteration) only covers the irregular remainder
+                for off in sorted(dia_masks):
+                    mask = dia_masks[off]  # [N, D, m-1] float
+                    W_off = jnp.sum(
+                        Cb * mask[..., None, None], axis=(1, 2)
+                    )  # [N, ct, ct]
+                    exec_entry["dia"].append((int(off), W_off))
+                rem_pos = graphs[g].get(f"__diarem__{suffix}")
+                if rem_pos is not None and rem_pos.shape[1] > 0:
+                    d_rem = rem_pos.shape[1]
+                    C_flat = Cb.reshape(n_out, d_tot * (m - 1), ct * ct)
+                    C_ext = jnp.concatenate(
+                        [C_flat, jnp.zeros((n_out, 1, ct * ct), dt)], axis=1
+                    )
+                    C_r = jnp.take_along_axis(
+                        C_ext, rem_pos[..., None], axis=1
+                    )  # [N, D_rem, ct*ct]
+                    exec_entry["C"] = jnp.transpose(
+                        C_r.reshape(n_out, d_rem, ct, ct), (0, 2, 1, 3)
+                    ).reshape(n_out, ct, d_rem * ct)
+                    exec_entry["cross"] = graphs[g][
+                        f"__diaremcross__{suffix}"
+                    ][:, :, None]
+            else:
+                # output-channel-major layout [N, i, D*(m-1)*k]: the CG-loop
+                # cross apply becomes ONE broadcast-multiply with a single
+                # minor-axis (lane) reduction — reductions over scattered
+                # middle axes measured ~30% slower per iteration
+                exec_entry["C"] = jnp.transpose(
+                    Cb, (0, 3, 1, 2, 4)
+                ).reshape(n_out, ct, d_tot * (m - 1) * ct)
+                exec_entry["cross"] = graphs[g]["__ellx__" + suffix]
+        grp_exec[(g, gk)] = exec_entry
 
     # ---- cross-group per-pair ELL exec (unknowns in different vertex
     # spaces coupled through one hyperedge) ------------------------------------
@@ -727,10 +761,16 @@ def assemble(compiled, plan: AssemblyPlan, X, consts, graphs, params, row_masks)
             )
 
         group_acc: Dict[Tuple[str, str], jnp.ndarray] = {}
-        for (g, gk), (S_sum, C_ell, cross, ct) in grp_exec.items():
+        for (g, gk), ex in grp_exec.items():
             pp = packed_p[(g, gk)]
             # [N, i, k] · [N, 1, k]: broadcast-mul + one minor-axis reduce
-            contrib = jnp.sum(S_sum * pp[:, None, :], axis=-1)  # [N, Ct]
+            contrib = jnp.sum(ex["S"] * pp[:, None, :], axis=-1)  # [N, Ct]
+            # DIA offsets: cross couplings at dominant vertex-id offsets
+            # read p by a zero-padded shift — no gather
+            for off, W_off in ex["dia"]:
+                ps = shift(pp, (off,))
+                contrib = contrib + jnp.sum(W_off * ps[:, None, :], axis=-1)
+            C_ell, cross = ex["C"], ex["cross"]
             if C_ell is not None:
                 pp_ext = jnp.concatenate(
                     [pp, jnp.zeros((1, pp.shape[-1]), dt)], axis=0
@@ -738,7 +778,7 @@ def assemble(compiled, plan: AssemblyPlan, X, consts, graphs, params, row_masks)
                 n_out = cross.shape[0]
                 pc = jnp.take(pp_ext, cross.reshape(-1), axis=0).reshape(
                     (n_out, 1, C_ell.shape[-1])
-                )  # [N, 1, D*(m-1)*k] in (d, j, k) order, matching C_ell
+                )  # [N, 1, D_rem*k] in (d, j, k) order, matching C_ell
                 contrib = contrib + jnp.sum(C_ell * pc, axis=-1)
             key_a = (g, gk)
             cur = group_acc.get(key_a)
@@ -889,8 +929,8 @@ def assemble(compiled, plan: AssemblyPlan, X, consts, graphs, params, row_masks)
     # hold Σ_incidences P(k,k)[e] per vertex — the Jacobi diagonal is their
     # diagonal, no scatters; scatter fallback only for couplings no ELL
     # path covers (those have per-pair gfields).
-    for (g, gk), (S_sum, _C, _x, _ct) in grp_exec.items():
-        dcontrib = jnp.diagonal(S_sum, axis1=-2, axis2=-1)  # [N, Ct]
+    for (g, gk), ex in grp_exec.items():
+        dcontrib = jnp.diagonal(ex["S"], axis1=-2, axis2=-1)  # [N, Ct]
         _names, u_list, offs, _ct = g_layouts[(g, gk)]
         for u in u_list:
             diag[u] = diag[u] + dcontrib[:, offs[u] : offs[u] + unknown_channels[u]]

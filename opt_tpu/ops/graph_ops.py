@@ -111,6 +111,70 @@ def combined_cross_table(idx_list, num_vertices: int, inc=None):
     return out
 
 
+def dia_split(cross, num_vertices: int, max_offsets: int = 8, min_coverage: float = 0.5):
+    """Split the combined cross table into DIA offsets + a gather remainder.
+
+    The CG-loop cross-coupling p-read is a per-row gather (latency-bound,
+    ~85% of a graph CG iteration at 36k vertices). For meshes whose vertex
+    numbering has locality (grids row-major, irregular meshes after RCM-ish
+    ordering), most cross-endpoints sit at a few fixed vertex-id offsets
+    δ = u − v; those incidences can read p by a SHIFT of the packed vertex
+    array — no gather — leaving a small irregular remainder.
+
+    Returns (offsets, masks, rem_pos, rem_cross) or None when the top
+    ``max_offsets`` offsets cover less than ``min_coverage`` of incidences:
+
+    * offsets: list of int δ.
+    * masks: [len(offsets), N, D, m-1] float32 — incidence (v, d, j)
+      assigned to offset k (each incidence assigned at most once).
+    * rem_pos: [N, D_rem] int32 positions into the flattened (d, j) axis
+      (sentinel D·(m-1)) for unassigned incidences.
+    * rem_cross: [N, D_rem] int32 cross vertex ids (sentinel N).
+    """
+    import numpy as np
+
+    cross = np.asarray(cross)
+    n, d_tot, mm1 = cross.shape
+    if mm1 == 0 or n == 0:
+        return None
+    v_ids = np.arange(n, dtype=np.int64)[:, None, None]
+    valid = cross < num_vertices
+    delta = cross.astype(np.int64) - v_ids
+    total = int(valid.sum())
+    if total == 0:
+        return None
+    vals, counts = np.unique(delta[valid], return_counts=True)
+    order = np.argsort(-counts)
+    offsets, masks = [], []
+    covered = np.zeros_like(valid)
+    cov_count = 0
+    for i in order[:max_offsets]:
+        δ = int(vals[i])
+        m = valid & (delta == δ) & ~covered
+        covered |= m
+        cov_count += int(m.sum())
+        offsets.append(δ)
+        masks.append(m.astype(np.float32))
+    if cov_count < min_coverage * total:
+        return None
+    rem = valid & ~covered
+    flat = rem.reshape(n, -1)
+    d_rem = int(flat.sum(1).max()) if flat.any() else 0
+    if d_rem:
+        take = np.argsort(~flat, axis=1, kind="stable")[:, :d_rem]
+        have = np.take_along_axis(flat, take, axis=1)
+        rem_pos = np.where(have, take, d_tot * mm1).astype(np.int32)
+        rem_cross = np.where(
+            have,
+            np.take_along_axis(cross.reshape(n, -1), take, axis=1),
+            num_vertices,
+        ).astype(np.int32)
+    else:
+        rem_pos = np.zeros((n, 0), np.int32)
+        rem_cross = np.zeros((n, 0), np.int32)
+    return offsets, np.stack(masks), rem_pos, rem_cross
+
+
 def ell_tables(idx_by_slot, num_vertices_by_slot):
     """ELL-format tables for gather-only JᵀJ application.
 

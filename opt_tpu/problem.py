@@ -135,6 +135,7 @@ class Plan:
         from .ops.graph_ops import (
             combined_cross_table,
             combined_incidence_table,
+            dia_split,
             ell_tables,
             slot_groups,
         )
@@ -171,14 +172,25 @@ class Plan:
                     inc = combined_incidence_table(
                         [idxs[s] for s in names], n
                     )
-                    cached[group_key] = jnp.asarray(inc)
-                    cached["__ellx__" + group_key[len("__inc__"):]] = (
-                        jnp.asarray(
-                            combined_cross_table(
-                                [idxs[s] for s in names], n, inc=inc
-                            )
-                        )
+                    suffix = group_key[len("__inc__"):]
+                    cross = combined_cross_table(
+                        [idxs[s] for s in names], n, inc=inc
                     )
+                    cached[group_key] = jnp.asarray(inc)
+                    cached["__ellx__" + suffix] = jnp.asarray(cross)
+                    # DIA split: dominant vertex-id offsets become shifted
+                    # adds in the CG loop instead of gathers
+                    dia = dia_split(cross, n)
+                    if dia is not None:
+                        offsets, masks, rem_pos, rem_cross = dia
+                        for k, off in enumerate(offsets):
+                            cached[f"__diamask__{suffix}__{off}"] = (
+                                jnp.asarray(masks[k])
+                            )
+                        cached[f"__diarem__{suffix}"] = jnp.asarray(rem_pos)
+                        cached[f"__diaremcross__{suffix}"] = jnp.asarray(
+                            rem_cross
+                        )
                 # ELL tables for the gather-only JᵀJ apply
                 nvert = {
                     s: int(
