@@ -374,14 +374,16 @@ def assemble(compiled, plan: AssemblyPlan, X, consts, graphs, params, row_masks)
         return m
 
     def _coupling_block(ck):
-        """Masked [E, C_out, C_in] coupling block summed over contributions."""
-        g, u_out, k_out, u_in, k_in = ck
+        """UNMASKED [E, C_out, C_in] coupling block summed over
+        contributions. Exclusion masking is applied in the CG loop as
+        out = M · A(M · p) — identical algebra (masks are 0/1 diagonal),
+        and it avoids one [E]-row mask gather per coupling side (~18
+        gathers per ARAP assembly)."""
         acc = None
         for (t_idx, so, si) in sorted(g_couplings[ck][0]):
             B = B_all[(t_idx, so, si)]
             acc = B if acc is None else acc + B
-        m = _graph_masks(g, u_out, k_out, u_in, k_in)
-        return acc if m is None else acc * m[:, None, None]
+        return acc
 
     # ---- classify coupling coverage -----------------------------------------
     # Every coupling runs through exactly one of three paths:
@@ -423,6 +425,38 @@ def assemble(compiled, plan: AssemblyPlan, X, consts, graphs, params, row_masks)
             g_layouts[(g, group_key)] = (names, u_list, offs, o)
             for k in names:
                 _slot_of_group[(g, k)] = group_key
+
+    _group_mask_cache: Dict[Tuple[str, str], Optional[jnp.ndarray]] = {}
+
+    def _group_mask(g, gk):
+        """Packed [N, Ctot] 0/1 row mask for a vertex-space group (None when
+        nothing is excluded) — the M in out = M · A(M · p)."""
+        key = (g, gk)
+        if key in _group_mask_cache:
+            return _group_mask_cache[key]
+        _names, u_list, _offs, _ctot = g_layouts[key]
+        if all(row_masks.get(u) is None for u in u_list):
+            pm = None
+        else:
+            parts = []
+            for u in u_list:
+                m = row_masks.get(u)
+                shape = (
+                    compiled.unknown_shape(u)[0],
+                    unknown_channels[u],
+                )
+                parts.append(
+                    jnp.ones(shape, dt)
+                    if m is None
+                    else jnp.broadcast_to(m, shape)
+                )
+            pm = (
+                jnp.concatenate(parts, axis=-1)
+                if len(parts) > 1
+                else parts[0]
+            )
+        _group_mask_cache[key] = pm
+        return pm
 
     grp_cks: Dict[Tuple[str, str], list] = {}
     pair_cks: Dict[Tuple, list] = {}
@@ -754,11 +788,13 @@ def assemble(compiled, plan: AssemblyPlan, X, consts, graphs, params, row_masks)
         # no HBM-source output gather and no scatter.
         packed_p = {}
         for (g, gk), (names, u_list, offs, ctot) in g_layouts.items():
-            packed_p[(g, gk)] = (
+            pp = (
                 jnp.concatenate([p[u] for u in u_list], axis=-1)
                 if len(u_list) > 1
                 else p[u_list[0]]
             )
+            pm = _group_mask(g, gk)
+            packed_p[(g, gk)] = pp if pm is None else pp * pm
 
         group_acc: Dict[Tuple[str, str], jnp.ndarray] = {}
         for (g, gk), ex in grp_exec.items():
@@ -801,6 +837,9 @@ def assemble(compiled, plan: AssemblyPlan, X, consts, graphs, params, row_masks)
 
         for (g, gk), acc in group_acc.items():
             _names, u_list, offs, _ctot = g_layouts[(g, gk)]
+            pm = _group_mask(g, gk)
+            if pm is not None:
+                acc = acc * pm  # output-row exclusion mask
             for u in u_list:
                 sl = acc[:, offs[u] : offs[u] + unknown_channels[u]]
                 out[u] = sl if out[u] is None else out[u] + sl
@@ -931,6 +970,9 @@ def assemble(compiled, plan: AssemblyPlan, X, consts, graphs, params, row_masks)
     # path covers (those have per-pair gfields).
     for (g, gk), ex in grp_exec.items():
         dcontrib = jnp.diagonal(ex["S"], axis1=-2, axis2=-1)  # [N, Ct]
+        pm = _group_mask(g, gk)
+        if pm is not None:
+            dcontrib = dcontrib * pm  # masked-operator diagonal (m·d·m, m 0/1)
         _names, u_list, offs, _ct = g_layouts[(g, gk)]
         for u in u_list:
             diag[u] = diag[u] + dcontrib[:, offs[u] : offs[u] + unknown_channels[u]]
