@@ -27,10 +27,11 @@ the pointwise slot-form residual function — no CAS required — and the
 channel-pair sparsity (which (i, j) blocks are structurally zero) is detected
 once per plan by probing with randomized inputs.
 
-Exclusion semantics: row masks (1 = active) are folded into the coefficient
-fields on both sides (output row zeroed, excluded p entries never read),
-matching the exclude gating of the reference PCG kernels
-(solverGPUGaussNewton.t:371,424,450).
+Exclusion semantics match the exclude gating of the reference PCG kernels
+(solverGPUGaussNewton.t:371,424,450): centered coefficient fields fold the
+0/1 row masks on both sides (cheap shifts); graph paths instead apply
+out = M · A(M · p) in the CG loop — identical algebra for diagonal 0/1
+masks, and it avoids per-coupling edge-domain mask gathers at assembly.
 
 Levenberg-Marquardt wraps this operator with + CtC·p exactly as the
 reference adds the damping diagonal inside applyJTJ (o.t:2076-2082).
@@ -353,14 +354,10 @@ def assemble(compiled, plan: AssemblyPlan, X, consts, graphs, params, row_masks)
     # with ELL tables bound, whole coupling blocks come straight from B_all
     # (one masked add per (term, slot pair) — no per-channel-pair detour);
     # without tables, per-(i,j) fields feed the scatter fallback below.
-    g_couplings = {}  # (g,u_out,k_out,u_in,k_in) -> ([(t,so,si)...], diagonal?)
+    g_couplings = {}  # (g,u_out,k_out,u_in,k_in) -> {(t,so,si), ...}
     for key, contribs in plan.g_spec.items():
         g, u_out, k_out, u_in, k_in, i, j = key
-        ck = key[:5]
-        entry = g_couplings.setdefault(ck, [set(), True])
-        entry[0].update(contribs)
-        if i != j or u_out != u_in:
-            entry[1] = False
+        g_couplings.setdefault(key[:5], set()).update(contribs)
 
     def _graph_masks(g, u_out, k_out, u_in, k_in):
         m = None
@@ -380,7 +377,7 @@ def assemble(compiled, plan: AssemblyPlan, X, consts, graphs, params, row_masks)
         and it avoids one [E]-row mask gather per coupling side (~18
         gathers per ARAP assembly)."""
         acc = None
-        for (t_idx, so, si) in sorted(g_couplings[ck][0]):
+        for (t_idx, so, si) in sorted(g_couplings[ck]):
             B = B_all[(t_idx, so, si)]
             acc = B if acc is None else acc + B
         return acc

@@ -96,3 +96,42 @@ def test_spec_solves_and_decreases(name, kind):
     # cost must strictly decrease on the first iteration for these inits
     first_decreased = res.costs[0] < 1e30
     assert first_decreased
+
+
+def test_dia_split_grid_full_coverage():
+    """ops/graph_ops.dia_split: a row-major grid mesh is fully covered by
+    the 4 neighbor offsets; remainder is empty."""
+    import numpy as np
+
+    from opt_tpu.ops.graph_ops import combined_cross_table, dia_split
+
+    n_side = 8
+    N = n_side * n_side
+    vid = np.arange(N).reshape(n_side, n_side)
+    v0 = np.concatenate([vid[:-1].ravel(), vid[:, :-1].ravel()])
+    v1 = np.concatenate([vid[1:].ravel(), vid[:, 1:].ravel()])
+    v0b = np.concatenate([v0, v1]).astype(np.int32)
+    v1b = np.concatenate([v1, v0]).astype(np.int32)
+    cross = combined_cross_table([v0b, v1b], N)
+    out = dia_split(cross, N)
+    assert out is not None
+    offsets, masks, rem_pos, rem_cross = out
+    assert sorted(offsets) == [-n_side, -1, 1, n_side]
+    assert rem_pos.shape[1] == 0  # fully covered, no gather remainder
+    # every valid incidence assigned exactly once
+    valid = (cross < N).sum()
+    assert int(masks.sum()) == int(valid)
+
+
+def test_dia_split_random_graph_falls_back():
+    """A random graph has no dominant offsets: dia_split declines."""
+    import numpy as np
+
+    from opt_tpu.ops.graph_ops import combined_cross_table, dia_split
+
+    rng = np.random.RandomState(0)
+    N, E = 512, 2048
+    v0 = rng.randint(0, N, E).astype(np.int32)
+    v1 = rng.randint(0, N, E).astype(np.int32)
+    cross = combined_cross_table([v0, v1], N)
+    assert dia_split(cross, N) is None
