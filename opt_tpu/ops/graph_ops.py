@@ -111,7 +111,13 @@ def combined_cross_table(idx_list, num_vertices: int, inc=None):
     return out
 
 
-def dia_split(cross, num_vertices: int, max_offsets: int = 8, min_coverage: float = 0.5):
+def dia_split(
+    cross,
+    num_vertices: int,
+    max_offsets: int = 16,
+    min_coverage: float = 0.2,
+    min_offset_share: float = 0.01,
+):
     """Split the combined cross table into DIA offsets + a gather remainder.
 
     The CG-loop cross-coupling p-read is a per-row gather (latency-bound,
@@ -121,8 +127,11 @@ def dia_split(cross, num_vertices: int, max_offsets: int = 8, min_coverage: floa
     δ = u − v; those incidences can read p by a SHIFT of the packed vertex
     array — no gather — leaving a small irregular remainder.
 
-    Returns (offsets, masks, rem_pos, rem_cross) or None when the top
-    ``max_offsets`` offsets cover less than ``min_coverage`` of incidences:
+    Every covered incidence strictly removes gather rows at the cost of one
+    cheap shifted multiply-add, so partial coverage still pays: offsets are
+    kept while each covers at least ``min_offset_share`` of incidences (up
+    to ``max_offsets``), and the split activates when they jointly cover
+    ``min_coverage``. Returns (offsets, masks, rem_pos, rem_cross) or None:
 
     * offsets: list of int δ.
     * masks: [len(offsets), N, D, m-1] float32 — incidence (v, d, j)
@@ -149,13 +158,15 @@ def dia_split(cross, num_vertices: int, max_offsets: int = 8, min_coverage: floa
     covered = np.zeros_like(valid)
     cov_count = 0
     for i in order[:max_offsets]:
+        if counts[i] < min_offset_share * total:
+            break
         δ = int(vals[i])
         m = valid & (delta == δ) & ~covered
         covered |= m
         cov_count += int(m.sum())
         offsets.append(δ)
         masks.append(m.astype(np.float32))
-    if cov_count < min_coverage * total:
+    if not offsets or cov_count < min_coverage * total:
         return None
     rem = valid & ~covered
     flat = rem.reshape(n, -1)

@@ -135,3 +135,82 @@ def test_dia_split_random_graph_falls_back():
     v1 = rng.randint(0, N, E).astype(np.int32)
     cross = combined_cross_table([v0, v1], N)
     assert dia_split(cross, N) is None
+
+
+def test_rcm_reorder_improves_dia_coverage_and_preserves_solution():
+    """utils/reorder: RCM renumbering of a shuffled mesh raises DIA
+    coverage, and the renumbered solve matches the original (up to the
+    permutation)."""
+    import numpy as np
+
+    import opt_tpu as ot
+    from opt_tpu.models.specs import arap_mesh_deformation
+    from opt_tpu.utils.reorder import (
+        dia_coverage,
+        permute_vertices,
+        rcm_order,
+        remap_edges,
+    )
+
+    n_side = 12
+    N = n_side * n_side
+    rng = np.random.RandomState(0)
+    vid = np.arange(N).reshape(n_side, n_side)
+    v0 = np.concatenate([vid[:-1].ravel(), vid[:, :-1].ravel()])
+    v1 = np.concatenate([vid[1:].ravel(), vid[:, 1:].ravel()])
+    v0b = np.concatenate([v0, v1]).astype(np.int32)
+    v1b = np.concatenate([v1, v0]).astype(np.int32)
+    # shuffle the numbering to destroy locality
+    shuf = rng.permutation(N)
+    v0s, v1s = remap_edges(np.argsort(shuf), v0b, v1b)  # old->shuffled ids
+
+    cov_bad = dia_coverage(v0s, v1s, N)
+    perm = rcm_order(v0s, v1s, N)
+    v0r, v1r = remap_edges(perm, v0s, v1s)
+    cov_rcm = dia_coverage(v0r, v1r, N)
+    assert cov_rcm > cov_bad + 0.2, (cov_bad, cov_rcm)
+
+    # solves agree across numbering
+    ii, jj = np.meshgrid(np.arange(n_side), np.arange(n_side), indexing="ij")
+    pos = np.stack([ii.ravel(), jj.ravel(), np.zeros(N)], -1).astype(np.float32)
+    con = -1e6 * np.ones((N, 3), np.float32)
+    con[vid[0, 0]] = pos[vid[0, 0]]
+    con[vid[-1, -1]] = pos[vid[-1, -1]] + np.array([1.5, 0, 1.0], np.float32)
+    pos_s, con_s = permute_vertices(np.argsort(shuf), pos, con)
+    base = {
+        "Angle": np.zeros((N, 3), np.float32),
+        "w_fitSqrt": np.float32(1.0),
+        "w_regSqrt": np.float32(0.7),
+    }
+    res_s = ot.Problem(arap_mesh_deformation).plan(dims={"N": N}).solve(
+        {
+            **base,
+            "Offset": pos_s.copy(),
+            "UrShape": pos_s,
+            "Constraints": con_s,
+            "G": {"v0": v0s, "v1": v1s},
+        },
+        nIterations=3,
+        lIterations=25,
+    )
+    pos_r, con_r = permute_vertices(perm, pos_s, con_s)
+    res_r = ot.Problem(arap_mesh_deformation).plan(dims={"N": N}).solve(
+        {
+            **base,
+            "Offset": pos_r.copy(),
+            "UrShape": pos_r,
+            "Constraints": con_r,
+            "G": {"v0": v0r, "v1": v1r},
+        },
+        nIterations=3,
+        lIterations=25,
+    )
+    assert np.allclose(res_s.final_cost, res_r.final_cost, rtol=1e-4), (
+        res_s.final_cost,
+        res_r.final_cost,
+    )
+    assert np.allclose(
+        np.asarray(res_s.unknowns["Offset"])[np.asarray(perm)],
+        np.asarray(res_r.unknowns["Offset"]),
+        atol=1e-4,
+    )
