@@ -103,12 +103,14 @@ class CompiledProblem:
         d = self.registry.images[name]
         return d.ispace.shape(self.dim_sizes) + (d.channels,)
 
-    def normalize_inputs(self, inputs: Dict[str, Any]):
+    def normalize_inputs(self, inputs: Dict[str, Any], partial: bool = False):
         """Split a flat name->value dict into (unknowns, consts, graphs, params).
 
         The reference binds problem data positionally through a ``void**``
         list (util.t:664-692, NamedParameters.h); we bind by name.
-        """
+        ``partial=True`` converts only the given subset (no missing-input
+        check, no parameter defaulting) — used by the per-leaf input cache
+        in problem.Plan."""
         unknowns, consts, graphs, params = {}, {}, {}, {}
         for name, val in inputs.items():
             if name in self.registry.images:
@@ -135,14 +137,15 @@ class CompiledProblem:
                 params[name] = jnp.asarray(val, self.dtype)
             else:
                 raise SpecError(f"unknown input {name!r}")
-        required = [
-            n for n, d in self.registry.images.items() if d.alias is None
-        ] + list(self.registry.graphs)
-        missing = [n for n in required if n not in inputs]
-        if missing:
-            raise SpecError(f"missing inputs: {missing}")
-        for p in self.registry.params:
-            params.setdefault(p, jnp.zeros((), self.dtype))
+        if not partial:
+            required = [
+                n for n, d in self.registry.images.items() if d.alias is None
+            ] + list(self.registry.graphs)
+            missing = [n for n in required if n not in inputs]
+            if missing:
+                raise SpecError(f"missing inputs: {missing}")
+            for p in self.registry.params:
+                params.setdefault(p, jnp.zeros((), self.dtype))
         return unknowns, consts, graphs, params
 
     # ---- field-mode runs ----------------------------------------------------
