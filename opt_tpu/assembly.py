@@ -149,18 +149,24 @@ def _slot_jacobians(compiled, X, consts, graphs, params, slot_ids):
     # ONE probe-axis transpose per term, then minor-dim slices per slot:
     # stacking per-channel slices instead costs ~3x in relayouts
     moved = [jnp.moveaxis(d, 0, -1) for d in d_all]  # [*dom, r_ch, n_probes]
+    base_of = {}
+    for sid in slot_ids:
+        base_of[sid] = next(
+            pi for pi, (psid, pch) in enumerate(probe_of) if psid == sid
+        )
     D = {}
     for t_idx, term in enumerate(compiled.terms):
         for sid in slot_ids:
             if sid not in term.slot_ids:
                 continue
             s = compiled.registry.slots[sid]
-            base = next(
-                pi for pi, (psid, pch) in enumerate(probe_of) if psid == sid
-            )
+            base = base_of[sid]
             # [*dom, r_ch, C_s]
             D[(t_idx, sid)] = moved[t_idx][..., base : base + s.channels]
-    return D
+    # the raw probe tensors let consumers contract over ALL probe columns in
+    # one op (columns of slots absent from a term are exactly zero) and
+    # slice lazily — materializing per-slot slices relayouts every field
+    return D, moved, base_of
 
 
 def plan_assembly(
@@ -218,7 +224,7 @@ def plan_assembly(
     probe_fields: List[Dict[Tuple, np.ndarray]] = []
     for _draw in range(2):
         Xp, constsp, graphsp, paramsp = _probe_inputs(probe, rng, probe_edges)
-        D = _slot_jacobians(probe, Xp, constsp, graphsp, paramsp, unknown_sids)
+        D, _mv, _bo = _slot_jacobians(probe, Xp, constsp, graphsp, paramsp, unknown_sids)
         pf: Dict[Tuple, np.ndarray] = {}
         for t_idx, term in enumerate(probe.terms):
             t_sids = [sid for sid in unknown_sids if sid in term.slot_ids]
@@ -311,18 +317,22 @@ def assemble(compiled, plan: AssemblyPlan, X, consts, graphs, params, row_masks)
     probe pass is unnecessary — a JᵀF evaluator over residual term arrays,
     and the fused-Pallas-CG descriptor (ops/pallas_cg.py) or None.
     """
-    D = _slot_jacobians(compiled, X, consts, graphs, params, plan.needed_slots)
+    D, moved, base_of = _slot_jacobians(
+        compiled, X, consts, graphs, params, plan.needed_slots
+    )
     slots = compiled.registry.slots
     dt = compiled.dtype
 
-    # full coupling blocks per (term, slot-pair), each ONE einsum; the
-    # per-channel-pair fields below are cheap slices of these.
+    # full coupling blocks per (term, slot-pair), each ONE product; the
+    # per-channel-pair fields below are cheap slices of these. (A single
+    # Gram matrix per term — einsum('...rp,...rq->...pq') over all probe
+    # columns — was tried and measured 14x SLOWER: batched tiny-MXU
+    # matmuls, the einsum trap from docs/PERFORMANCE.md item 4.)
     B_all: Dict[Tuple[int, int, int], jnp.ndarray] = {}
     for contribs in list(plan.w_spec.values()) + list(plan.g_spec.values()):
         for (t_idx, so, si) in contribs:
             if (t_idx, so, si) not in B_all:
-                # outer-product-and-reduce on the VPU; an einsum here lowers
-                # to batched tiny MXU matmuls (~10x slower at 3x3 blocks)
+                # outer-product-and-reduce on the VPU
                 Do = D[(t_idx, so)][..., :, :, None]  # [*dom, r, C_so, 1]
                 Di = D[(t_idx, si)][..., :, None, :]  # [*dom, r, 1, C_si]
                 B_all[(t_idx, so, si)] = jnp.sum(Do * Di, axis=-3)
@@ -880,12 +890,21 @@ def assemble(compiled, plan: AssemblyPlan, X, consts, graphs, params, row_masks)
         o.t:2228-2253) in one pass — and for graph slots through the packed
         combined-incidence gather instead of the transpose's scatter-add."""
         out = {u: None for u in unknown_channels}
+        # ONE r-contraction per term over all probe columns, sliced lazily
+        # per slot (separate per-slot einsums each paid ~1 ms in relayouts
+        # on the 147k-edge ARAP)
+        jt_all = {
+            t_idx: jnp.sum(
+                moved[t_idx] * r_terms[t_idx][..., None], axis=-2
+            )  # VPU mul+reduce, not einsum (MXU trap)
+            for t_idx in {k[0] for k in D}
+        }
         # (graph, group, slot, image) -> [E, C_img]
         edge_parts: Dict[Tuple[str, Optional[str], str, str], jnp.ndarray] = {}
-        for (t_idx, sid), Dts in D.items():
+        for (t_idx, sid) in D:
             s = slots[sid]
-            r = r_terms[t_idx]
-            contrib = jnp.einsum("...rc,...r->...c", Dts, r)  # [*dom, C_s]
+            base = base_of[sid]
+            contrib = jt_all[t_idx][..., base : base + s.channels]  # [*dom, C_s]
             if s.kind == "img":
                 off = tuple(-o for o in s.offset)
                 add = shift(contrib, off)
