@@ -43,6 +43,19 @@ def _mask_rows(x: Dict[str, jnp.ndarray], row_masks) -> Dict[str, jnp.ndarray]:
     return out
 
 
+def _mask_rows_select(x: Dict[str, jnp.ndarray], row_masks) -> Dict[str, jnp.ndarray]:
+    # Select-based masking for values that may be non-finite at excluded rows
+    # (e.g. the LM damping diagonal, where 1/SSq = inf at diag(JᵀJ)=0): v*m
+    # would produce inf*0 = NaN. Used once per nonlinear iteration, outside
+    # the CG hot loop, so the multiplicative-fusion rationale of _mask_rows
+    # does not apply.
+    out = {}
+    for k, v in x.items():
+        m = row_masks.get(k)
+        out[k] = v if m is None else jnp.where(m != 0, v, jnp.zeros_like(v))
+    return out
+
+
 def tree_dot(a: Dict[str, jnp.ndarray], b: Dict[str, jnp.ndarray]) -> jnp.ndarray:
     """Global dot product over the unknown super-vector (reference: warp
     shuffle + atomicAdd reductions, util.t:612-623). jnp.sum + psum under a
@@ -196,6 +209,12 @@ class FunctionSet:
     def mask_rows(self, x):
         _, row_masks = self._mask_cache
         return _mask_rows(x, row_masks)
+
+    def mask_rows_select(self, x):
+        """Where-based row masking, safe for non-finite inputs at excluded
+        rows (multiplicative masking would yield inf*0 = NaN)."""
+        _, row_masks = self._mask_cache
+        return _mask_rows_select(x, row_masks)
 
     # -- assembled gather-form JᵀJ (see assembly.py) ---------------------------
     def assemble_stencil(self, X, plan):

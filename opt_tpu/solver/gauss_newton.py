@@ -344,8 +344,12 @@ class GaussNewtonSolver:
             mult = invS[k] / radius
             ctc[k] = jnp.clip(ctc_un[k], min_d * mult, max_d * mult)
             pre_lm[k] = 1.0 / (ctc[k] + radius * ctc_un[k])
-        ctc = fs.mask_rows(ctc)
-        pre_lm = fs.mask_rows(pre_lm)
+        # select (not multiplicative) masking: at excluded rows diag=0 ⇒
+        # SSq=0 ⇒ invS=inf ⇒ ctc=inf, and inf*0 would be NaN, poisoning
+        # A(p) and stalling every LM step. Runs once per nonlinear
+        # iteration, outside the CG hot loop.
+        ctc = fs.mask_rows_select(ctc)
+        pre_lm = fs.mask_rows_select(pre_lm)
 
         if cg_meta is not None and self._pallas_mode is not None:
             # whole LM inner loop in the fused Pallas kernel: damping,

@@ -297,6 +297,36 @@ def test_lm_decreases_cost_nonlinear():
     assert abs(res_lm.final_cost - res_gn.final_cost) < 1e-3 * res_gn.final_cost
 
 
+@pytest.mark.parametrize("fused", [True, False])
+def test_lm_with_exclude_solves(fused):
+    """Regression (ADVICE r1): multiplicative row-masking of the LM damping
+    diagonal produced inf*0=NaN at excluded rows (diag(JᵀJ)=0 ⇒ SSq=0 ⇒
+    invS=inf ⇒ ctc=inf), so A(p) went NaN and every trust-region step was
+    rejected. LM on an Exclude problem must decrease cost and agree with GN."""
+    from opt_tpu.solver.params import InitializationParameters
+
+    n = 10
+    rng = np.random.RandomState(7)
+    t = rng.rand(n, n, 2).astype(np.float32)
+    m = np.zeros((n, n, 1), np.float32)
+    m[0, :] = m[-1, :] = m[:, 0] = m[:, -1] = 1.0  # border fixed (excluded)
+    x0 = t + 0.3 * rng.rand(n, n, 2).astype(np.float32) * (1.0 - m)
+    inputs = {"X": x0, "T": t, "M": m}
+    ip = InitializationParameters(use_fused_jtj=fused)
+    dims = {"W": n, "H": n}
+    res_lm = ot.Problem(poisson_spec).plan(dims, kind="LMGPU", init_params=ip).solve(
+        inputs, nIterations=12, lIterations=40
+    )
+    res_gn = ot.Problem(poisson_spec).plan(dims, init_params=ip).solve(
+        inputs, nIterations=12, lIterations=40
+    )
+    assert np.isfinite(res_lm.final_cost)
+    assert res_lm.final_cost < 0.5 * res_lm.costs[0] or res_lm.final_cost < 1e-6
+    assert abs(res_lm.final_cost - res_gn.final_cost) <= max(
+        1e-3 * res_gn.final_cost, 1e-6
+    ), (res_lm.final_cost, res_gn.final_cost)
+
+
 def test_stepwise_api_matches_fused():
     n = 8
     rng = np.random.RandomState(6)
