@@ -119,10 +119,16 @@ def main():
     print(f"Vertices: {len(verts)}  Edges: {len(edges[0])}  Markers: {len(ci)}")
     if args.small:
         params = {"numIter": 3, "nonLinearIter": 4, "linearIter": 20}
+    elif args.perf:
+        # performanceRun (main.cpp:81-89): GN+LM, linearIter=1000
+        params = {"numIter": 10, "nonLinearIter": 20, "linearIter": 1000}
     else:
         params = {"numIter": 10, "nonLinearIter": 20, "linearIter": 100}
     solver = ARAPSolver(verts, edges, ci, ct, params)
-    solver.add_opt_solvers()
+    # reference default runs GN only; perf mode adds LM (main.cpp:80-89)
+    solver.add_opt_solvers(
+        ["gaussNewtonGPU"] + (["LMGPU"] if args.perf else [])
+    )
     maybe_add_ceres(solver, args)
     solver.solve_all()
     solver.report_final_costs()

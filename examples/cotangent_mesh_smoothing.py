@@ -8,7 +8,7 @@ edge supply the cotangents — Meyer et al. 03).
 
 import numpy as np
 
-from common import data_path, example_argparser, setup_backend
+from common import data_path, example_argparser, maybe_add_ceres, setup_backend
 
 import opt_tpu as ot
 from opt_tpu.harness import CombinedSolverBase
@@ -81,10 +81,13 @@ def main():
     params = (
         {"numIter": 1, "nonLinearIter": 2, "linearIter": 10}
         if args.small
-        else {"numIter": 1, "nonLinearIter": 10, "linearIter": 100}
+        # reference config: nonLinearIter=5, linearIter=25 (main.cpp:32-33)
+        else {"numIter": 1, "nonLinearIter": 5, "linearIter": 25}
     )
     solver = CotangentSolver(verts, edges, params)
-    solver.add_opt_solvers()
+    # GN only, like the reference (main.cpp:30-31: useOptLM=false)
+    solver.add_opt_solvers(["gaussNewtonGPU"])
+    maybe_add_ceres(solver, args)
     solver.solve_all()
     solver.report_final_costs()
     solver.save_results_csv(args.results)

@@ -7,7 +7,7 @@ residuals each, plus ARAP-style graph regularization over raptor_simplify2k.
 
 import numpy as np
 
-from common import data_path, example_argparser, setup_backend
+from common import data_path, example_argparser, maybe_add_ceres, setup_backend
 
 import opt_tpu as ot
 from opt_tpu.harness import CombinedSolverBase
@@ -71,10 +71,13 @@ def main():
     params = (
         {"numIter": 2, "nonLinearIter": 3, "linearIter": 10}
         if args.small
-        else {"numIter": 8, "nonLinearIter": 10, "linearIter": 60}
+        # reference config (main.cpp:49-53: "LM is good here")
+        else {"numIter": 31, "nonLinearIter": 5, "linearIter": 125}
     )
     solver = EmbeddedSolver(verts, (v0, v1), ci, ct, params)
-    solver.add_opt_solvers()
+    # LM only, like the reference (main.cpp:49-50: useOpt=false, useOptLM=true)
+    solver.add_opt_solvers(["LMGPU"])
+    maybe_add_ceres(solver, args)
     solver.solve_all()
     solver.report_final_costs()
     solver.save_results_csv(args.results)

@@ -89,12 +89,13 @@ def main():
     mask, cons, ur = load_inputs(args.small)
     if args.small:
         params = {"numIter": 4, "nonLinearIter": 3, "linearIter": 30}
-    elif args.perf:
-        params = {"numIter": 19, "nonLinearIter": 8, "linearIter": 400}
     else:
         params = {"numIter": 19, "nonLinearIter": 8, "linearIter": 400}
     solver = WarpSolver(mask, cons, ur, params)
-    solver.add_opt_solvers()
+    # reference default runs GN only; perf mode adds LM (+Ceres)
+    # (main.cpp:110-121)
+    kinds = ["gaussNewtonGPU"] + (["LMGPU"] if args.perf else [])
+    solver.add_opt_solvers(kinds)
     maybe_add_ceres(solver, args)
     solver.solve_all()
     solver.report_final_costs()

@@ -8,7 +8,7 @@ nonlinear iteration (the reference's const-view-of-unknown trick).
 
 import numpy as np
 
-from common import data_path, example_argparser, setup_backend
+from common import data_path, example_argparser, maybe_add_ceres, setup_backend
 
 import opt_tpu as ot
 from opt_tpu.harness import CombinedSolverBase
@@ -59,6 +59,7 @@ def main():
     )
     solver = IntrinsicSolver(img.astype(np.float32), params)
     solver.add_opt_solvers(["gaussNewtonGPU"])
+    maybe_add_ceres(solver, args)
     solver.solve_all()
     solver.report_final_costs()
     solver.save_results_csv(args.results)

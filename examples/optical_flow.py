@@ -9,7 +9,7 @@ nonLinearIter=1, linearIter=50 (main.cpp:42-44).
 
 import numpy as np
 
-from common import data_path, example_argparser, setup_backend
+from common import data_path, example_argparser, maybe_add_ceres, setup_backend
 
 import opt_tpu as ot
 from opt_tpu.harness import CombinedSolverBase

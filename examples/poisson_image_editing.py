@@ -7,7 +7,7 @@ membrane equation as a linear least-squares problem (single GN iteration,
 
 import numpy as np
 
-from common import data_path, example_argparser, setup_backend
+from common import data_path, example_argparser, maybe_add_ceres, setup_backend
 
 import opt_tpu as ot
 from opt_tpu.harness import CombinedSolverBase
@@ -63,7 +63,12 @@ def main():
     inputs = load_inputs(args.small)
     params = {"numIter": 1, "nonLinearIter": 1, "linearIter": 100}
     solver = PoissonSolver(inputs, params)
-    solver.add_opt_solvers()
+    # GN only, like the reference (main.cpp:70-72 sets useOpt only;
+    # useOptLM defaults false). This config is a single linear solve —
+    # one LM iteration would solve the trust-region-DAMPED system
+    # (radius=1e4) and land far above GN; see docs/REGRESSION.md.
+    solver.add_opt_solvers(["gaussNewtonGPU"])
+    maybe_add_ceres(solver, args)
     solver.solve_all()
     solver.report_final_costs()
     solver.save_results_csv(args.results)

@@ -7,7 +7,7 @@ unknowns implementing a lifted robust kernel (w·r fitting + (1−w²) penalty).
 
 import numpy as np
 
-from common import data_path, example_argparser, setup_backend
+from common import data_path, example_argparser, maybe_add_ceres, setup_backend
 
 import opt_tpu as ot
 from opt_tpu.harness import CombinedSolverBase
@@ -74,12 +74,15 @@ def main():
     params = (
         {"numIter": 1, "nonLinearIter": 3, "linearIter": 10}
         if args.small
-        else {"numIter": 1, "nonLinearIter": 15, "linearIter": 60}
+        # reference config (main.cpp:58-61)
+        else {"numIter": 15, "nonLinearIter": 10, "linearIter": 250}
     )
     solver = RobustSolver(
         verts, (v0, v1), targets.astype(np.float32), normals, params
     )
-    solver.add_opt_solvers()
+    # LM only, like the reference (main.cpp:62-63: useOpt=false, useOptLM=true)
+    solver.add_opt_solvers(["LMGPU"])
+    maybe_add_ceres(solver, args)
     solver.solve_all()
     solver.report_final_costs()
     solver.save_results_csv(args.results)

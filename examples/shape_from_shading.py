@@ -9,7 +9,7 @@ import struct
 
 import numpy as np
 
-from common import data_path, example_argparser, setup_backend
+from common import data_path, example_argparser, maybe_add_ceres, setup_backend
 
 import opt_tpu as ot
 from opt_tpu.harness import CombinedSolverBase
@@ -95,7 +95,11 @@ def main():
         else {"numIter": 1, "nonLinearIter": 60, "linearIter": 10}
     )
     solver = SFSSolver(inputs, params)
-    solver.add_opt_solvers(["gaussNewtonGPU"])
+    # reference default runs GN only; perf mode adds LM (main.cpp:30-38)
+    solver.add_opt_solvers(
+        ["gaussNewtonGPU"] + (["LMGPU"] if args.perf else [])
+    )
+    maybe_add_ceres(solver, args)
     solver.solve_all()
     solver.report_final_costs()
     solver.save_results_csv(args.results)

@@ -7,7 +7,7 @@ pulled to targets. Exercises 3-D index spaces and 3-D stencil launches.
 
 import numpy as np
 
-from common import example_argparser, setup_backend
+from common import example_argparser, maybe_add_ceres, setup_backend
 
 import opt_tpu as ot
 from opt_tpu.harness import CombinedSolverBase
@@ -55,10 +55,13 @@ def main():
     params = (
         {"numIter": 2, "nonLinearIter": 3, "linearIter": 10}
         if args.small
-        else {"numIter": 5, "nonLinearIter": 10, "linearIter": 40}
+        # reference config (main.cpp:23-24), numIter defaults to 1
+        else {"numIter": 1, "nonLinearIter": 20, "linearIter": 60}
     )
     solver = VolumetricSolver(dims, params)
-    solver.add_opt_solvers()
+    # GN only, like the reference (no useOptLM in volumetric main.cpp)
+    solver.add_opt_solvers(["gaussNewtonGPU"])
+    maybe_add_ceres(solver, args)
     solver.solve_all()
     solver.report_final_costs()
     solver.save_results_csv(args.results)

@@ -74,26 +74,79 @@ class AssemblyPlan:
         return total
 
 
-def _probe_inputs(compiled, rng, probe_edges: int):
+def _comparison_constants(compiled, X, consts, graphs, params) -> List[float]:
+    """Scalar constants appearing as comparison operands in the residual
+    jaxpr (gt/lt/ge/le/eq/ne). Data-dependent gates like ``greater(D, 2.0)``
+    only flip under the probe distribution if probe values straddle the
+    threshold; the reference's symbolic zero elimination (polysimplify,
+    ad.t:803-926) is exact and has no such blind spot, so the probe value
+    set must cover every traced threshold (ADVICE r1)."""
+    import jax.extend.core as jec
+
+    f = lambda sv: compiled.local_residual_terms(sv, params, consts)
+    sv = compiled.gather_slot_values(X, consts, graphs)
+    try:
+        jaxpr = jax.make_jaxpr(f)(sv)
+    except Exception:  # pragma: no cover - tracing of spec already succeeded
+        return []
+    prims = {"gt", "lt", "ge", "le", "eq", "ne"}
+    out = set()
+
+    def walk(jx):
+        for eqn in jx.eqns:
+            if eqn.primitive.name in prims:
+                for v in eqn.invars:
+                    if isinstance(v, jec.Literal):
+                        val = np.asarray(v.val)
+                        if val.size == 1 and np.issubdtype(
+                            val.dtype, np.number
+                        ):
+                            t = float(val.reshape(()))
+                            if np.isfinite(t):
+                                out.add(t)
+            for p in eqn.params.values():
+                for sub in p if isinstance(p, (tuple, list)) else (p,):
+                    if isinstance(sub, jec.ClosedJaxpr):
+                        walk(sub.jaxpr)
+                    elif isinstance(sub, jec.Jaxpr):
+                        walk(sub)
+
+    walk(jaxpr.jaxpr)
+    vals = set()
+    for t in sorted(out):
+        vals.update((t, t - 0.5, t + 0.5))
+    return sorted(vals)
+
+
+def _probe_inputs(compiled, rng, probe_edges: int, extra_vals=()):
     """Randomized inputs exercising both branches of mask-style selects:
-    constants mix exact {0, 1, -1} with uniform values per pixel so that
-    predicates like eq(M, 0) or greater(D, 0) take both truth values across
-    the probe grid. Graph index arrays are uniform random valid indices."""
+    constants mix exact {0, 1, -1} — plus every traced comparison threshold
+    and values straddling it (``extra_vals``) — with uniform values per
+    pixel so that predicates like eq(M, 0) or greater(D, 2.0) take both
+    truth values across the probe grid. Unknowns mix a uniform base with the
+    same threshold-straddling values (gates may compare unknowns). Graph
+    index arrays are uniform random valid indices."""
+    base_vals = [0.0, 1.0, -1.0] + [
+        v for v in extra_vals if v not in (0.0, 1.0, -1.0)
+    ]
     unknowns, consts = {}, {}
     for name, decl in compiled.registry.images.items():
         if decl.alias is not None:
             continue
         shape = decl.ispace.shape(compiled.dim_sizes) + (decl.channels,)
         if decl.kind == "unknown":
-            unknowns[name] = jnp.asarray(
-                rng.uniform(0.5, 1.5, shape), compiled.dtype
-            )
+            vals = rng.uniform(0.5, 1.5, shape)
+            if extra_vals:
+                pick = np.asarray(extra_vals)[
+                    rng.randint(0, len(extra_vals), shape)
+                ]
+                vals = np.where(rng.rand(*shape) < 0.25, pick, vals)
+            unknowns[name] = jnp.asarray(vals, compiled.dtype)
         else:
-            cat = rng.randint(0, 4, shape)
-            vals = np.where(
-                cat == 0, 0.0,
-                np.where(cat == 1, 1.0, np.where(cat == 2, -1.0, rng.uniform(0.3, 1.7, shape))),
-            )
+            cat = rng.randint(0, len(base_vals) + 1, shape)
+            vals = rng.uniform(0.3, 1.7, shape)
+            for k, bv in enumerate(base_vals):
+                vals = np.where(cat == k, bv, vals)
             consts[name] = jnp.asarray(vals, compiled.dtype)
     graphs = {}
     for gname, gdecl in compiled.registry.graphs.items():
@@ -220,10 +273,17 @@ def plan_assembly(
             return (s_out.image, s_in.image, delta)
         return (s_out.graph, s_out.image, s_out.key[3], s_in.image, s_in.key[3])
 
+    # traced comparison thresholds widen the probe value set so that
+    # data-dependent gates flip across the probe grid (ADVICE r1)
+    Xp0, constsp0, graphsp0, paramsp0 = _probe_inputs(probe, rng, probe_edges)
+    extra_vals = _comparison_constants(probe, Xp0, constsp0, graphsp0, paramsp0)
+
     nonzero: Dict[Tuple[int, int, int, int, int], bool] = {}
     probe_fields: List[Dict[Tuple, np.ndarray]] = []
     for _draw in range(2):
-        Xp, constsp, graphsp, paramsp = _probe_inputs(probe, rng, probe_edges)
+        Xp, constsp, graphsp, paramsp = _probe_inputs(
+            probe, rng, probe_edges, extra_vals
+        )
         D, _mv, _bo = _slot_jacobians(probe, Xp, constsp, graphsp, paramsp, unknown_sids)
         pf: Dict[Tuple, np.ndarray] = {}
         for t_idx, term in enumerate(probe.terms):

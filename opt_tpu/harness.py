@@ -102,12 +102,14 @@ class CombinedSolverBase:
         from .reference_solver import solve_scipy
 
         run = SolverRun(name="CERES-analogue(scipy)")
+        self.pre_single_solve()  # same reset as each Opt run (resetGPU analogue)
         t0 = time.perf_counter()
         cost, _unknowns = solve_scipy(
             self.spec_fn, self.dims, dict(self.problem_inputs), max_nfev=max_nfev
         )
         ms = (time.perf_counter() - t0) * 1e3
         run.iterations.append(SolverIteration(cost, ms))
+        self.post_single_solve()
         return run
 
     def _single_solve(self, kind: str) -> SolverRun:

@@ -114,6 +114,27 @@ class Plan:
         self.solver_params = normalize_solver_params(solver_params)
         self._state = None
         self._bound = None  # (consts, graphs, params)
+        self._fused_validated = False
+
+    def _validate_fused(self, unknowns, consts, graphs, params) -> None:
+        """First-bind safety net for the assembled JᵀJ (ADVICE r1): compare
+        one random-vector apply of the assembled operator against the
+        composed Jᵀ(J·p) at the real inputs; on mismatch drop to the
+        composed path for this plan. Must run before the first traced
+        solve/step so the jit caches trace the surviving path."""
+        if self._fused_validated or self.solver._stencil_plan is None:
+            return
+        self._fused_validated = True
+        if not getattr(self.solver.ip, "validate_fused_jtj", True):
+            return
+        if not self.solver.validate_assembly(unknowns, consts, graphs, params):
+            from .utils.logging import log_solver
+
+            log_solver(
+                "fused JtJ failed real-inputs validation (probe-pruned "
+                "coupling?); falling back to the composed operator"
+            )
+            self.solver._stencil_plan = None
 
     def _normalize_and_place(self, inputs):
         """Convert + augment + place inputs, cached PER LEAF by object
@@ -249,6 +270,7 @@ class Plan:
     # -- stepwise API (Opt_ProblemInit / Opt_ProblemStep, Opt.h:59-66) ----------
     def init(self, inputs: Dict[str, Any]) -> None:
         unknowns, consts, graphs, params = self._normalize_and_place(inputs)
+        self._validate_fused(unknowns, consts, graphs, params)
         self._bound = (consts, graphs, params)
         self._state = self.solver.init(
             unknowns, consts, graphs, params, self.solver_params
@@ -391,6 +413,13 @@ class Plan:
                 p_axes[pn] = None
         graphs = self._augment_incidence(graphs_in)
 
+        if not self._fused_validated and self.solver._stencil_plan is not None:
+            # validate the assembled operator on the batch's first instance
+            u0 = {k: v[0] for k, v in unknowns.items()}
+            c0 = {k: (v[0] if c_axes[k] == 0 else v) for k, v in consts.items()}
+            p0 = {k: (v[0] if p_axes[k] == 0 else v) for k, v in params.items()}
+            self._validate_fused(u0, c0, graphs, p0)
+
         t0 = time.perf_counter()
         state, costs = self.solver._solve_fused_batched(
             unknowns, consts, graphs, params,
@@ -426,6 +455,7 @@ class Plan:
     ) -> SolveResult:
         sp = normalize_solver_params({**self.solver_params, **solver_param_overrides})
         unknowns, consts, graphs, params = self._normalize_and_place(inputs)
+        self._validate_fused(unknowns, consts, graphs, params)
         t0 = time.perf_counter()
         if stepwise:
             self._bound = (consts, graphs, params)

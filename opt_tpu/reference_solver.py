@@ -12,7 +12,9 @@ stack end-to-end; the energy definition itself is validated separately
 against dense oracles (tests/test_operator_parity.py).
 
 Limitations (oracle scope, mirroring the reference's Ceres usage): small
-problems (dense Jacobian), no Exclude-frozen unknowns.
+problems (dense Jacobian). Exclude-frozen unknowns are held fixed at their
+initial values (the solver's semantics: excluded rows never update), so the
+oracle optimizes exactly the same free variables as Opt.
 """
 
 from __future__ import annotations
@@ -44,11 +46,28 @@ def solve_scipy(
     compiled = compile_spec(spec_fn, dims, jnp.float32)
     unknowns, consts, graphs, params = compiled.normalize_inputs(inputs)
     fs = FunctionSet(compiled, consts, graphs, params)
-    excl, _ = fs.masks(unknowns)
+    excl, row_masks = fs.masks(unknowns)
 
     names = list(compiled.unknown_names)
     shapes = {u: unknowns[u].shape for u in names}
     sizes = {u: int(np.prod(shapes[u])) for u in names}
+
+    # Excluded unknowns are frozen at their initial values (the solver's
+    # exclude gating never updates those rows, solverGPUGaussNewton.t:371);
+    # scipy must optimize the same free-variable subspace or it would find a
+    # different (lower) optimum by moving frozen pixels.
+    free = np.concatenate(
+        [
+            (
+                np.ones(sizes[u], bool)
+                if row_masks.get(u) is None
+                else np.broadcast_to(
+                    np.asarray(row_masks[u]) != 0, shapes[u]
+                ).reshape(-1)
+            )
+            for u in names
+        ]
+    )
 
     def unpack(x):
         out = {}
@@ -78,19 +97,30 @@ def solve_scipy(
     x0 = np.concatenate(
         [np.asarray(unknowns[u], np.float64).reshape(-1) for u in names]
     )
+
+    def embed(xf):
+        x = x0.copy()
+        x[free] = xf
+        return x
+
     res = least_squares(
-        lambda x: np.asarray(resid(jnp.asarray(x, jnp.float32)), np.float64),
-        x0,
-        jac=lambda x: np.asarray(jac(jnp.asarray(x, jnp.float32)), np.float64),
+        lambda xf: np.asarray(
+            resid(jnp.asarray(embed(xf), jnp.float32)), np.float64
+        ),
+        x0[free],
+        jac=lambda xf: np.asarray(
+            jac(jnp.asarray(embed(xf), jnp.float32)), np.float64
+        )[:, free],
         method=method,
         max_nfev=max_nfev,
     )
     final_cost = 0.5 * float(np.sum(res.fun**2))
+    x_full = embed(res.x)
     out = {}
     o = 0
     for u in names:
         out[u] = np.asarray(
-            res.x[o : o + sizes[u]], np.float32
+            x_full[o : o + sizes[u]], np.float32
         ).reshape(shapes[u])
         o += sizes[u]
     return final_cost, out

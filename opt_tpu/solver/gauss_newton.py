@@ -174,6 +174,46 @@ class GaussNewtonSolver:
     def step(self, state, consts, graphs, params, sp):
         return self._step_jit(state, consts, graphs, params, self._traced_sp(sp))
 
+    def validate_assembly(self, X, consts, graphs, params) -> bool:
+        """One random-vector apply comparison of the assembled JᵀJ operator
+        against the composed Jᵀ(J·p) at real bound inputs. The probe-based
+        structural-zero pruning in plan_assembly can miss couplings whose
+        data-dependent gates never flip under the probe distribution (the
+        reference's polysimplify, ad.t:803-926, is exact and cannot); this
+        check catches any such miss on the data actually being solved.
+        Returns True when the operators agree."""
+        if self._stencil_plan is None:
+            return True
+        import numpy as np
+
+        c = self.compiled
+        rng = np.random.RandomState(20260817)
+        v = {
+            k: jnp.asarray(rng.uniform(-1.0, 1.0, c.unknown_shape(k)), c.dtype)
+            for k in c.unknown_names
+        }
+
+        def _check(X, consts, graphs, params, v):
+            fs = FunctionSet(c, consts, graphs, params)
+            fs.masks(X)
+            vm = fs.mask_rows(v)
+            _r, J, JT = fs.linearize(X)
+            ref = JT(J(vm))
+            A, _diag, _jtf, _meta = fs.assemble_stencil(X, self._stencil_plan)
+            got = A(vm)
+            err = jnp.zeros((), c.dtype)
+            scale = jnp.zeros((), c.dtype)
+            for k in ref:
+                err = jnp.maximum(err, jnp.max(jnp.abs(ref[k] - got[k])))
+                scale = jnp.maximum(scale, jnp.max(jnp.abs(ref[k])))
+            return err, scale
+
+        err, scale = jax.device_get(
+            jax.jit(_check)(X, consts, graphs, params, v)
+        )
+        tol = 1e-9 if c.dtype == jnp.float64 else 5e-4
+        return bool(err <= tol * (1.0 + scale))
+
     # -- one nonlinear iteration -------------------------------------------------
     def _step(self, state, consts, graphs, params, sp):
         fs = FunctionSet(self.compiled, consts, graphs, params)

@@ -41,6 +41,14 @@ class InitializationParameters:
     # the coefficient fields would exceed the memory budget.
     use_fused_jtj: bool = True
     fused_jtj_memory_limit_bytes: int = 1 << 31
+    # Validate the assembled (fused) JᵀJ operator against the composed
+    # Jᵀ(J·p) once per plan, at the first solve's real inputs: a single
+    # random-vector apply comparison. Probe-based structural-zero detection
+    # can in principle prune couplings whose data-dependent gates never flip
+    # under the probe distribution (the reference's symbolic polysimplify is
+    # exact); on mismatch the plan silently falls back to the composed
+    # operator. Costs one extra small compile per plan.
+    validate_fused_jtj: bool = True
     # Fused multi-iteration CG as one Pallas kernel for VMEM-sized 2-D grid
     # problems with channel-identical stencil couplings (ops/pallas_cg.py).
     # "auto": enabled on TPU backends when the assembled operator qualifies;

@@ -90,6 +90,15 @@ def restore(path: str, plan, inputs: Optional[Dict[str, Any]] = None):
     if inputs is not None:
         unknowns, consts, graphs, params = plan._normalize_and_place(inputs)
         plan._bound = (consts, graphs, params)
+    elif plan._bound is None:
+        # a fresh plan has no bound constants; stepping would crash deep in
+        # the solver unpacking None (ADVICE r1) — fail here with the remedy.
+        raise RuntimeError(
+            "restore() into a freshly constructed plan requires the problem "
+            "inputs: checkpoints persist solver state (unknowns, trust "
+            "region, counters) but not the constant images/graphs/params; "
+            "pass restore(path, plan, inputs=...) to rebind them"
+        )
 
     orbax_dir = os.path.join(path, "state")
     if _HAVE_ORBAX and os.path.isdir(orbax_dir):

@@ -32,6 +32,11 @@ def main():
     ap.add_argument("--out", default="regression_logs")
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument(
+        "--ceres",
+        action="store_true",
+        help="also run the independent scipy oracle in each example",
+    )
     ap.add_argument("--only", nargs="*", default=None)
     args = ap.parse_args()
 
@@ -44,6 +49,8 @@ def main():
             cmd.append("--small")
         if args.cpu:
             cmd.append("--cpu")
+        if args.ceres:
+            cmd.append("--ceres")
         log = os.path.join(args.out, f"{name}.log")
         print(f"=== {name} ===", flush=True)
         with open(log, "w") as f:

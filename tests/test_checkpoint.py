@@ -66,3 +66,26 @@ def test_checkpoint_rejects_mismatched_plan(tmp_path):
     other = ot.Problem(_laplacian).plan(dims={"W": 8, "H": 8})
     with pytest.raises(ValueError):
         checkpoint.restore(path, other)
+
+
+def test_restore_fresh_plan_without_inputs_raises(tmp_path):
+    """Regression (ADVICE r1): restoring into a fresh plan without inputs
+    left plan._bound None, so the documented step() resume crashed with a
+    TypeError deep in the solver. It must fail fast with the remedy."""
+    n = 8
+    rng = np.random.RandomState(3)
+    inputs = {
+        "X": rng.rand(n, n).astype(np.float32),
+        "A": rng.rand(n, n).astype(np.float32),
+    }
+    plan = ot.Problem(_laplacian).plan(dims={"W": n, "H": n}, nIterations=2)
+    plan.init(dict(inputs))
+    plan.step()
+    path = checkpoint.save(str(tmp_path / "c3"), plan, use_orbax=False)
+
+    fresh = ot.Problem(_laplacian).plan(dims={"W": n, "H": n}, nIterations=2)
+    with pytest.raises(RuntimeError, match="inputs"):
+        checkpoint.restore(path, fresh)
+    # with inputs the same restore succeeds and steps
+    checkpoint.restore(path, fresh, inputs=dict(inputs))
+    fresh.step()

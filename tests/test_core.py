@@ -327,6 +327,75 @@ def test_lm_with_exclude_solves(fused):
     ), (res_lm.final_cost, res_gn.final_cost)
 
 
+def _gated_spec(S):
+    # ADVICE r1 repro: the fit coupling is gated on greater(D, 2.0); real
+    # data has D=3.0 (gate open) but the round-1 probe distribution
+    # ({0,1,-1} ∪ U(0.3,1.7)) never exceeded 2.0, so the coupling was
+    # silently pruned from the assembled JᵀJ and the fused path NaN'd.
+    W, H = S.Dim("W"), S.Dim("H")
+    X = S.Unknown("X", 1, (W, H))
+    D = S.Array("D", 1, (W, H))
+    A = S.Array("A", 1, (W, H))
+    S.Energy(ot.Select(ot.greater(D(0, 0), 2.0), X(0, 0) - A(0, 0), 0.0))
+    S.Energy(0.1 * (X(0, 0) - X(1, 0)))
+
+
+def _gated_inputs(n):
+    rng = np.random.RandomState(11)
+    return {
+        "X": rng.rand(n, n).astype(np.float32),
+        "A": rng.rand(n, n).astype(np.float32),
+        "D": np.full((n, n), 3.0, np.float32),
+    }
+
+
+def test_fused_jtj_data_gated_coupling():
+    """Threshold-aware probes: comparison constants traced from the spec
+    must flip the gate across the probe grid, so the fused path keeps the
+    coupling and matches the composed path exactly."""
+    from opt_tpu.solver.params import InitializationParameters
+
+    n = 10
+    inputs = _gated_inputs(n)
+    dims = {"W": n, "H": n}
+    plan_f = ot.Problem(_gated_spec).plan(dims)
+    assert plan_f.solver._stencil_plan is not None
+    res_f = plan_f.solve(inputs, nIterations=6, lIterations=30)
+    # threshold probing should have kept the coupling: no fallback happened
+    assert plan_f.solver._stencil_plan is not None
+    plan_c = ot.Problem(_gated_spec).plan(
+        dims, init_params=InitializationParameters(use_fused_jtj=False)
+    )
+    res_c = plan_c.solve(inputs, nIterations=6, lIterations=30)
+    assert np.isfinite(res_f.final_cost)
+    assert abs(res_f.final_cost - res_c.final_cost) <= max(
+        1e-4 * res_c.final_cost, 1e-7
+    ), (res_f.final_cost, res_c.final_cost)
+
+
+def test_fused_jtj_validation_fallback(monkeypatch):
+    """Safety net: if the probes DO miss a gated coupling (threshold
+    collection disabled here), the first-solve random-vector validation must
+    detect the mismatch and fall back to the composed operator."""
+    import opt_tpu.assembly as assembly
+
+    monkeypatch.setattr(assembly, "_comparison_constants", lambda *a, **k: [])
+    n = 10
+    inputs = _gated_inputs(n)
+    plan = ot.Problem(_gated_spec).plan({"W": n, "H": n})
+    assert plan.solver._stencil_plan is not None
+    res = plan.solve(inputs, nIterations=6, lIterations=30)
+    assert plan.solver._stencil_plan is None  # fell back
+    assert np.isfinite(res.final_cost)
+    plan_c = ot.Problem(_gated_spec).plan({"W": n, "H": n})
+    res_c = ot.Problem(_gated_spec).plan({"W": n, "H": n}).solve(
+        inputs, nIterations=6, lIterations=30
+    )
+    assert abs(res.final_cost - res_c.final_cost) <= max(
+        1e-4 * res_c.final_cost, 1e-7
+    )
+
+
 def test_stepwise_api_matches_fused():
     n = 8
     rng = np.random.RandomState(6)
