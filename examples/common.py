@@ -32,13 +32,21 @@ def example_argparser(description: str) -> argparse.ArgumentParser:
         "reference's USE_CERES comparison; small problems only)",
     )
     ap.add_argument("--results", default="results", help="CSV output directory")
+    ap.add_argument(
+        "--timing",
+        action="store_true",
+        help="collectPerKernelTimingInfo: print the per-phase table and "
+        "greppable TIMING / Per-iter lines after each solve (util.t:469-508)",
+    )
     return ap
 
 
 def maybe_add_ceres(solver, args, max_nfev: int = 200) -> None:
-    """Register the scipy comparison run when --ceres was passed."""
+    """Register the scipy comparison run when --ceres was passed, and apply
+    the --timing flag (collectPerKernelTimingInfo analogue)."""
     if getattr(args, "ceres", False):
         solver.add_scipy_reference_solver(max_nfev=max_nfev)
+    solver.collect_timing = getattr(args, "timing", False)
 
 
 def setup_backend(args) -> None:

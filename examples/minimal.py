@@ -20,7 +20,12 @@ def main():
     n = 64 if args.small else 512
     rng = np.random.RandomState(0)
     noisy = rng.rand(n, n).astype(np.float32)
-    plan = ot.Problem(laplacian).plan(dims={"W": n, "H": n})
+    plan_kw = {}
+    if args.timing:
+        plan_kw["init_params"] = ot.InitializationParameters(
+            collect_per_kernel_timing=True
+        )
+    plan = ot.Problem(laplacian).plan(dims={"W": n, "H": n}, **plan_kw)
     res = plan.solve(
         {"X": noisy.copy(), "A": noisy},
         nIterations=1 if args.small else 10,

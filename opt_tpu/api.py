@@ -69,6 +69,12 @@ def problem_define(state: OptState, spec_fn, kind: str = "gaussNewtonGPU") -> Pr
 
 def problem_plan(state: OptState, problem: Problem, dims: Dict[str, int], **kw) -> Plan:
     """Opt_ProblemPlan (o.t:861-882)."""
+    if state.collect_per_kernel_timing and "init_params" not in kw:
+        from .solver.params import InitializationParameters
+
+        kw["init_params"] = InitializationParameters(
+            collect_per_kernel_timing=True
+        )
     return problem.plan(
         dims, double_precision=state.double_precision, **kw
     )

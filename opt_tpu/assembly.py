@@ -65,6 +65,12 @@ class AssemblyPlan:
     # diagonal pair fields are channel-independent (probed equal): store one
     # [*dom, 1] field and broadcast, instead of C identical copies.
     scalar_groups: frozenset = frozenset()
+    # (term_idx, slot_id) Jacobian fields that are independent of the
+    # unknowns (probed identical under two X draws at fixed consts): their
+    # probes and pair products are hoisted out of the nonlinear loop via
+    # assemble_const (ARAP: ∂r/∂Offset = ±w·I at both endpoints — 9 of 12
+    # probe columns; linear problems like poisson hoist everything).
+    const_tsids: frozenset = frozenset()
 
     def centered_memory_bytes(self, compiled) -> int:
         total = 0
@@ -280,6 +286,7 @@ def plan_assembly(
 
     nonzero: Dict[Tuple[int, int, int, int, int], bool] = {}
     probe_fields: List[Dict[Tuple, np.ndarray]] = []
+    D = constsp = graphsp = paramsp = None
     for _draw in range(2):
         Xp, constsp, graphsp, paramsp = _probe_inputs(
             probe, rng, probe_edges, extra_vals
@@ -357,18 +364,86 @@ def plan_assembly(
         for (_t, so, si) in contribs:
             needed.add(so)
             needed.add(si)
+
+    # constant-slot detection: a (term, slot) Jacobian field that is
+    # bit-identical under a fresh unknown draw (consts/graphs/params held
+    # fixed) is independent of X — its probes and pair products hoist out of
+    # the nonlinear loop (assemble_const). Detection shares the probe
+    # distribution's threshold-aware value mixing, so X-gated fields flip
+    # and register as varying; like the structural-zero pruning it is
+    # probabilistic, backed by the first-solve validation against the
+    # composed operator (GaussNewtonSolver.validate_assembly).
+    Xp_alt, _c2, _g2, _p2 = _probe_inputs(probe, rng, probe_edges, extra_vals)
+    D_alt, _mv2, _bo2 = _slot_jacobians(
+        probe, Xp_alt, constsp, graphsp, paramsp, unknown_sids
+    )
+    const_tsids = set()
+    for key in D:
+        a, b = np.asarray(D[key]), np.asarray(D_alt[key])
+        if np.all(np.isfinite(a)) and np.array_equal(a, b):
+            const_tsids.add(key)
+
     plan = AssemblyPlan(
         w_spec=w_spec,
         g_spec=g_spec,
         needed_slots=sorted(needed),
         scalar_groups=frozenset(scalar),
+        const_tsids=frozenset(const_tsids),
     )
     if plan.centered_memory_bytes(compiled) > memory_limit_bytes:
         return None
     return plan
 
 
-def assemble(compiled, plan: AssemblyPlan, X, consts, graphs, params, row_masks):
+def _used_tsids(compiled, plan) -> List[Tuple[int, int]]:
+    return [
+        (t_idx, sid)
+        for t_idx, term in enumerate(compiled.terms)
+        for sid in plan.needed_slots
+        if sid in term.slot_ids
+    ]
+
+
+def assemble_const(compiled, plan: AssemblyPlan, X0, consts, graphs, params):
+    """Loop-invariant assembly phase: probe the X-independent (term, slot)
+    Jacobian fields once (any evaluation point is valid — here the solve's
+    initial unknowns) and pre-multiply every coupling block whose both sides
+    are constant. The solver runs this BEFORE the nonlinear ``while_loop``;
+    the per-step :func:`assemble` then probes only the varying slots. For
+    ARAP this hoists 9 of 12 probe columns and the Offset×Offset blocks; for
+    linear problems (poisson) the entire operator hoists and per-step
+    assembly is free."""
+    used = _used_tsids(compiled, plan)
+    const_ts = [k for k in used if k in plan.const_tsids]
+    var_slots = sorted(
+        {sid for (t, sid) in used if (t, sid) not in plan.const_tsids}
+    )
+    if not const_ts:
+        return {"D": {}, "moved": None, "base": {}, "B": {},
+                "var_slots": var_slots}
+    cache_slots = sorted({sid for (_t, sid) in const_ts})
+    D_all, moved, base_of = _slot_jacobians(
+        compiled, X0, consts, graphs, params, cache_slots
+    )
+    D = {k: D_all[k] for k in const_ts}
+    B: Dict[Tuple[int, int, int], jnp.ndarray] = {}
+    for contribs in list(plan.w_spec.values()) + list(plan.g_spec.values()):
+        for key in contribs:
+            t_idx, so, si = key
+            if key in B:
+                continue
+            if (t_idx, so) in plan.const_tsids and (
+                t_idx, si
+            ) in plan.const_tsids:
+                Do = D[(t_idx, so)][..., :, :, None]
+                Di = D[(t_idx, si)][..., :, None, :]
+                B[key] = jnp.sum(Do * Di, axis=-3)
+    return {"D": D, "moved": moved, "base": base_of, "B": B,
+            "var_slots": var_slots}
+
+
+def assemble(compiled, plan: AssemblyPlan, X, consts, graphs, params,
+             row_masks, const_cache=None):
     """Assemble the coefficient fields at linearization point X.
 
     Returns (apply_fn, diag, jtf_fn, cg_meta): the row/column-masked JᵀJ·p
@@ -376,19 +451,56 @@ def assemble(compiled, plan: AssemblyPlan, X, consts, graphs, params, row_masks)
     fields and the same-endpoint graph fields, so the separate diagonal
     probe pass is unnecessary — a JᵀF evaluator over residual term arrays,
     and the fused-Pallas-CG descriptor (ops/pallas_cg.py) or None.
+
+    With ``const_cache`` (from :func:`assemble_const`) only the varying
+    slots are probed at X; constant fields and constant×constant coupling
+    blocks come from the cache and stay loop-invariant inside the solver's
+    fused ``while_loop`` — the TPU analogue of the reference folding
+    input-independent partials at compile time (ad.t:129-251 constant
+    folding under polysimplify).
     """
-    D, moved, base_of = _slot_jacobians(
-        compiled, X, consts, graphs, params, plan.needed_slots
-    )
     slots = compiled.registry.slots
     dt = compiled.dtype
+
+    if const_cache is None:
+        D, moved, base_of = _slot_jacobians(
+            compiled, X, consts, graphs, params, plan.needed_slots
+        )
+        jt_sources = [(moved, base_of)]
+        src_of = {k: 0 for k in D}
+        B_pre: Dict[Tuple[int, int, int], jnp.ndarray] = {}
+    else:
+        var_slots = const_cache["var_slots"]
+        if var_slots:
+            D_var, moved_var, base_var = _slot_jacobians(
+                compiled, X, consts, graphs, params, var_slots
+            )
+        else:
+            D_var, moved_var, base_var = {}, None, {}
+        D = dict(D_var)
+        # cache wins for constant (t, sid): the cached array is
+        # loop-invariant, so every product against it hoists too
+        D.update(const_cache["D"])
+        jt_sources = []
+        src_of = {}
+        vi = None
+        if moved_var is not None:
+            vi = len(jt_sources)
+            jt_sources.append((moved_var, base_var))
+        ci = None
+        if const_cache["moved"] is not None:
+            ci = len(jt_sources)
+            jt_sources.append((const_cache["moved"], const_cache["base"]))
+        for k in D:
+            src_of[k] = ci if k in const_cache["D"] else vi
+        B_pre = const_cache["B"]
 
     # full coupling blocks per (term, slot-pair), each ONE product; the
     # per-channel-pair fields below are cheap slices of these. (A single
     # Gram matrix per term — einsum('...rp,...rq->...pq') over all probe
     # columns — was tried and measured 14x SLOWER: batched tiny-MXU
     # matmuls, the einsum trap from docs/PERFORMANCE.md item 4.)
-    B_all: Dict[Tuple[int, int, int], jnp.ndarray] = {}
+    B_all: Dict[Tuple[int, int, int], jnp.ndarray] = dict(B_pre)
     for contribs in list(plan.w_spec.values()) + list(plan.g_spec.values()):
         for (t_idx, so, si) in contribs:
             if (t_idx, so, si) not in B_all:
@@ -950,21 +1062,26 @@ def assemble(compiled, plan: AssemblyPlan, X, consts, graphs, params, row_masks)
         o.t:2228-2253) in one pass — and for graph slots through the packed
         combined-incidence gather instead of the transpose's scatter-add."""
         out = {u: None for u in unknown_channels}
-        # ONE r-contraction per term over all probe columns, sliced lazily
-        # per slot (separate per-slot einsums each paid ~1 ms in relayouts
-        # on the 147k-edge ARAP)
-        jt_all = {
-            t_idx: jnp.sum(
-                moved[t_idx] * r_terms[t_idx][..., None], axis=-2
-            )  # VPU mul+reduce, not einsum (MXU trap)
-            for t_idx in {k[0] for k in D}
-        }
+        # ONE r-contraction per (term, probe source) over all its probe
+        # columns, sliced lazily per slot (separate per-slot einsums each
+        # paid ~1 ms in relayouts on the 147k-edge ARAP). With a const
+        # cache there are up to two sources per term: the per-step varying
+        # probes and the hoisted constant probes.
+        jt_all = {}
+        for (t_idx, sid) in D:
+            si_ = src_of[(t_idx, sid)]
+            if (si_, t_idx) not in jt_all:
+                mv = jt_sources[si_][0]
+                jt_all[(si_, t_idx)] = jnp.sum(
+                    mv[t_idx] * r_terms[t_idx][..., None], axis=-2
+                )  # VPU mul+reduce, not einsum (MXU trap)
         # (graph, group, slot, image) -> [E, C_img]
         edge_parts: Dict[Tuple[str, Optional[str], str, str], jnp.ndarray] = {}
         for (t_idx, sid) in D:
             s = slots[sid]
-            base = base_of[sid]
-            contrib = jt_all[t_idx][..., base : base + s.channels]  # [*dom, C_s]
+            si_ = src_of[(t_idx, sid)]
+            base = jt_sources[si_][1][sid]
+            contrib = jt_all[(si_, t_idx)][..., base : base + s.channels]  # [*dom, C_s]
             if s.kind == "img":
                 off = tuple(-o for o in s.offset)
                 add = shift(contrib, off)

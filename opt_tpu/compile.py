@@ -127,6 +127,10 @@ class CompiledProblem:
                     raise SpecError(
                         f"image {name!r}: expected shape {expect}, got {tuple(arr.shape)}"
                     )
+                if decl.kind != UNKNOWN and jnp.issubdtype(
+                    arr.dtype, jnp.floating
+                ):
+                    arr = self._sanitize_sentinels(arr)
                 (unknowns if decl.kind == UNKNOWN else consts)[name] = arr
             elif name in self.registry.graphs:
                 g = val if isinstance(val, dict) else {
@@ -147,6 +151,64 @@ class CompiledProblem:
             for p in self.registry.params:
                 params.setdefault(p, jnp.zeros((), self.dtype))
         return unknowns, consts, graphs, params
+
+    def _sanitize_sentinels(self, arr):
+        """Clamp ±inf entries of constant arrays to a large finite sentinel.
+
+        Reference apps mark invalid entries with ±inf (e.g. arap
+        CombinedSolver.h:83 fills unconstrained vertices with -inf) and gate
+        on finite thresholds (``greatereq(C, -999999.9)``); the reference
+        compiles Select into condition blocks, so the infinities are never
+        *evaluated* (o.t:1634-1650). Under trace-based AD every branch is
+        evaluated, and an inf inside an untaken branch turns 0·inf into NaN
+        in the vjp of any nonlinear op. Clamping at bind time keeps the inf
+        out of arithmetic entirely — the trace-level analogue of never
+        executing the branch. The magnitude stays above every comparison
+        threshold traced from the spec (so all validity tests keep their
+        truth value) yet small enough that squares/products of sentinels
+        stay finite in float32. Semantics differ from the reference only if
+        a residual *consumes* an inf through a taken branch — which yields
+        an inf/NaN cost there too."""
+        s = getattr(self, "_sentinel_mag", None)
+        if s is None:
+            s = 2.0e6
+            try:
+                thresholds = self._traced_comparison_thresholds()
+                if thresholds:
+                    s = max(s, 8.0 * max(abs(t) for t in thresholds))
+            except Exception:  # pragma: no cover - tracing is best-effort
+                pass
+            self._sentinel_mag = s
+        return jnp.where(
+            arr == jnp.inf, jnp.asarray(s, arr.dtype),
+            jnp.where(arr == -jnp.inf, jnp.asarray(-s, arr.dtype), arr),
+        )
+
+    def _traced_comparison_thresholds(self):
+        """Scalar comparison-operand literals in the residual jaxpr (shared
+        machinery with assembly's threshold-aware probes)."""
+        cached = getattr(self, "_cmp_thresholds", None)
+        if cached is not None:
+            return cached
+        from .assembly import _comparison_constants
+
+        zeros_u = {
+            n: jnp.zeros(self.unknown_shape(n), self.dtype)
+            for n in self.unknown_names
+        }
+        zeros_c = {
+            n: jnp.zeros(d.ispace.shape(self.dim_sizes) + (d.channels,), self.dtype)
+            for n, d in self.registry.images.items()
+            if d.kind != UNKNOWN and d.alias is None
+        }
+        zeros_g = {
+            g: {s: jnp.zeros((2,), jnp.int32) for s in d.slots}
+            for g, d in self.registry.graphs.items()
+        }
+        zeros_p = {p: jnp.zeros((), self.dtype) for p in self.registry.params}
+        out = _comparison_constants(self, zeros_u, zeros_c, zeros_g, zeros_p)
+        self._cmp_thresholds = out
+        return out
 
     # ---- field-mode runs ----------------------------------------------------
     def _run(self, mode, unknowns, consts, graphs, params, slot_values=None):

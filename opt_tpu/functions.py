@@ -217,7 +217,7 @@ class FunctionSet:
         return _mask_rows_select(x, row_masks)
 
     # -- assembled gather-form JᵀJ (see assembly.py) ---------------------------
-    def assemble_stencil(self, X, plan):
+    def assemble_stencil(self, X, plan, const_cache=None):
         """(apply_fn, diag, jtf_fn, cg_meta): row/column-masked JᵀJ·p in
         assembled gather form, the Jacobi diagonal read off the Δ=0 fields,
         a JᵀF evaluator, and the fused-Pallas-CG descriptor (or None). The
@@ -227,7 +227,18 @@ class FunctionSet:
 
         _, row_masks = self.masks(X)
         return assemble(
-            self.c, plan, X, self.consts, self.graphs, self.params, row_masks
+            self.c, plan, X, self.consts, self.graphs, self.params, row_masks,
+            const_cache=const_cache,
+        )
+
+    def assemble_const(self, X0, plan):
+        """Loop-invariant assembly phase (assembly.assemble_const): probes
+        the X-independent (term, slot) Jacobian fields once. Run before the
+        nonlinear loop; pass the result to assemble_stencil each step."""
+        from .assembly import assemble_const
+
+        return assemble_const(
+            self.c, plan, X0, self.consts, self.graphs, self.params
         )
 
     # -- misc ---------------------------------------------------------------

@@ -120,11 +120,20 @@ class CombinedSolverBase:
         num_iter = int(self.solver_params.get("numIter", 1))
         non_linear = int(self.solver_params.get("nonLinearIter", 10))
         linear = int(self.solver_params.get("linearIter", 10))
+        plan_kw = {}
+        if getattr(self, "collect_timing", False):
+            # collectPerKernelTimingInfo: TIMING lines per solve (Opt.h:21-25)
+            from .solver.params import InitializationParameters
+
+            plan_kw["init_params"] = InitializationParameters(
+                collect_per_kernel_timing=True
+            )
         self.plan = Problem(self.spec_fn).plan(
             dims=self.dims,
             kind=kind,
             nIterations=non_linear,
             lIterations=linear,
+            **plan_kw,
         )
         self.pre_single_solve()
         for it in range(num_iter):

@@ -22,12 +22,27 @@ from .spec import current_builder
 
 
 def Select(cond, a, b):
-    """reference ad.select: elementwise cond ? a : b with broadcasting."""
+    """reference ad.select: elementwise cond ? a : b with broadcasting.
+
+    Compiled as the double-``where`` form: each operand is select-guarded
+    before the outer select, so the untaken side contributes neither values
+    nor gradients. This matches the reference's condition-block semantics —
+    it emits real branches and never evaluates the untaken side
+    (o.t:1634-1650, ad.t:928-942 splitcondition). Reference apps rely on
+    this with non-finite sentinels (invalid constraints are filled with
+    -inf, e.g. arap_mesh_deformation/src/CombinedSolver.h:83, and specs gate
+    on ``greatereq(C, -999999.9)``): a plain ``jnp.where`` would forward the
+    value correctly but let ±inf from the untaken branch poison the vjp
+    (0·inf = NaN in downstream product rules). The inner guards clamp the
+    untaken side to 0, keeping both the value and every tangent/cotangent
+    finite."""
     a = jnp.asarray(a)
     b = jnp.asarray(b) if not isinstance(b, (int, float)) else jnp.asarray(b, a.dtype)
     if hasattr(cond, "dtype") and cond.dtype != jnp.bool_:
         cond = cond != 0
-    return jnp.where(cond, a, b)
+    a_g = jnp.where(cond, a, jnp.zeros((), a.dtype))
+    b_g = jnp.where(cond, jnp.zeros((), b.dtype), b)
+    return jnp.where(cond, a_g, b_g)
 
 
 def All(v):

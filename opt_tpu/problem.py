@@ -488,7 +488,7 @@ class Plan:
         if stepwise:
             n, final = int(state["n_iter"]), float(state["prev_cost"])
             lin = state["lin_iters"]
-        return SolveResult(
+        result = SolveResult(
             unknowns=state["X"],
             final_cost=float(final),
             costs=cost_arr,
@@ -496,3 +496,10 @@ class Plan:
             wall_time_s=wall,
             num_linear_iterations=int(lin),
         )
+        if self.solver.ip.collect_per_kernel_timing:
+            # Opt.h collectPerKernelTimingInfo: per-solve timing table +
+            # TIMING / Per-iter lines (util.t:469-508)
+            from .utils.timer import report_solve_timing
+
+            report_solve_timing(self, result)
+        return result

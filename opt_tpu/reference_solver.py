@@ -92,7 +92,41 @@ def solve_scipy(
         return jnp.concatenate(parts)
 
     resid = jax.jit(resid_jnp)
-    jac = jax.jit(jax.jacfwd(resid_jnp))
+
+    # Sparse Jacobian via the framework's COO export (jacobian.dump_jacobian,
+    # the reference's dumpJ/saveJToCRS machinery, solverGPUGaussNewton.t:
+    # 252-304). A dense jacfwd J is O(n_res × n_unk) memory — already ~9 GB
+    # at a 64² 4-channel grid — while the true J has a few nonzeros per row.
+    # TRF accepts sparse J with tr_solver="lsmr". Row ordering matches
+    # resid_jnp's concatenation exactly (term-major, then element×channel),
+    # and rows are scaled by the same sqrt cost-mask factors.
+    from scipy import sparse as _sp
+
+    from .jacobian import dump_jacobian
+
+    scale_parts = []
+    for term, val in zip(compiled.terms, fs.F(unknowns)):
+        m = compiled.term_cost_mask(term, excl)
+        if m is None:
+            scale_parts.append(np.ones(val.size, np.float64))
+        else:
+            s = np.sqrt(np.maximum(1.0 - np.asarray(m, np.float64), 0.0))
+            scale_parts.append(
+                np.broadcast_to(s, np.asarray(val).shape).reshape(-1)
+            )
+    row_scale = np.concatenate(scale_parts)
+
+    def jac_sparse(xf):
+        X = unpack(embed(xf))
+        d = dump_jacobian(compiled, X, consts, graphs, params)
+        J = _sp.coo_matrix(
+            (
+                np.asarray(d["vals"], np.float64) * row_scale[d["rows"]],
+                (d["rows"], d["cols"]),
+            ),
+            shape=d["shape"],
+        ).tocsr()
+        return J[:, free]
 
     x0 = np.concatenate(
         [np.asarray(unknowns[u], np.float64).reshape(-1) for u in names]
@@ -108,10 +142,9 @@ def solve_scipy(
             resid(jnp.asarray(embed(xf), jnp.float32)), np.float64
         ),
         x0[free],
-        jac=lambda xf: np.asarray(
-            jac(jnp.asarray(embed(xf), jnp.float32)), np.float64
-        )[:, free],
+        jac=jac_sparse,
         method=method,
+        tr_solver="lsmr",
         max_nfev=max_nfev,
     )
     final_cost = 0.5 * float(np.sum(res.fun**2))

@@ -229,6 +229,15 @@ class GaussNewtonSolver:
 
         return jax.lax.cond(active, run, lambda s: s, state)
 
+    def _asm_cache(self, fs: FunctionSet, X0):
+        """Loop-invariant assembly data (constant-slot probes + products),
+        computed once per solve before the nonlinear while_loop."""
+        if self._stencil_plan is None or getattr(
+            self.ip, "use_explicit_jtj", False
+        ):
+            return None
+        return fs.assemble_const(X0, self._stencil_plan)
+
     # ---- shared PCG pieces -------------------------------------------------
     def _prepare(self, X, fs: FunctionSet, need_jtf: bool = True):
         fs.masks(X)  # populate the mask cache at the linearization point
@@ -239,7 +248,7 @@ class GaussNewtonSolver:
         r0 = {k: -v for k, v in jtf.items()}
         return r_terms, J, JT, r0
 
-    def _gn_step(self, state, fs: FunctionSet, sp):
+    def _gn_step(self, state, fs: FunctionSet, sp, asm_cache=None):
         X = self._constrain(state["X"])
         cg_meta = None
         if getattr(self.ip, "use_explicit_jtj", False):
@@ -256,9 +265,11 @@ class GaussNewtonSolver:
                 None,
             )
         elif self._stencil_plan is not None:
+            if asm_cache is None:
+                asm_cache = self._asm_cache(fs, X)
             r_terms, J, _JT, _ = self._prepare(X, fs, need_jtf=False)
             A, diag_asm, jtf_fn, cg_meta = fs.assemble_stencil(
-                X, self._stencil_plan
+                X, self._stencil_plan, asm_cache
             )
             r0 = {k: -v for k, v in jtf_fn(r_terms).items()}
         else:
@@ -332,7 +343,7 @@ class GaussNewtonSolver:
             "lin_iters": state["lin_iters"] + l_done,
         }
 
-    def _lm_step(self, state, fs: FunctionSet, sp):
+    def _lm_step(self, state, fs: FunctionSet, sp, asm_cache=None):
         dt = self.compiled.dtype
         X = self._constrain(state["X"])
         radius = state["trust_region_radius"].astype(dt)
@@ -347,9 +358,11 @@ class GaussNewtonSolver:
             A_base = explicit_jtj_apply(self.compiled, Jexp, fs.row_masks)
             diag = fs.jtj_diag(X)
         elif self._stencil_plan is not None:
+            if asm_cache is None:
+                asm_cache = self._asm_cache(fs, X)
             r_terms, J, _JT, _ = self._prepare(X, fs, need_jtf=False)
             A_base, diag, jtf_fn, cg_meta = fs.assemble_stencil(
-                X, self._stencil_plan
+                X, self._stencil_plan, asm_cache
             )
             r0 = {k: -v for k, v in jtf_fn(r_terms).items()}
         else:
@@ -546,6 +559,13 @@ class GaussNewtonSolver:
         # body is traced unconditionally and indexes it.
         costs = jnp.full((max(1, max_iters),), jnp.nan, self.compiled.dtype)
 
+        # constant-slot assembly data, probed once at the initial X: closed
+        # over by the loop body, so it enters the while_loop as an invariant
+        # input — the per-step assemble probes only the varying slots.
+        asm_cache = self._asm_cache(
+            FunctionSet(self.compiled, consts, graphs, params), X
+        )
+
         def cond(carry):
             state, _ = carry
             return jnp.logical_and(
@@ -556,7 +576,7 @@ class GaussNewtonSolver:
             state, costs = carry
             fs = FunctionSet(self.compiled, consts, graphs, params)
             new_state = (self._lm_step if self.uses_lambda else self._gn_step)(
-                state, fs, sp
+                state, fs, sp, asm_cache
             )
             costs = costs.at[state["n_iter"]].set(new_state["prev_cost"])
             return new_state, costs

@@ -60,6 +60,11 @@ class InitializationParameters:
     # a BCOO once per nonlinear iteration and run JᵀJ·p as two sparse
     # matvecs (explicit.py). Verification / special-purpose surface.
     use_explicit_jtj: bool = False
+    # Opt_InitializationParameters.collectPerKernelTimingInfo (Opt.h:21-25):
+    # after each solve, print the per-phase timing table plus the greppable
+    # ``TIMING`` / ``Per-iter times ms (nonlinear, linear)`` lines
+    # (util.t:469-508 format; utils/timer.report_solve_timing).
+    collect_per_kernel_timing: bool = False
 
 
 # Runtime-settable parameters (solverGPUGaussNewton.t:26-39). `nIterations`

@@ -28,12 +28,10 @@ Spec functions must be deterministic across re-execution (same declarations,
 same Energy calls in the same order) — the same constraint jit already places
 on traced Python.
 
-NOTE on Select semantics: the reference compiles ``ad.select`` into actual
-condition blocks so the untaken branch is never evaluated (o.t:1634-1650).
-Here Select is ``jnp.where`` — both branches are computed eagerly, so
-non-finite sentinel values (±inf) in constant arrays poison gradients
-(0·inf = NaN in the vjp of products). Use finite sentinels: e.g. -1e6
-instead of -inf still fails the reference's ``>= -999999.9`` validity test.
+Select semantics match the reference's condition blocks (o.t:1634-1650):
+``lib.Select`` uses the double-``where`` form, so the untaken branch
+contributes neither values nor gradients and non-finite sentinels (±inf, as
+the reference apps use for invalid constraints) are safe.
 """
 
 from __future__ import annotations

@@ -72,6 +72,110 @@ class Timer:
         return text
 
 
+def _measure_phases(plan):
+    """Average ms per logical solver kernel, measured as standalone jitted
+    programs at the plan's bound inputs. Under XLA the real solve is ONE
+    fused program (deliberately — that fusion is the perf win over the
+    reference's 6 launches per CG iteration), so per-"kernel" numbers are
+    attributions of the reference's kernel taxonomy
+    (solverGPUGaussNewton.t:361-678), not launches observed inside the
+    solve."""
+    import jax
+
+    from ..functions import FunctionSet
+
+    consts, graphs, params = plan._bound
+    X = plan._state["X"]
+    c = plan.compiled
+    timer = Timer()
+
+    @jax.jit
+    def jtf_pre(X):
+        fs = FunctionSet(c, consts, graphs, params)
+        return fs.jtf_and_pre(X)
+
+    @jax.jit
+    def diag(X):
+        fs = FunctionSet(c, consts, graphs, params)
+        return fs.jtj_diag(X)
+
+    @jax.jit
+    def jtjp_once(X, p):
+        fs = FunctionSet(c, consts, graphs, params)
+        fs.masks(X)
+        _, _, _, A = fs.make_jtj_apply(X)
+        return A(p)
+
+    @jax.jit
+    def cost(X):
+        fs = FunctionSet(c, consts, graphs, params)
+        return fs.cost(X)
+
+    p_dir = {k: v * 0 + 1.0 for k, v in X.items()}
+    cases = [
+        ("PCGInit1", jtf_pre, (X,), "nonlinear"),
+        ("PCGStep1", jtjp_once, (X, p_dir), "linear"),
+        ("computeCost", cost, (X,), "nonlinear"),
+    ]
+    if plan.uses_lambda:
+        cases.append(("PCGComputeCtC", diag, (X,), "nonlinear"))
+    out = {}
+    for name, fn, args, scope in cases:
+        fn(*args)  # compile
+        timer.time(name, fn, *args, repeats=3)
+        out[name] = (timer.stats[name].average_ms, scope)
+    return out
+
+
+def report_solve_timing(plan, result) -> str:
+    """Per-solve timing report in the reference Timer:evaluate() format
+    (util.t:469-508): aggregate kernel table, the greppable ``TIMING`` line
+    (PCGInit1 / PCGStep1 / overall totals) and the ``Per-iter times ms
+    (nonlinear, linear)`` aggregate pair. Counts come from the solve that
+    just ran; per-kernel averages are measured once per plan
+    (:func:`_measure_phases`) and cached."""
+    phases = getattr(plan, "_timing_phases", None)
+    if phases is None:
+        phases = _measure_phases(plan)
+        plan._timing_phases = phases
+    n = max(1, result.num_iterations)
+    lin = max(1, result.num_linear_iterations)
+    overall = result.wall_time_s * 1e3
+
+    rows = []
+    for name, (avg, scope) in phases.items():
+        count = n if scope == "nonlinear" else lin
+        rows.append((name, count, avg * count, avg))
+    rows.append(("overall", 1, overall, overall))
+
+    lines = [
+        "--------------------------------------------------------",
+        "        Kernel        |   Count  |   Total   | Average ",
+        "----------------------+----------+-----------+----------",
+    ]
+    for name, count, total, avg in rows:
+        lines.append(
+            f" {name:<20} |   {count:4d}   | {total:8.3f}ms| {avg:7.4f}ms"
+        )
+    lines.append("--------------------------------------------------------")
+    timing_vals = [
+        f"{total:f}"
+        for name, _c, total, _a in rows
+        if name.startswith(("PCGInit1", "PCGStep1", "overall"))
+    ]
+    lines.append("TIMING " + " ".join(timing_vals) + " ")
+    nl_total = sum(t for _n, c, t, _a in rows[:-1] if c == n)
+    lin_total = sum(t for _n, c, t, _a in rows[:-1] if c == lin)
+    if n == lin:  # counts coincide: everything lands in both buckets
+        lin_total = nl_total
+    lines.append(
+        f"Per-iter times ms (nonlinear,linear): {nl_total:7.4f}\t{lin_total:7.4f}"
+    )
+    text = "\n".join(lines)
+    print(text)
+    return text
+
+
 def profile_plan(plan, inputs, n_nonlinear: int = 3, l_small: int = 10, l_big: int = 50):
     """Measure solver phases for a plan; prints the reference's TIMING and
     per-iteration lines. Returns {phase: ms} plus the marginal PCG ms."""
