@@ -248,6 +248,33 @@ def plan_assembly(
     replaces the reference's symbolic zero elimination (polysimplify,
     ad.t:803-926) without a CAS.
     """
+    # Deterministic given (compiled, knobs): memoize on the compiled object
+    # (itself cached per (spec, dims, dtype) by compile_spec), so repeated
+    # plans of one problem skip the probe evaluation entirely.
+    cache_key = (probe_size, probe_edges, memory_limit_bytes)
+    cache = getattr(compiled, "_assembly_plan_cache", None)
+    if cache is None:
+        cache = {}
+        compiled._assembly_plan_cache = cache
+    if cache_key not in cache:
+        cache[cache_key] = _plan_assembly_uncached(
+            spec_fn,
+            compiled,
+            probe_size=probe_size,
+            probe_edges=probe_edges,
+            memory_limit_bytes=memory_limit_bytes,
+        )
+    return cache[cache_key]
+
+
+def _plan_assembly_uncached(
+    spec_fn,
+    compiled,
+    *,
+    probe_size: int,
+    probe_edges: int,
+    memory_limit_bytes: int,
+) -> Optional[AssemblyPlan]:
     from .compile import compile_spec
 
     probe_dims = {k: min(v, probe_size) for k, v in compiled.dim_sizes.items()}

@@ -127,9 +127,18 @@ class CompiledProblem:
                     raise SpecError(
                         f"image {name!r}: expected shape {expect}, got {tuple(arr.shape)}"
                     )
-                if decl.kind != UNKNOWN and jnp.issubdtype(
-                    arr.dtype, jnp.floating
-                ):
+                if jnp.issubdtype(arr.dtype, jnp.floating):
+                    # clamp +-inf sentinels in consts AND unknowns: reference
+                    # apps mark invalid entries with +-inf (e.g. SFS invalid
+                    # depths are -inf in both targetDepth and the initial
+                    # unknown). The reference's condition blocks never
+                    # evaluate gated-out branches (o.t:1634-1650); with
+                    # jnp.where both branches run, and even though values
+                    # are guarded, VJP cotangents multiply zero cotangents
+                    # by inf primal intermediates -> NaN at valid neighbors
+                    # of invalid pixels. Finite sentinels keep every
+                    # intermediate finite; Exclude rows never update, and
+                    # Plan restores the +-inf markers on output.
                     arr = self._sanitize_sentinels(arr)
                 (unknowns if decl.kind == UNKNOWN else consts)[name] = arr
             elif name in self.registry.graphs:
@@ -371,13 +380,46 @@ class CompiledProblem:
 # ---------------------------------------------------------------------------
 
 
+_COMPILE_CACHE: "weakref.WeakKeyDictionary" = None  # lazy-initialized
+
+
 def compile_spec(spec_fn: Callable, dim_sizes: Dict[str, int], dtype) -> CompiledProblem:
     """Trace a spec function and classify its residual terms.
 
     This is the (cheap) analogue of the reference's ``Opt_ProblemPlan``
     front-half (o.t:861-882): run the user spec, derive per-term domains and
     bounds masks. The back-half (kernel generation) is deferred to JAX/XLA at
-    first solve."""
+    first solve.
+
+    Results are memoized per (spec function, dims, dtype): tracing is
+    deterministic and CompiledProblem carries no binding state, so repeated
+    plans of the same problem (pyramid schedules, create/free cycles —
+    tests/create_delete_cycle/main.cpp:22-27) skip the two trace passes.
+    The cache is weak-keyed on the spec function, so throwaway lambdas
+    don't accumulate."""
+    global _COMPILE_CACHE
+    import weakref
+
+    if _COMPILE_CACHE is None:
+        _COMPILE_CACHE = weakref.WeakKeyDictionary()
+    key = (tuple(sorted(dim_sizes.items())), np.dtype(dtype).name)
+    try:
+        per_fn = _COMPILE_CACHE.setdefault(spec_fn, {})
+        hit = per_fn.get(key)
+        if hit is not None:
+            return hit
+    except TypeError:  # spec_fn not weak-referenceable
+        per_fn = None
+
+    compiled = _compile_spec_uncached(spec_fn, dim_sizes, dtype)
+    if per_fn is not None:
+        per_fn[key] = compiled
+    return compiled
+
+
+def _compile_spec_uncached(
+    spec_fn: Callable, dim_sizes: Dict[str, int], dtype
+) -> CompiledProblem:
     registry = SpecRegistry()
 
     # Pass 1: discovery under abstract evaluation (no real compute).

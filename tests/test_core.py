@@ -380,15 +380,21 @@ def test_fused_jtj_validation_fallback(monkeypatch):
     import opt_tpu.assembly as assembly
 
     monkeypatch.setattr(assembly, "_comparison_constants", lambda *a, **k: [])
+
+    # fresh function object: compile_spec/plan_assembly memoize per spec
+    # function, and _gated_spec's correct (threshold-aware) plan is already
+    # cached from the tests above — the monkeypatch must see a cold cache
+    def gated_spec_cold(S):
+        _gated_spec(S)
+
     n = 10
     inputs = _gated_inputs(n)
-    plan = ot.Problem(_gated_spec).plan({"W": n, "H": n})
+    plan = ot.Problem(gated_spec_cold).plan({"W": n, "H": n})
     assert plan.solver._stencil_plan is not None
     res = plan.solve(inputs, nIterations=6, lIterations=30)
     assert plan.solver._stencil_plan is None  # fell back
     assert np.isfinite(res.final_cost)
-    plan_c = ot.Problem(_gated_spec).plan({"W": n, "H": n})
-    res_c = ot.Problem(_gated_spec).plan({"W": n, "H": n}).solve(
+    res_c = ot.Problem(gated_spec_cold).plan({"W": n, "H": n}).solve(
         inputs, nIterations=6, lIterations=30
     )
     assert abs(res.final_cost - res_c.final_cost) <= max(
@@ -416,8 +422,18 @@ def test_stepwise_api_matches_fused():
 
 
 def test_plan_lifecycle_cycle():
-    # tests/create_delete_cycle analogue (main.cpp:22-27): create/free plans
-    for _ in range(50):
-        plan = ot.Problem(laplacian_spec).plan(dims={"W": 4, "H": 4})
-        plan.init({"X": np.zeros((4, 4), np.float32), "A": np.ones((4, 4), np.float32)})
+    # tests/create_delete_cycle analogue: 1000 plan-create/free cycles then
+    # one real solve, matching the reference's loop exactly (it calls only
+    # ProblemPlan+PlanFree inside the cycle — main.cpp:22-27 — and solves
+    # once afterwards, main.cpp:27-31).
+    prob = ot.Problem(laplacian_spec)
+    for _ in range(1000):
+        plan = prob.plan(dims={"W": 4, "H": 4})
         plan.free()
+    plan = prob.plan(dims={"W": 4, "H": 4})
+    res = plan.solve(
+        {"X": np.zeros((4, 4), np.float32), "A": np.ones((4, 4), np.float32)},
+        nIterations=3,
+        lIterations=10,
+    )
+    assert np.isfinite(res.final_cost)
