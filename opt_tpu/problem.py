@@ -136,6 +136,47 @@ class Plan:
             )
             self.solver._stencil_plan = None
 
+    def _note_unknown_sentinels(self, inputs) -> None:
+        """Record +-inf invalid-markers in unknown inputs so results can
+        restore them. Reference apps mark invalid entries with +-inf (SFS
+        invalid depths); normalize_inputs clamps them to finite sentinels
+        for NaN-free autodiff, and since Exclude-frozen rows never update
+        (solverGPUGaussNewton.t:371 exclude gating), the markers are
+        restored verbatim on output — matching the reference, whose kernels
+        simply never touch those pixels."""
+        import numpy as _np
+
+        memo = self.__dict__.setdefault("_sentinel_memo", {})
+        found = {}
+        for name in self.compiled.unknown_names:
+            v = inputs.get(name)
+            if v is None:
+                continue
+            key = id(v)
+            hit = memo.get(name)
+            if hit is not None and hit[0] == key:
+                if hit[1] is not None:
+                    found[name] = hit[1]
+                continue
+            a = _np.asarray(v)
+            orig = None
+            if a.dtype.kind == "f" and _np.isinf(a).any():
+                if a.ndim == self.compiled.registry.images[name].ispace.ndim:
+                    a = a[..., None]
+                orig = jnp.asarray(a, self.compiled.dtype)
+                found[name] = orig
+            memo[name] = (key, orig)
+        self._unk_sentinels = found
+
+    def _restore_sentinels(self, X):
+        masks = self.__dict__.get("_unk_sentinels") or {}
+        if not masks:
+            return X
+        out = dict(X)
+        for name, orig in masks.items():
+            out[name] = jnp.where(jnp.isinf(orig), orig, out[name])
+        return out
+
     def _normalize_and_place(self, inputs):
         """Convert + augment + place inputs, cached PER LEAF by object
         identity. Each host->device conversion pays a full dispatch
@@ -146,6 +187,7 @@ class Plan:
         changed leaves re-convert. Callers that mutate an input array IN
         PLACE (same object, new contents) must pass a fresh array instead
         — the normal JAX contract."""
+        self._note_unknown_sentinels(inputs)
         cache = self.__dict__.get("_leaf_cache")
         buckets = self.__dict__.get("_leaf_buckets")
         if cache is None or set(cache) != set(inputs):
@@ -311,7 +353,7 @@ class Plan:
     def unknowns(self) -> Dict[str, jnp.ndarray]:
         if self._state is None:
             raise RuntimeError("call init() first")
-        return self._state["X"]
+        return self._restore_sentinels(self._state["X"])
 
     def free(self) -> None:
         """Release solver state (Opt_PlanFree analogue)."""
@@ -489,7 +531,7 @@ class Plan:
             n, final = int(state["n_iter"]), float(state["prev_cost"])
             lin = state["lin_iters"]
         result = SolveResult(
-            unknowns=state["X"],
+            unknowns=self._restore_sentinels(state["X"]),
             final_cost=float(final),
             costs=cost_arr,
             num_iterations=int(n),

@@ -110,3 +110,47 @@ def test_arap_inf_sentinels_solve(kind, fused):
         res_inf.final_cost, res_fin.final_cost, rtol=1e-4
     )
     assert res_inf.final_cost < res_inf.costs[0]
+
+
+def _inf_unknown_spec(S):
+    """SFS-style shape: the UNKNOWN itself carries -inf invalid markers
+    (the reference's SFS data stores -inf in both targetDepth and the
+    initial unknown), an Exclude freezes them, and the smoothness term at
+    valid neighbors is gated on the neighbor being valid."""
+    W, H = S.Dim("W"), S.Dim("H")
+    X = S.Unknown("X", 1, (W, H))
+    D = S.Array("D", 1, (W, H))
+    valid_c = ot.greater(D(0, 0), 0.0)
+    S.Exclude(ot.Not(valid_c))
+    S.Energy(ot.Select(valid_c, X(0, 0) - D(0, 0), 0.0))
+    both = ot.And(valid_c, ot.greater(D(1, 0), 0.0))
+    # nonlinear in the neighbor read so inf intermediates would NaN the vjp
+    S.Energy(ot.Select(both, 0.3 * (X(0, 0) - X(1, 0)) * X(1, 0), 0.0))
+
+
+def test_inf_sentinels_in_unknowns_solve_and_restore():
+    """Regression: -inf invalid markers in the INITIAL UNKNOWN (SFS-style
+    data) must neither NaN the solve (vjp cotangents multiply 0 by inf
+    intermediates at valid/invalid boundaries) nor disappear from the
+    output — excluded rows are frozen, so the solved unknowns carry the
+    markers verbatim, as the reference's untouched GPU memory does."""
+    n = 12
+    rng = np.random.RandomState(3)
+    d = rng.uniform(0.5, 1.5, (n, n)).astype(f32)
+    invalid = np.zeros((n, n), bool)
+    invalid[:, : n // 3] = True
+    d[invalid] = -1.0  # invalid depth marker in the const array
+    x0 = d + 0.4 * rng.randn(n, n).astype(f32)
+    x0[invalid] = -np.inf  # the reference stores -inf in the unknown
+    inputs = {"X": x0, "D": d}
+    for kind in ("gaussNewtonGPU", "LMGPU"):
+        plan = ot.Problem(_inf_unknown_spec).plan({"W": n, "H": n}, kind=kind)
+        res = plan.solve(dict(inputs), nIterations=6, lIterations=25)
+        assert np.isfinite(res.final_cost), kind
+        assert all(np.isfinite(c) for c in res.costs), kind
+        X = np.asarray(res.unknowns["X"])[..., 0]
+        assert np.isneginf(X[invalid]).all(), "markers must be restored"
+        assert np.isfinite(X[~invalid]).all()
+        # the two terms compete, so the optimum is nonzero — require real
+        # progress (costs[0] is already post-first-iteration)
+        assert res.final_cost < 0.99 * res.costs[0], (kind, res.costs)
