@@ -24,6 +24,10 @@ import time
 import numpy as np
 
 
+# Roofline estimate of the reference's 3-kernel PCG inner loop on the Opt
+# paper's GPU generation — derivation in BASELINE.md ("Derivation of the
+# bench.py nominal"). Fixed across rounds so vs_baseline is comparable;
+# an estimate, not a measurement.
 NOMINAL_REF_PCG_ITERS_PER_SEC = 2000.0
 
 
@@ -164,40 +168,48 @@ def bench_optical_flow(n=256, levels=2, n_outer=2, n_inner=50, repeats=4):
         pyr.append((a[::2, ::2].copy(), b[::2, ::2].copy()))
     pyr = pyr[::-1]  # coarse to fine
 
-    plans = {}
-    for a, _b in pyr:
-        h, w = a.shape
-        if (h, w) not in plans:
-            plans[(h, w)] = ot.Problem(optical_flow).plan(dims={"W": h, "H": w})
+    # The whole pyramid schedule runs as ONE jitted program (PyramidPlan):
+    # per-level solves chained device-side with an in-program flow
+    # prolongation — a single dispatch per run instead of one per level
+    # (the reference pays host round-trips per level,
+    # CombinedSolver.h:22-61).
+    level_dims = [{"W": a.shape[0], "H": a.shape[1]} for a, _ in pyr]
+
+    def prolong(unknowns, lvl, next_dims):
+        return {
+            "X": ot.upsample2x_nearest(
+                unknowns["X"], (next_dims["W"], next_dims["H"]), scale=2.0
+            )
+        }
+
+    pplan = ot.PyramidPlan(
+        ot.Problem(optical_flow),
+        level_dims,
+        prolong,
+        nIterations=n_outer,
+        lIterations=n_inner,
+    )
+    level_inputs = []
+    for a, b in pyr:
+        dx, dy = deriv(b)
+        level_inputs.append(
+            {
+                "X": np.zeros(a.shape + (2,), np.float32),
+                "I": a,
+                "I_hat": b,
+                "I_hat_dx": dx,
+                "I_hat_dy": dy,
+                "w_fit": 10.0,
+                "w_reg": 0.1,
+            }
+        )
 
     def run_pyramid():
-        flow = np.zeros(pyr[0][0].shape + (2,), np.float32)
-        total_iters = 0
-        final_cost = 0.0
-        for li, (a, b) in enumerate(pyr):
-            h, w = a.shape
-            dx, dy = deriv(b)
-            res = plans[(h, w)].solve(
-                {
-                    "X": flow,
-                    "I": a,
-                    "I_hat": b,
-                    "I_hat_dx": dx,
-                    "I_hat_dy": dy,
-                    "w_fit": 10.0,
-                    "w_reg": 0.1,
-                },
-                nIterations=n_outer,
-                lIterations=n_inner,
-            )
-            total_iters += res.num_iterations
-            final_cost = res.final_cost
-            flow = np.asarray(res.unknowns["X"])
-            if li + 1 < len(pyr):
-                flow = 2.0 * np.kron(flow, np.ones((2, 2, 1), np.float32))
-        return total_iters, final_cost
+        res = pplan.solve(level_inputs)
+        jax.block_until_ready(res.unknowns)
+        return res.num_iterations, res.final_cost
 
-    run_pyramid()  # warmup (compile both levels)
+    run_pyramid()  # warmup (compile the fused schedule)
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()

@@ -62,6 +62,7 @@ from .lib import (
     normalize,
 )
 from .problem import BatchedSolveResult, Plan, Problem, SolveResult
+from .pyramid import PyramidPlan, upsample2x_nearest
 from .solver.params import (
     GuardedInvertType,
     InitializationParameters,
@@ -91,6 +92,8 @@ __all__ = [
     "SOLVER_PARAMETER_DEFAULTS",
     "enable_double_precision",
     "BatchedSolveResult",
+    "PyramidPlan",
+    "upsample2x_nearest",
     # DSL stdlib
     "All", "And", "Any", "Dot", "Dot3", "Energy", "Exclude", "InBounds",
     "InBoundsExpanded", "Index", "L_2_norm", "L_p", "Matrix3x3Mul", "Not",
