@@ -58,7 +58,10 @@ class ARAPSolver(CombinedSolverBase):
         self.cons_idx, self.cons_tgt = cons_idx, cons_tgt
 
     def constraints(self, alpha: float) -> np.ndarray:
-        con = np.full_like(self.verts, -1e6)  # finite sentinel: see spec.py note on eager Select
+        # -inf invalid markers, exactly as the reference app fills them
+        # (CombinedSolver.h:83); bind-time sentinel clamping keeps them out
+        # of arithmetic (compile.py _sanitize_sentinels)
+        con = np.full_like(self.verts, -np.inf)
         src = self.verts[self.cons_idx]
         con[self.cons_idx] = (1 - alpha) * src + alpha * self.cons_tgt
         return con
@@ -127,7 +130,7 @@ def main():
     solver = ARAPSolver(verts, edges, ci, ct, params)
     # reference default runs GN only; perf mode adds LM (main.cpp:80-89)
     solver.add_opt_solvers(
-        ["gaussNewtonGPU"] + (["LMGPU"] if args.perf else [])
+        ["gaussNewtonGPU"] + (["LMGPU"] if (args.perf or args.converged) else [])
     )
     maybe_add_ceres(solver, args)
     solver.solve_all()

@@ -38,15 +38,23 @@ def example_argparser(description: str) -> argparse.ArgumentParser:
         help="collectPerKernelTimingInfo: print the per-phase table and "
         "greppable TIMING / Per-iter lines after each solve (util.t:469-508)",
     )
+    ap.add_argument(
+        "--converged",
+        action="store_true",
+        help="raise Opt iteration counts so final costs are at convergence "
+        "(for oracle comparisons: the scipy reference runs to its own "
+        "convergence, so agreement is only meaningful when Opt does too)",
+    )
     return ap
 
 
 def maybe_add_ceres(solver, args, max_nfev: int = 200) -> None:
     """Register the scipy comparison run when --ceres was passed, and apply
-    the --timing flag (collectPerKernelTimingInfo analogue)."""
+    the --timing / --converged flags."""
     if getattr(args, "ceres", False):
         solver.add_scipy_reference_solver(max_nfev=max_nfev)
     solver.collect_timing = getattr(args, "timing", False)
+    solver.converged_override = getattr(args, "converged", False)
 
 
 def setup_backend(args) -> None:

@@ -86,7 +86,14 @@ def main():
     )
     solver = CotangentSolver(verts, edges, params)
     # GN only, like the reference (main.cpp:30-31: useOptLM=false)
-    solver.add_opt_solvers(["gaussNewtonGPU"])
+    # GN only, like the reference (main.cpp:30-31: useOptLM=false). In
+    # converged-oracle mode add LM: the cotan weights depend on the unknowns,
+    # and undamped always-accept GN diverges when run past the reference's
+    # 5-iteration schedule — LM is the meaningful convergence comparison
+    # (docs/REGRESSION.md).
+    solver.add_opt_solvers(
+        ["gaussNewtonGPU"] + (["LMGPU"] if args.converged else [])
+    )
     maybe_add_ceres(solver, args)
     solver.solve_all()
     solver.report_final_costs()

@@ -94,7 +94,9 @@ def main():
     solver = WarpSolver(mask, cons, ur, params)
     # reference default runs GN only; perf mode adds LM (+Ceres)
     # (main.cpp:110-121)
-    kinds = ["gaussNewtonGPU"] + (["LMGPU"] if args.perf else [])
+    kinds = ["gaussNewtonGPU"] + (
+        ["LMGPU"] if (args.perf or args.converged) else []
+    )
     solver.add_opt_solvers(kinds)
     maybe_add_ceres(solver, args)
     solver.solve_all()

@@ -58,7 +58,12 @@ def main():
         else {"numIter": 1, "nonLinearIter": 7, "linearIter": 10}
     )
     solver = IntrinsicSolver(img.astype(np.float32), params)
-    solver.add_opt_solvers(["gaussNewtonGPU"])
+    # GN only, like the reference. Converged-oracle mode adds LM for the
+    # cross-solver comparison on this robust-norm (IRLS) energy
+    # (docs/REGRESSION.md).
+    solver.add_opt_solvers(
+        ["gaussNewtonGPU"] + (["LMGPU"] if args.converged else [])
+    )
     maybe_add_ceres(solver, args)
     solver.solve_all()
     solver.report_final_costs()

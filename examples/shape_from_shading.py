@@ -97,7 +97,7 @@ def main():
     solver = SFSSolver(inputs, params)
     # reference default runs GN only; perf mode adds LM (main.cpp:30-38)
     solver.add_opt_solvers(
-        ["gaussNewtonGPU"] + (["LMGPU"] if args.perf else [])
+        ["gaussNewtonGPU"] + (["LMGPU"] if (args.perf or args.converged) else [])
     )
     maybe_add_ceres(solver, args)
     solver.solve_all()

@@ -120,6 +120,12 @@ class CombinedSolverBase:
         num_iter = int(self.solver_params.get("numIter", 1))
         non_linear = int(self.solver_params.get("nonLinearIter", 10))
         linear = int(self.solver_params.get("linearIter", 10))
+        if getattr(self, "converged_override", False):
+            # oracle mode: run Opt to convergence so the final-cost
+            # comparison against the scipy reference is an optimality check,
+            # not an iteration-schedule comparison (the reference's Ceres
+            # comparisons have the same caveat — CombinedSolverBase.h:62-65)
+            non_linear, linear = max(non_linear, 30), max(linear, 200)
         plan_kw = {}
         if getattr(self, "collect_timing", False):
             # collectPerKernelTimingInfo: TIMING lines per solve (Opt.h:21-25)

@@ -37,6 +37,11 @@ def main():
         action="store_true",
         help="also run the independent scipy oracle in each example",
     )
+    ap.add_argument(
+        "--converged",
+        action="store_true",
+        help="run Opt to convergence (meaningful oracle comparisons)",
+    )
     ap.add_argument("--only", nargs="*", default=None)
     args = ap.parse_args()
 
@@ -51,6 +56,8 @@ def main():
             cmd.append("--cpu")
         if args.ceres:
             cmd.append("--ceres")
+        if args.converged:
+            cmd.append("--converged")
         log = os.path.join(args.out, f"{name}.log")
         print(f"=== {name} ===", flush=True)
         with open(log, "w") as f:
