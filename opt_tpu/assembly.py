@@ -470,7 +470,7 @@ def assemble_const(compiled, plan: AssemblyPlan, X0, consts, graphs, params):
 
 
 def assemble(compiled, plan: AssemblyPlan, X, consts, graphs, params,
-             row_masks, const_cache=None):
+             row_masks, const_cache=None, mesh=None):
     """Assemble the coefficient fields at linearization point X.
 
     Returns (apply_fn, diag, jtf_fn, cg_meta): the row/column-masked JᵀJ·p
@@ -865,7 +865,7 @@ def assemble(compiled, plan: AssemblyPlan, X, consts, graphs, params,
         )
         S_sum = jnp.sum(G[:, :, : ct * ct], axis=1).reshape(n_out, ct, ct)
         exec_entry = {"S": S_sum, "ct": ct, "dia": [], "C": None,
-                      "cross": None}
+                      "cross": None, "halo": (None, None)}
         if has_cross:
             suffix = gk[len("__inc__"):]
             Cb = G[:, :, ct * ct :].reshape(n_out, d_tot, m - 1, ct, ct)
@@ -901,6 +901,14 @@ def assemble(compiled, plan: AssemblyPlan, X, consts, graphs, params,
                     exec_entry["cross"] = graphs[g][
                         f"__diaremcross__{suffix}"
                     ][:, :, None]
+                    exec_entry["halo"] = (
+                        graphs[g].get(
+                            "__halo_send__" + f"__diaremcross__{suffix}"
+                        ),
+                        graphs[g].get(
+                            "__halo_loc__" + f"__diaremcross__{suffix}"
+                        ),
+                    )
             else:
                 # output-channel-major layout [N, i, D*(m-1)*k]: the CG-loop
                 # cross apply becomes ONE broadcast-multiply with a single
@@ -910,6 +918,10 @@ def assemble(compiled, plan: AssemblyPlan, X, consts, graphs, params,
                     Cb, (0, 3, 1, 2, 4)
                 ).reshape(n_out, ct, d_tot * (m - 1) * ct)
                 exec_entry["cross"] = graphs[g]["__ellx__" + suffix]
+                exec_entry["halo"] = (
+                    graphs[g].get("__halo_send__" + "__ellx__" + suffix),
+                    graphs[g].get("__halo_loc__" + "__ellx__" + suffix),
+                )
         grp_exec[(g, gk)] = exec_entry
 
     # ---- cross-group per-pair ELL exec (unknowns in different vertex
@@ -1014,13 +1026,27 @@ def assemble(compiled, plan: AssemblyPlan, X, consts, graphs, params,
                 contrib = contrib + jnp.sum(W_off * ps[:, None, :], axis=-1)
             C_ell, cross = ex["C"], ex["cross"]
             if C_ell is not None:
-                pp_ext = jnp.concatenate(
-                    [pp, jnp.zeros((1, pp.shape[-1]), dt)], axis=0
-                )
                 n_out = cross.shape[0]
-                pc = jnp.take(pp_ext, cross.reshape(-1), axis=0).reshape(
-                    (n_out, 1, C_ell.shape[-1])
-                )  # [N, 1, D_rem*k] in (d, j, k) order, matching C_ell
+                h_send, h_loc = ex.get("halo", (None, None))
+                if mesh is not None and h_send is not None:
+                    # owner-block neighbor exchange: one all_to_all of the
+                    # precomputed boundary rows + a local gather, instead
+                    # of the XLA-SPMD all-gather a global take would cost
+                    # (parallel/mesh.py halo_gather)
+                    from .parallel.mesh import halo_gather
+
+                    pc = halo_gather(mesh, pp, h_send, h_loc).reshape(
+                        (n_out, 1, C_ell.shape[-1])
+                    )
+                else:
+                    pp_ext = jnp.concatenate(
+                        [pp, jnp.zeros((1, pp.shape[-1]), dt)], axis=0
+                    )
+                    pc = jnp.take(
+                        pp_ext, cross.reshape(-1), axis=0
+                    ).reshape(
+                        (n_out, 1, C_ell.shape[-1])
+                    )  # [N, 1, D_rem*k] in (d, j, k) order, matching C_ell
                 contrib = contrib + jnp.sum(C_ell * pc, axis=-1)
             key_a = (g, gk)
             cur = group_acc.get(key_a)

@@ -150,3 +150,145 @@ class ShardingRules:
                 arr, self.image_sharding(nd, arr.shape)
             )
         return out
+
+
+# ---------------------------------------------------------------------------
+# Owner-block neighbor exchange for graph cross-endpoint reads
+# ---------------------------------------------------------------------------
+#
+# The assembled graph JᵀJ·p reads p at cross-endpoint vertex ids through an
+# irregular table (assembly.py remainder/full-cross branches). Under owner-
+# block sharding a global ``jnp.take`` makes XLA SPMD all-gather the whole
+# packed p every CG iteration — O(N) collective volume. These helpers
+# replace it with a neighbor exchange whose volume is the BOUNDARY size:
+# each device sends exactly the p-rows other devices reference
+# (deduplicated, precomputed at bind time) through one ``all_to_all``, then
+# gathers locally from [own block | received halo]. DIA-covered offsets
+# already lower to shifts (collective-permute of block edges); this finishes
+# the irregular remainder. No reference counterpart (single-GPU reference;
+# BASELINE.json north_star).
+
+
+def build_halo_tables(cross, num_vertices: int, ndev: int):
+    """Precompute the exchange schedule for an id table (host-side, numpy).
+
+    cross: int array [N, ...] of global vertex ids, sentinel = num_vertices.
+    Returns dict(send [ndev, ndev, M] int32 sender-local indices (sentinel
+    B), loc [N, ...] localized ids into [own block (B) | halo (ndev*M) |
+    zero row], M) — or None when N doesn't divide ndev (those configs
+    replicate, see ShardingRules._spec_for_image).
+    """
+    cross = np.asarray(cross)
+    n = num_vertices
+    if ndev <= 1 or n % ndev != 0:
+        return None
+    B = n // ndev
+    owner = np.clip(cross // B, 0, ndev - 1)
+    row_dev = (np.arange(cross.shape[0]) // B).reshape(
+        (-1,) + (1,) * (cross.ndim - 1)
+    )
+    valid = cross < n
+    remote = valid & (owner != row_dev)
+
+    # per (requester d, source s): unique s-owned ids requested by d
+    need = [[np.empty(0, np.int64)] * ndev for _ in range(ndev)]
+    for d in range(ndev):
+        blk = cross[d * B : (d + 1) * B]
+        rem = remote[d * B : (d + 1) * B]
+        if not rem.any():
+            continue
+        ids = blk[rem]
+        src = ids // B
+        for s in np.unique(src):
+            need[d][int(s)] = np.unique(ids[src == s])
+    M = max(
+        (len(need[d][s]) for d in range(ndev) for s in range(ndev)),
+        default=0,
+    )
+
+    send = np.full((ndev, ndev, max(1, M)), B, np.int32)
+    halo_slot = {}  # global id -> halo index, per requester
+    for d in range(ndev):
+        halo_slot[d] = {}
+        for s in range(ndev):
+            ids = need[d][s]
+            send[s, d, : len(ids)] = (ids - s * B).astype(np.int32)
+            for k, gid in enumerate(ids):
+                halo_slot[d][int(gid)] = B + s * max(1, M) + k
+
+    Mp = max(1, M)
+    loc = np.empty_like(cross, dtype=np.int32)
+    sentinel_loc = B + ndev * Mp
+    flat_loc = loc.reshape(cross.shape[0], -1)
+    flat_cross = cross.reshape(cross.shape[0], -1)
+    for d in range(ndev):
+        rows = slice(d * B, (d + 1) * B)
+        blk = flat_cross[rows]
+        out = np.full(blk.shape, sentinel_loc, np.int32)
+        own = (blk >= d * B) & (blk < (d + 1) * B)
+        out[own] = (blk[own] - d * B).astype(np.int32)
+        rem_mask = (blk < n) & ~own
+        if rem_mask.any():
+            lut = halo_slot[d]
+            out[rem_mask] = np.array(
+                [lut[int(g)] for g in blk[rem_mask]], np.int32
+            )
+        flat_loc[rows] = out
+    return {"send": send, "loc": loc, "M": Mp}
+
+
+_FLAT_MESH_CACHE: dict = {}
+
+
+def _flat_mesh(mesh: Mesh) -> Mesh:
+    """1-axis view of the mesh in row-major device order — the same
+    placement as P((ax0, ax1)) block sharding, so resharding into the
+    shard_map is a no-op."""
+    key = tuple(d.id for d in mesh.devices.flat)
+    got = _FLAT_MESH_CACHE.get(key)
+    if got is None:
+        got = Mesh(mesh.devices.reshape(-1), ("gv",))
+        _FLAT_MESH_CACHE[key] = got
+    return got
+
+
+def halo_gather(mesh: Mesh, pp: jnp.ndarray, send: jnp.ndarray,
+                loc: jnp.ndarray) -> jnp.ndarray:
+    """p-read through a localized id table with one all_to_all exchange.
+
+    pp: [N, C] owner-block-sharded packed vertex values.
+    send/loc: tables from :func:`build_halo_tables` (device-resident).
+    Returns [*loc.shape, C].
+    Collective volume = ndev²·M·C ≈ total boundary size, independent of N.
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec
+
+    fm = _flat_mesh(mesh)
+    C = pp.shape[-1]
+
+    def body(pp_blk, send_me, loc_blk):
+        B = pp_blk.shape[0]
+        pp_ext = jnp.concatenate(
+            [pp_blk, jnp.zeros((1, C), pp_blk.dtype)], axis=0
+        )
+        # what I owe each requester: [ndev, M, C]
+        out_buf = jnp.take(pp_ext, send_me[0], axis=0)
+        recv = jax.lax.all_to_all(
+            out_buf, "gv", split_axis=0, concat_axis=0, tiled=False
+        )  # [ndev, M, C]: recv[s] = values of my requests owned by s
+        p_full = jnp.concatenate(
+            [pp_blk, recv.reshape(-1, C), jnp.zeros((1, C), pp_blk.dtype)],
+            axis=0,
+        )
+        flat = jnp.take(p_full, loc_blk.reshape(-1), axis=0)
+        return flat.reshape(loc_blk.shape + (C,))
+
+    P_ = PartitionSpec
+    return shard_map(
+        body,
+        mesh=fm,
+        in_specs=(P_("gv"), P_("gv"), P_("gv")),
+        out_specs=P_("gv"),
+        check_rep=False,
+    )(pp, send, loc)

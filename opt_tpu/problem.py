@@ -283,6 +283,37 @@ class Plan:
                         cached[f"__diaremcross__{suffix}"] = jnp.asarray(
                             rem_cross
                         )
+                    # owner-block neighbor exchange: precompute the
+                    # all_to_all schedule + localized id tables for the
+                    # irregular cross-endpoint p reads, so the CG loop's
+                    # collective volume is the boundary size instead of an
+                    # all-gather of p (parallel/mesh.py halo_gather)
+                    if (
+                        self.rules is not None
+                        and self.rules.mesh is not None
+                        and self.rules.mesh.size > 1
+                    ):
+                        from .parallel.mesh import build_halo_tables
+
+                        halo_targets = [("__ellx__" + suffix, cross)]
+                        if dia is not None:
+                            halo_targets.append(
+                                (f"__diaremcross__{suffix}", dia[3])
+                            )
+                        for tkey, tbl in halo_targets:
+                            tbl = np.asarray(tbl)
+                            if tbl.size == 0:
+                                continue
+                            halo = build_halo_tables(
+                                tbl, n, self.rules.mesh.size
+                            )
+                            if halo is not None:
+                                cached["__halo_send__" + tkey] = jnp.asarray(
+                                    halo["send"]
+                                )
+                                cached["__halo_loc__" + tkey] = jnp.asarray(
+                                    halo["loc"]
+                                )
                 # ELL tables for the gather-only JᵀJ apply
                 nvert = {
                     s: int(

@@ -113,6 +113,9 @@ class GaussNewtonSolver:
         self._init_jit = jax.jit(self._init_state)
         self._sp_cache = {}
 
+    def _mesh(self):
+        return self.rules.mesh if self.rules is not None else None
+
     def _constrain(self, X):
         if self.rules is None:
             return X
@@ -269,7 +272,7 @@ class GaussNewtonSolver:
                 asm_cache = self._asm_cache(fs, X)
             r_terms, J, _JT, _ = self._prepare(X, fs, need_jtf=False)
             A, diag_asm, jtf_fn, cg_meta = fs.assemble_stencil(
-                X, self._stencil_plan, asm_cache
+                X, self._stencil_plan, asm_cache, mesh=self._mesh()
             )
             r0 = {k: -v for k, v in jtf_fn(r_terms).items()}
         else:
@@ -362,7 +365,7 @@ class GaussNewtonSolver:
                 asm_cache = self._asm_cache(fs, X)
             r_terms, J, _JT, _ = self._prepare(X, fs, need_jtf=False)
             A_base, diag, jtf_fn, cg_meta = fs.assemble_stencil(
-                X, self._stencil_plan, asm_cache
+                X, self._stencil_plan, asm_cache, mesh=self._mesh()
             )
             r0 = {k: -v for k, v in jtf_fn(r_terms).items()}
         else:

@@ -124,3 +124,94 @@ def test_owner_block_graph_sharding_matches_single_device():
     )
     shard_shapes = {s.data.shape for s in res8.unknowns["Offset"].addressable_shards}
     assert shard_shapes == {(N // 8, 3)}, shard_shapes
+
+
+def test_halo_gather_matches_plain_take():
+    """Owner-block neighbor exchange (parallel/mesh.py halo_gather): the
+    all_to_all + local-gather read must reproduce the plain global take
+    exactly, for 2-D (remainder) and 3-D (full-cross) id tables."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from opt_tpu.parallel.mesh import build_halo_tables, halo_gather
+
+    rng = np.random.RandomState(0)
+    N, C, ndev = 64, 3, 8
+    mesh = make_mesh()
+    p = rng.rand(N, C).astype(np.float32)
+    p_ext = np.concatenate([p, np.zeros((1, C), np.float32)])
+    pj = jax.device_put(p, NamedSharding(mesh, P(("gx", "gy"), None)))
+    for shape in [(N, 5), (N, 4, 2)]:
+        cross = rng.randint(0, N + 1, size=shape).astype(np.int32)
+        halo = build_halo_tables(cross, N, ndev)
+        assert halo is not None
+        send = jax.device_put(
+            jnp.asarray(halo["send"]), NamedSharding(mesh, P(("gx", "gy")))
+        )
+        loc = jax.device_put(
+            jnp.asarray(halo["loc"]), NamedSharding(mesh, P(("gx", "gy")))
+        )
+        got = np.asarray(
+            jax.jit(lambda a, b, c: halo_gather(mesh, a, b, c))(pj, send, loc)
+        )
+        np.testing.assert_array_equal(got, p_ext[cross])
+
+
+def test_graph_halo_exchange_replaces_cg_loop_all_gather():
+    """VERDICT r1 #5: with an active mesh, the graph CG loop's irregular
+    cross-endpoint p read must ride a boundary-sized all_to_all, not an
+    all-gather of the whole packed p. Checked two ways: the sharded solve
+    still matches single-device on a SHUFFLED-id graph (no DIA offsets, so
+    the irregular path is the hot path), and the compiled HLO swaps
+    all-gather for all-to-all when the halo tables are present."""
+    import jax
+
+    from opt_tpu.models.specs import arap_mesh_deformation as arap_spec
+
+    N, inputs = _arap_inputs(16)
+    rng = np.random.RandomState(5)
+    perm = rng.permutation(N).astype(np.int32)
+    inv = np.argsort(perm).astype(np.int32)
+    sh = dict(inputs)
+    for k in ("Offset", "Angle", "UrShape", "Constraints"):
+        sh[k] = np.asarray(inputs[k])[inv]
+    sh["G"] = {"v0": perm[inputs["G"]["v0"]], "v1": perm[inputs["G"]["v1"]]}
+
+    res1 = ot.Problem(arap_spec).plan(dims={"N": N}).solve(
+        dict(sh), nIterations=3, lIterations=20
+    )
+    mesh = make_mesh()
+    plan8 = ot.Problem(arap_spec).plan(dims={"N": N}, mesh=mesh)
+    res8 = plan8.solve(dict(sh), nIterations=3, lIterations=20)
+    assert np.allclose(res1.final_cost, res8.final_cost, rtol=1e-4)
+
+    u, c, g, p = plan8._normalize_and_place(dict(sh))
+    assert any(k.startswith("__halo") for k in g["G"]), "halo tables missing"
+    sp = plan8.solver._traced_sp(
+        ot.SOLVER_PARAMETER_DEFAULTS | {"nIterations": 3, "lIterations": 20}
+    )
+
+    def hlo(graphs):
+        return (
+            jax.jit(
+                lambda X, cs, gs, ps: plan8.solver._solve_core(
+                    X, cs, gs, ps, sp, 3
+                )
+            )
+            .lower(u, c, graphs, p)
+            .compile()
+            .as_text()
+        )
+
+    h_on = hlo(g)
+    g_off = {
+        "G": {k: v for k, v in g["G"].items() if not k.startswith("__halo")}
+    }
+    h_off = hlo(g_off)
+    # the CG-loop all-gather disappears; the boundary all_to_all appears
+    assert h_on.count("all-gather") < h_off.count("all-gather"), (
+        h_on.count("all-gather"),
+        h_off.count("all-gather"),
+    )
+    assert h_on.count("all-to-all") > h_off.count("all-to-all")
