@@ -90,7 +90,7 @@ def _comparison_constants(compiled, X, consts, graphs, params) -> List[float]:
     import jax.extend.core as jec
 
     f = lambda sv: compiled.local_residual_terms(sv, params, consts)
-    sv = compiled.gather_slot_values(X, consts, graphs)
+    sv = compiled.gather_slot_values(X, consts, graphs, params)
     try:
         jaxpr = jax.make_jaxpr(f)(sv)
     except Exception:  # pragma: no cover - tracing of spec already succeeded
@@ -175,7 +175,7 @@ def _slot_jacobians(compiled, X, consts, graphs, params, slot_ids):
     jvp probes of the slot-form residual function (same mechanism as the
     exact Jacobi diagonal, functions.py jtj_diag). All probes across slots
     and channels run as ONE vmapped linear evaluation."""
-    sv = compiled.gather_slot_values(X, consts, graphs)
+    sv = compiled.gather_slot_values(X, consts, graphs, params)
     f = lambda s: compiled.local_residual_terms(s, params, consts)
     _, lin = jax.linearize(f, sv)
 

@@ -220,7 +220,10 @@ class CompiledProblem:
         return out
 
     # ---- field-mode runs ----------------------------------------------------
-    def _run(self, mode, unknowns, consts, graphs, params, slot_values=None):
+    def _run(
+        self, mode, unknowns, consts, graphs, params, slot_values=None,
+        computed_subs=None,
+    ):
         builder = SpecBuilder(
             mode,
             self.dim_sizes,
@@ -231,6 +234,7 @@ class CompiledProblem:
                 "consts": consts,
                 "graphs": graphs,
                 "params": params,
+                "computed_subs": computed_subs,
             },
             slot_values=slot_values,
         )
@@ -331,11 +335,17 @@ class CompiledProblem:
         return excl_by_ispace.get(term.domain[1])
 
     # ---- slot-mode ----------------------------------------------------------
-    def gather_slot_values(self, unknowns, consts, graphs):
-        """Materialize every slot's value field (shift / edge gather / mask)."""
+    def gather_slot_values(self, unknowns, consts, graphs, params=None):
+        """Materialize every slot's value field (shift / edge gather / mask).
+
+        ComputedArray slots (cimg/cgrad) materialize the computed value AND
+        per-unknown gradient fields once per call — the reference's
+        per-nonlinear-iteration ``precompute`` kernels (o.t:2387-2409,
+        solverGPUGaussNewton.t:1005,1116,1155)."""
         from .ops.graph_ops import edge_gather
         from .ops.shift import in_bounds_mask, shift
 
+        bundle = None
         vals = []
         for s in self.registry.slots:
             if s.kind in ("img", "gimg"):
@@ -352,9 +362,77 @@ class CompiledProblem:
             elif s.kind == "bounds":
                 shape = s.ispace.shape(self.dim_sizes)
                 vals.append(in_bounds_mask(shape, s.offset, s.expand, dtype=self.dtype))
+            elif s.kind in ("cimg", "cgrad"):
+                if bundle is None:
+                    bundle = self._computed_bundle(
+                        unknowns, consts, graphs, params or {}
+                    )
+                C, G = bundle[s.image]  # image holds the handle name
+                if s.kind == "cimg":
+                    vals.append(shift(C, s.offset))
+                else:
+                    uname, t = s.key[3], s.key[4]
+                    vals.append(shift(G[(uname, t)], s.offset))
             else:  # pragma: no cover
                 raise AssertionError(s.kind)
         return vals
+
+    def _computed_bundle(self, unknowns, consts, graphs, params):
+        """{handle name: (value field [*sp, cc], {(uname, t): gradient field
+        [*sp, cc*cu]})} at the current linearization point.
+
+        One field-mode run of the spec captures every computed value;
+        ``jax.linearize`` against per-(unknown, offset) substituted reads
+        separates the gradient fields with one tangent pass per touched
+        (offset, channel) — the probe analogue of the reference storing
+        gradient images per ComputedImage (o.t:1007-1040)."""
+        from .ops.shift import shift
+
+        reg = self.registry
+        # only pairs some registered cgrad slot actually reads
+        need_g = {}
+        handles = []
+        for s in reg.slots:
+            if s.kind == "cimg" and s.image not in handles:
+                handles.append(s.image)
+            if s.kind == "cgrad":
+                need_g.setdefault(s.image, set()).add((s.key[3], s.key[4]))
+        sub_keys = sorted(
+            {pair for pairs in need_g.values() for pair in pairs}
+        )
+
+        def run(sub_vals):
+            subs = dict(zip(sub_keys, sub_vals))
+            b = self._run(
+                "field", unknowns, consts, graphs, params,
+                computed_subs=subs,
+            )
+            return [b._computed_cache[h] for h in handles]
+
+        base = []
+        for (uname, t) in sub_keys:
+            arr = unknowns[uname]
+            if arr.ndim == reg.images[uname].ispace.ndim:
+                arr = arr[..., None]
+            base.append(shift(arr, t))
+        prim, lin = jax.linearize(run, base)
+
+        out = {}
+        for hi, hname in enumerate(handles):
+            Gmap = {}
+            for (uname, t) in sorted(need_g.get(hname, ())):
+                ki = sub_keys.index((uname, t))
+                cu = base[ki].shape[-1]
+                cols = []
+                for ch in range(cu):
+                    tans = [jnp.zeros_like(v) for v in base]
+                    z = jnp.zeros_like(base[ki]).at[..., ch].set(1.0)
+                    tans[ki] = z
+                    cols.append(lin(tans)[hi])  # [*sp, cc]
+                G = jnp.stack(cols, axis=-1)  # [*sp, cc, cu]
+                Gmap[(uname, t)] = G.reshape(G.shape[:-2] + (-1,))
+            out[hname] = (prim[hi], Gmap)
+        return out
 
     def local_residual_terms(
         self, slot_values, params, consts=None
@@ -439,7 +517,7 @@ def _compile_spec_uncached(
     for s in registry.slots:
         if s.kind == "gimg":
             shape = (registry.dummy_edge_count, s.channels)
-        elif s.kind == "img":
+        elif s.kind in ("img", "cimg", "cgrad"):
             shape = s.ispace.shape(dim_sizes) + (s.channels,)
         else:
             shape = s.ispace.shape(dim_sizes) + (1,)
@@ -467,7 +545,7 @@ def _compile_spec_uncached(
         graphs = sorted({s.graph for s in slots if s.kind == "gimg"})
         ispaces = []
         for s in slots:
-            if s.kind == "img" and s.ispace not in ispaces:
+            if s.kind in ("img", "cimg") and s.ispace not in ispaces:
                 ispaces.append(s.ispace)
         term.uses_bounds = any(
             s.kind == "bounds" and not s.internal for s in slots
@@ -494,7 +572,7 @@ def _compile_spec_uncached(
             bmin = [0] * nd
             bmax = [0] * nd
             for s in slots:
-                if s.kind == "img":
+                if s.kind in ("img", "cimg"):
                     for d in range(nd):
                         bmin[d] = min(bmin[d], s.offset[d])
                         bmax[d] = max(bmax[d], s.offset[d])

@@ -160,7 +160,7 @@ class FunctionSet:
         Σ(∂r/∂x00)² (o.t:2149-2160) without a CAS."""
         _, row_masks = self.masks(X)
         c = self.c
-        slot_vals = c.gather_slot_values(X, self.consts, self.graphs)
+        slot_vals = c.gather_slot_values(X, self.consts, self.graphs, self.params)
         f = lambda sv: c.local_residual_terms(sv, self.params, self.consts)
         _, lin = jax.linearize(f, slot_vals)
 

@@ -212,10 +212,12 @@ class ComputedHandle:
     accessors. In field mode the array is materialized once per trace and
     shifted reads are zero-padded shifts of the materialized field — matching
     the reference's per-iteration ``precompute`` scatter (o.t:2387-2409). In
-    slot mode the expression is *inlined* with composed offsets so that the
-    local residual function stays pointwise (the reference instead stores
-    per-unknown gradient images; inlining is the jvp-probe-friendly
-    equivalent with identical derivatives away from image borders).
+    slot mode the access reads a precomputed VALUE slot plus stored
+    per-unknown GRADIENT slots (compile._computed_bundle), exactly the
+    reference's ComputedImage value + gradient images (o.t:1007-1040) — so
+    jvp probes chain through the stored gradients instead of re-evaluating
+    the expression per probe. Nested ComputedArrays fall back to inlining
+    with composed offsets.
     """
 
     def __init__(self, builder: "SpecBuilder", name: str, ispace: IndexSpace, fn):
@@ -276,6 +278,10 @@ class SpecBuilder:
         self._computed_cache: Dict[str, Any] = {}
         self._offset_ctx: List[Tuple[int, ...]] = []
         self._dims_seen: Dict[str, Dim] = {}
+        # active while recording a ComputedArray expression's unknown reads
+        # (discover mode only): list of (image, composed_offset, channels)
+        self._recording: Optional[List[tuple]] = None
+        self._rec_bailed = False
 
     # -- context manager ----------------------------------------------------
     def __enter__(self):
@@ -459,7 +465,21 @@ class SpecBuilder:
         off = self._compose(off)
         key = _img_key(decl.name, off)
         shape = decl.ispace.shape(self.dim_sizes) + (decl.channels,)
+        if self._recording is not None and decl.kind == UNKNOWN and decl.alias is None:
+            self._recording.append((decl.name, off, decl.channels))
         if self.mode == "field":
+            # computed-gradient probing (compile._computed_bundle): unknown
+            # reads at substituted offsets come from the probe inputs so
+            # jax.linearize separates per-offset gradient fields
+            subs = self.bindings.get("computed_subs")
+            if (
+                subs is not None
+                and decl.kind == UNKNOWN
+                and decl.alias is None
+            ):
+                hit = subs.get((decl.name, off))
+                if hit is not None:
+                    return hit
             arr = self._bound_image(decl)
             return shift(arr, off)
         sid = self.registry.slot_for(
@@ -509,12 +529,124 @@ class SpecBuilder:
                     val = val[..., None]
                 self._computed_cache[handle.name] = val
             return shift(self._computed_cache[handle.name], self._compose(off))
-        # slots / discover: inline with composed offsets so local_F stays
-        # pointwise; derivatives then chain through automatically. A shifted
-        # read of the materialized array is zero (and has zero derivative)
-        # wherever the shift leaves the grid — replicate that by gating the
-        # inlined value with an internal bounds slot, otherwise the slot form
-        # diverges from field-mode F at the borders.
+        # slots / discover: precomputed-field form (reference ComputedImage,
+        # o.t:1007-1040 — value array + per-unknown gradient arrays,
+        # recomputed once per nonlinear iteration). The access reads a
+        # cached value slot (shift of the materialized field, zero-padded at
+        # borders) plus a zero-valued linearization term
+        # G_t·(x_t − stop_grad(x_t)) per touched unknown offset, so
+        # jax.linearize chains first derivatives through the stored gradient
+        # fields instead of re-differentiating the (possibly large) computed
+        # expression per probe — the jvp-probe equivalent of the reference's
+        # external-gradient hook (ad.t:636-647 Var:calcd).
+        raw_off = off
+        off = self._compose(off)  # fully composed center of this access
+        if self._recording is not None:
+            # nested ComputedArray inside a recording: gradients through the
+            # inner array would be lost — fall back to inlining the OUTER
+            self._rec_bailed = True
+            return self._inline_computed(handle, raw_off)
+        reg = self.registry
+        meta = reg.computed_meta.get(handle.name)
+        if (
+            meta is None
+            and self.mode == "discover"
+            and handle.name not in reg.computed_failed
+        ):
+            meta = self._record_computed(handle, off)
+        if meta is None:
+            return self._inline_computed(handle, raw_off)
+        sp = handle.ispace.shape(self.dim_sizes)
+        cc = meta["channels"]
+        key_c = ("cimg", handle.name, off)
+        sid_c = reg.slot_for(
+            key_c,
+            lambda: SlotInfo(
+                key=key_c, image=handle.name, kind="cimg",
+                ispace=handle.ispace, graph=None, offset=off, expand=0,
+                channels=cc, is_unknown=False,
+            ),
+            self.mode,
+        )
+        parts = []
+        for (uname, t, cu) in meta["touched"]:
+            x_off = tuple(a + b for a, b in zip(off, t))
+            decl = reg.images[uname]
+            key_x = _img_key(uname, x_off)
+            sid_x = reg.slot_for(
+                key_x,
+                lambda: SlotInfo(
+                    key=key_x, image=uname, kind="img", ispace=decl.ispace,
+                    graph=None, offset=x_off, expand=0,
+                    channels=decl.channels, is_unknown=True,
+                ),
+                self.mode,
+            )
+            key_g = ("cgrad", handle.name, off, uname, t)
+            sid_g = reg.slot_for(
+                key_g,
+                lambda: SlotInfo(
+                    key=key_g, image=handle.name, kind="cgrad",
+                    ispace=handle.ispace, graph=None, offset=off, expand=0,
+                    channels=cc * cu, is_unknown=False,
+                ),
+                self.mode,
+            )
+            parts.append((sid_x, sid_g, cu))
+        if self.mode == "slots":
+            import jax
+
+            val = self.slot_values[sid_c]
+            for sid_x, sid_g, cu in parts:
+                xs = self.slot_values[sid_x]
+                G = self.slot_values[sid_g].reshape(xs.shape[:-1] + (cc, cu))
+                d = xs - jax.lax.stop_gradient(xs)
+                val = val + jnp.sum(G * d[..., None, :], axis=-1)
+            return val
+        return jnp.ones(sp + (cc,), self.dtype)  # discover: shapes only
+
+    def _record_computed(self, handle: ComputedHandle, off: Tuple[int, ...]):
+        """Discover pass: run the computed expression once, recording which
+        unknowns (at which relative offsets) it reads; registers the same
+        slots every later pass looks up."""
+        reg = self.registry
+        rec: List[tuple] = []
+        prev, prev_bail = self._recording, self._rec_bailed
+        self._recording, self._rec_bailed = rec, False
+        saved_ctx = self._offset_ctx
+        # replace (not push) the context: ``off`` is already fully composed,
+        # so inner reads compose to exactly off + t
+        self._offset_ctx = [off]
+        try:
+            val = jnp.asarray(handle.fn(), self.dtype)
+        finally:
+            self._offset_ctx = saved_ctx
+            bailed = self._rec_bailed
+            self._recording, self._rec_bailed = prev, prev_bail
+        if bailed:
+            reg.computed_failed.add(handle.name)
+            return None
+        if val.ndim == handle.ispace.ndim:
+            val = val[..., None]
+        cc = int(val.shape[-1])
+        touched, seen = [], set()
+        for (uname, comp, cu) in rec:
+            t = tuple(a - b for a, b in zip(comp, off))
+            if (uname, t) not in seen:
+                seen.add((uname, t))
+                touched.append((uname, t, cu))
+        meta = {"channels": cc, "touched": tuple(sorted(touched))}
+        reg.computed_meta[handle.name] = meta
+        return meta
+
+    def _inline_computed(self, handle: ComputedHandle, off: Tuple[int, ...]):
+        """Fallback (nested ComputedArrays): inline with composed offsets.
+        A shifted read of the materialized array is zero (and has zero
+        derivative) wherever the shift leaves the grid — replicate that by
+        gating the inlined value with an internal bounds slot, otherwise the
+        slot form diverges from field-mode F at the borders. ``off`` is the
+        RAW (uncomposed) access offset; composition happens through the
+        offset-context stack, as for any access."""
         gate = None
         if any(o != 0 for o in off):
             gate = self._bounds(off, expand=0, internal=True)
@@ -608,6 +740,11 @@ class SpecRegistry:
         self.use_preconditioner = True
         self.dummy_edge_count = dummy_edge_count
         self.frozen = False
+        # ComputedArray precompute metadata: handle name -> {channels,
+        # touched: ((uname, rel_offset, channels), ...)}; `failed` lists
+        # handles that fall back to inlining (nested ComputedArrays)
+        self.computed_meta: Dict[str, dict] = {}
+        self.computed_failed: set = set()
 
     def declare_image(self, name, channels, ispace, kind, alias=None) -> ImageDecl:
         prev = self.images.get(name)
