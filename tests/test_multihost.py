@@ -43,6 +43,56 @@ mesh = make_mesh()
 plan = ot.Problem(poisson_image_editing).plan(dims={{"W": n, "H": n}}, mesh=mesh)
 res = plan.solve(dict(inputs), nIterations=1, lIterations=50)
 print("MHCOST", pid, repr(float(res.final_cost)), flush=True)
+
+# graph domain with shuffled vertex ids: the CG loop's cross-endpoint read
+# takes the owner-block halo exchange (all_to_all over the 2-process global
+# mesh -- the DCN path for graph problems)
+from opt_tpu.models.specs import arap_mesh_deformation
+ga = __import__("importlib").import_module("_arap_shared")
+N, ginputs = ga.shuffled_arap_inputs()
+gplan = ot.Problem(arap_mesh_deformation).plan(dims={{"N": N}}, mesh=mesh)
+u, c, g, p = gplan._normalize_and_place(dict(ginputs))
+assert any(k.startswith("__halo") for k in g["G"]), "halo tables missing"
+gres = gplan.solve(dict(ginputs), nIterations=3, lIterations=20)
+print("MHGRAPH", pid, repr(float(gres.final_cost)), flush=True)
+"""
+
+_ARAP_SHARED = r"""
+import numpy as np
+
+def shuffled_arap_inputs(n_side=16, seed=5):
+    N = n_side * n_side
+    ii, jj = np.meshgrid(np.arange(n_side), np.arange(n_side), indexing="ij")
+    pos = np.stack([ii.ravel(), jj.ravel(), np.zeros(N)], -1).astype(np.float32)
+    vid = np.arange(N).reshape(n_side, n_side)
+    v0 = np.concatenate([vid[:-1].ravel(), vid[:, :-1].ravel()])
+    v1 = np.concatenate([vid[1:].ravel(), vid[:, 1:].ravel()])
+    con = -1e6 * np.ones((N, 3), np.float32)
+    con[vid[0, 0]] = pos[vid[0, 0]]
+    con[vid[-1, -1]] = pos[vid[-1, -1]] + np.array([2.0, 0, 1.0], np.float32)
+    inputs = {
+        "Offset": pos.copy(),
+        "Angle": np.zeros((N, 3), np.float32),
+        "UrShape": pos,
+        "Constraints": con,
+        "G": {
+            "v0": np.concatenate([v0, v1]).astype(np.int32),
+            "v1": np.concatenate([v1, v0]).astype(np.int32),
+        },
+        "w_fitSqrt": np.float32(1.0),
+        "w_regSqrt": np.float32(0.7),
+    }
+    rng = np.random.RandomState(seed)
+    perm = rng.permutation(N).astype(np.int32)
+    inv = np.argsort(perm).astype(np.int32)
+    sh = dict(inputs)
+    for k in ("Offset", "Angle", "UrShape", "Constraints"):
+        sh[k] = np.asarray(inputs[k])[inv]
+    sh["G"] = {
+        "v0": perm[inputs["G"]["v0"]],
+        "v1": perm[inputs["G"]["v1"]],
+    }
+    return N, sh
 """
 
 
@@ -63,6 +113,7 @@ def test_two_process_solve_matches_single_process(tmp_path):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     script = tmp_path / "worker.py"
     script.write_text(_WORKER.format(repo=repo))
+    (tmp_path / "_arap_shared.py").write_text(_ARAP_SHARED)
     with socket.socket() as s:
         s.bind(("localhost", 0))
         port = str(s.getsockname()[1])
@@ -89,4 +140,24 @@ def test_two_process_solve_matches_single_process(tmp_path):
     assert np.isclose(costs[0], ref.final_cost, rtol=1e-4), (
         costs,
         ref.final_cost,
+    )
+
+    # graph halo-exchange path over the 2-process mesh
+    ns: dict = {}
+    exec(_ARAP_SHARED, ns)
+    N, ginputs = ns["shuffled_arap_inputs"]()
+    from opt_tpu.models.specs import arap_mesh_deformation
+
+    gref = ot.Problem(arap_mesh_deformation).plan(dims={"N": N}).solve(
+        dict(ginputs), nIterations=3, lIterations=20
+    )
+    gcosts = []
+    for out in outs:
+        m = re.search(r"MHGRAPH \d+ (\S+)", out)
+        assert m, out
+        gcosts.append(float(m.group(1)))
+    assert np.isclose(gcosts[0], gcosts[1], rtol=0), gcosts
+    assert np.isclose(gcosts[0], gref.final_cost, rtol=1e-4), (
+        gcosts,
+        gref.final_cost,
     )
