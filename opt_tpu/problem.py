@@ -467,6 +467,17 @@ class Plan:
                     f"image {name!r}: expected shape {expect} "
                     f"(optionally with a leading batch axis), got {tuple(arr.shape)}"
                 )
+            inf_restore = getattr(self, "_batched_inf_restore", None)
+            if inf_restore is None:
+                inf_restore = self._batched_inf_restore = {}
+            if jnp.issubdtype(arr.dtype, jnp.floating):
+                # +-inf invalid markers: clamp for NaN-free autodiff and
+                # (for unknowns) restore on output, matching solve()
+                if d.kind == UNKNOWN and bool(jnp.any(jnp.isinf(arr))):
+                    inf_restore[name] = arr
+                else:
+                    inf_restore.pop(name, None)
+                arr = self.compiled._sanitize_sentinels(arr)
             if d.kind == UNKNOWN:
                 if not batched:
                     arr = jnp.broadcast_to(arr, (B,) + expect)
@@ -503,8 +514,13 @@ class Plan:
             (state["n_iter"], state["lin_iters"], state["prev_cost"], costs)
         )
         wall = time.perf_counter() - t0
+        out_X = dict(state["X"])
+        for name, orig in (getattr(self, "_batched_inf_restore", None) or {}).items():
+            out_X[name] = jnp.where(
+                jnp.isinf(orig), orig, out_X[name]
+            )
         return BatchedSolveResult(
-            unknowns=state["X"],
+            unknowns=out_X,
             final_costs=np.asarray(final),
             costs=np.asarray(costs_h),
             num_iterations=np.asarray(n),

@@ -56,13 +56,15 @@ class PyramidPlan:
         prolong: Callable[[Dict[str, jnp.ndarray], int, Dict[str, int]], Dict[str, jnp.ndarray]],
         kind: Optional[str] = None,
         init_params: Optional[InitializationParameters] = None,
+        mesh=None,
         **solver_params,
     ):
         if not level_dims:
             raise ValueError("need at least one pyramid level")
         self.plans = [
             problem.plan(
-                dims=d, kind=kind, init_params=init_params, **solver_params
+                dims=d, kind=kind, init_params=init_params, mesh=mesh,
+                **solver_params,
             )
             for d in level_dims
         ]
