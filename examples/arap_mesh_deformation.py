@@ -47,7 +47,7 @@ def load_data(small: bool):
     if small and len(verts) > 400:
         pass  # mesh size is fixed by data; iteration counts shrink instead
     v0, v1 = mesh_edges(faces)
-    return verts, (v0, v1), cons_idx, cons_tgt.astype(np.float32)
+    return verts, faces, (v0, v1), cons_idx, cons_tgt.astype(np.float32)
 
 
 class ARAPSolver(CombinedSolverBase):
@@ -98,7 +98,7 @@ def main():
     )
     args = ap.parse_args()
     setup_backend(args)
-    verts, edges, ci, ct = load_data(args.small)
+    verts, faces, edges, ci, ct = load_data(args.small)
     if args.rcm:
         from opt_tpu.utils.reorder import (
             dia_coverage,
@@ -136,6 +136,12 @@ def main():
     solver.solve_all()
     solver.report_final_costs()
     solver.save_results_csv(args.results)
+    # deformed mesh output, as the reference app writes out.ply
+    # (main.cpp:108 OpenMesh::IO::write_mesh)
+    from opt_tpu.utils.io import save_mesh
+
+    save_mesh("arap_result.ply", np.asarray(solver.problem_inputs["Offset"]), faces)
+    print("wrote arap_result.ply")
 
 
 if __name__ == "__main__":

@@ -98,6 +98,13 @@ def main():
     solver.solve_all()
     solver.report_final_costs()
     solver.save_results_csv(args.results)
+    # smoothed mesh output, as the reference app writes (OpenMesh IO)
+    from opt_tpu.utils.io import save_mesh
+
+    save_mesh(
+        "cotangent_result.ply", np.asarray(solver.problem_inputs["X"]), faces
+    )
+    print("wrote cotangent_result.ply")
 
 
 if __name__ == "__main__":

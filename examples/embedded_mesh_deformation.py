@@ -81,6 +81,15 @@ def main():
     solver.solve_all()
     solver.report_final_costs()
     solver.save_results_csv(args.results)
+    # deformed mesh output, as the reference app writes (OpenMesh IO)
+    from opt_tpu.utils.io import save_mesh
+
+    save_mesh(
+        "embedded_result.ply",
+        np.asarray(solver.problem_inputs["Offset"]),
+        faces,
+    )
+    print("wrote embedded_result.ply")
 
 
 if __name__ == "__main__":

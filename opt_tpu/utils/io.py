@@ -326,3 +326,33 @@ def load_mrk(path: str) -> np.ndarray:
             if len(p) >= 4:
                 rows.append([float(p[0]), float(p[1]), float(p[2]), float(p[-1])])
     return np.array(rows, dtype=np.float32)
+
+
+def save_mesh(path: str, verts: np.ndarray, faces=None) -> None:
+    """Write a mesh as ascii .ply or .off — the reference apps' output step
+    (OpenMesh::IO::write_mesh(*res, "out.ply"),
+    arap_mesh_deformation/src/main.cpp:108)."""
+    verts = np.asarray(verts, np.float32)
+    faces = None if faces is None or len(faces) == 0 else np.asarray(faces)
+    nf = 0 if faces is None else len(faces)
+    if path.endswith(".off"):
+        with open(path, "w") as f:
+            f.write("OFF\n%d %d 0\n" % (len(verts), nf))
+            for v in verts:
+                f.write("%g %g %g\n" % tuple(v[:3]))
+            if faces is not None:
+                for fc in faces:
+                    f.write("%d %s\n" % (len(fc), " ".join(str(int(i)) for i in fc)))
+        return
+    with open(path, "w") as f:
+        f.write(
+            "ply\nformat ascii 1.0\nelement vertex %d\n"
+            "property float x\nproperty float y\nproperty float z\n"
+            "element face %d\nproperty list uchar int vertex_indices\n"
+            "end_header\n" % (len(verts), nf)
+        )
+        for v in verts:
+            f.write("%g %g %g\n" % tuple(v[:3]))
+        if faces is not None:
+            for fc in faces:
+                f.write("%d %s\n" % (len(fc), " ".join(str(int(i)) for i in fc)))
