@@ -91,3 +91,35 @@ def test_batched_requires_a_batched_input():
                 "M": np.zeros((n, n), np.float32),
             }
         )
+
+
+def test_batched_solve_with_computed_array_matches_single():
+    """ComputedArray precompute (value + gradient slots, recomputed per
+    nonlinear iteration) under the vmapped batched solve: per-instance
+    results must match the single-instance solve."""
+    import opt_tpu as ot
+
+    def spec(S):
+        W, H = S.Dim("W"), S.Dim("H")
+        X = S.Unknown("X", 1, (W, H))
+        A = S.Array("A", 1, (W, H))
+        C = S.ComputedArray("C", (W, H), lambda: X(0, 0) * X(0, 0) - A(0, 0))
+        S.Energy(C(0, 0) - C(1, 0), 0.5 * (X(0, 0) - 1.0))
+
+    B, n = 3, 12
+    rng = np.random.RandomState(0)
+    a = rng.rand(B, n, n).astype(np.float32)
+    x0 = np.ones((B, n, n), np.float32) + 0.1 * rng.randn(B, n, n).astype(
+        np.float32
+    )
+    plan = ot.Problem(spec).plan({"W": n, "H": n})
+    res = plan.solve_batched(
+        {"X": x0, "A": a}, nIterations=5, lIterations=15
+    )
+    for i in range(B):
+        r = ot.Problem(spec).plan({"W": n, "H": n}).solve(
+            {"X": x0[i], "A": a[i]}, nIterations=5, lIterations=15
+        )
+        assert np.isclose(r.final_cost, res.final_costs[i], rtol=1e-5), (
+            i, r.final_cost, res.final_costs[i],
+        )
