@@ -217,3 +217,36 @@ def test_pallas_not_planned_for_graph_problems():
     )
     res = plan.solve(dict(inputs), nIterations=2, lIterations=10)
     assert np.isfinite(res.final_cost)
+
+
+def test_fused_pallas_cg_computed_array_spec():
+    """SFS-style spec with ComputedArray (precomputed value + gradient
+    slots): the fused Pallas CG (interpret mode on CPU) must match the XLA
+    loop — this is the assembled-field + Pallas combination the TPU bench
+    runs for shape_from_shading."""
+    from opt_tpu.models.specs import shape_from_shading
+
+    rng = np.random.RandomState(0)
+    h = w = 32
+    depth = (rng.rand(h, w) + 1).astype(np.float32)
+    inputs = {
+        "X": depth + 0.01 * rng.randn(h, w).astype(np.float32),
+        "D_i": depth,
+        "Im": rng.rand(h, w).astype(np.float32),
+        "edgeMaskR": np.ones((h, w), np.float32),
+        "edgeMaskC": np.ones((h, w), np.float32),
+        "w_p": 1.0, "w_s": 1.0, "w_g": 10.0,
+        "f_x": 500.0, "f_y": 500.0, "u_x": w / 2, "u_y": h / 2,
+        **{f"L_{i}": (0.5 if i == 1 else 0.1) for i in range(1, 10)},
+    }
+    ipp = ot.InitializationParameters(use_pallas_cg="interpret")
+    res_p = ot.Problem(shape_from_shading).plan(
+        {"W": h, "H": w}, init_params=ipp
+    ).solve(dict(inputs), nIterations=4, lIterations=10)
+    res_x = ot.Problem(shape_from_shading).plan({"W": h, "H": w}).solve(
+        dict(inputs), nIterations=4, lIterations=10
+    )
+    assert np.isclose(res_p.final_cost, res_x.final_cost, rtol=1e-4), (
+        res_p.final_cost,
+        res_x.final_cost,
+    )
