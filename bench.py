@@ -19,9 +19,50 @@ comparable.
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
+
+
+def _ensure_live_backend(probe_timeout_s: float = 300.0) -> None:
+    """Fall back to CPU when the configured accelerator backend is dead.
+
+    The rig reaches its TPU through a tunnel; if the tunnel is down, the
+    first ``jax.devices()`` blocks forever and the whole bench (and the
+    round's recorded result) is lost. Probe the default backend in a
+    subprocess with a timeout; on failure, pin this process to CPU *before*
+    any backend use. Results are tagged via the BENCH_BACKEND env var read
+    by main()."""
+    if os.environ.get("OPT_TPU_BENCH_NO_PROBE"):
+        return
+    try:
+        subprocess.run(
+            [
+                sys.executable,
+                "-c",
+                "import jax; jax.devices()",
+            ],
+            timeout=probe_timeout_s,
+            check=True,
+            capture_output=True,
+        )
+        os.environ["BENCH_BACKEND"] = "default"
+    except Exception:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        os.environ["BENCH_BACKEND"] = "cpu-fallback"
+        print(
+            "bench: default backend unreachable; falling back to CPU "
+            "(numbers NOT comparable to accelerator runs)",
+            file=sys.stderr,
+        )
+
+
+_ensure_live_backend()
 
 
 # Roofline estimate of the reference's 3-kernel PCG inner loop on the Opt
@@ -337,6 +378,7 @@ def main():
         "unit": "iters/s",
         "vs_baseline": round(pcg_rate / NOMINAL_REF_PCG_ITERS_PER_SEC, 3),
         "extra": {
+            "backend": os.environ.get("BENCH_BACKEND", "default"),
             "gn_iters_per_sec_image_warping512": round(gn_rate, 2),
             "gn_iters_per_sec_arap36k_vertices": round(arap_rate, 2),
             "gn_iters_per_sec_optical_flow256_pyramid": round(flow_rate, 2),
