@@ -172,7 +172,13 @@ def bench_arap_graph(n_side=192, n_outer=8, n_inner=100):
     }
     plan = ot.Problem(arap_mesh_deformation).plan(dims={"N": N})
     secs, res = _time_solve(plan, inputs, n_outer, n_inner)
-    return res.num_iterations / secs, res.final_cost
+    # split per-GN-step fixed cost (assembly + JtF + diag) from the CG loop:
+    # the delta between lIterations=1 and lIterations=n_inner runs is pure
+    # CG (documents VERDICT r1 #2 progress in the recorded bench JSON)
+    secs1, _ = _time_solve(plan, inputs, n_outer, 1, repeats=3)
+    fixed_ms = secs1 / n_outer * 1e3
+    per_cg_ms = (secs - secs1) / n_outer / max(1, n_inner - 1) * 1e3
+    return res.num_iterations / secs, res.final_cost, fixed_ms, per_cg_ms
 
 
 def bench_optical_flow(n=256, levels=2, n_outer=2, n_inner=50, repeats=4):
@@ -367,7 +373,7 @@ def bench_batched_curve_fitting(B=512, N=256, repeats=3):
 def main():
     pcg_rate, poisson_cost = bench_poisson()
     gn_rate, warp_cost = bench_image_warping()
-    arap_rate, arap_cost = bench_arap_graph()
+    arap_rate, arap_cost, arap_fixed_ms, arap_cg_ms = bench_arap_graph()
     flow_rate, flow_cost = bench_optical_flow()
     robust_rate, robust_cost = bench_robust_nonrigid()
     sfs_rate, sfs_cost = bench_shape_from_shading()
@@ -381,6 +387,8 @@ def main():
             "backend": os.environ.get("BENCH_BACKEND", "default"),
             "gn_iters_per_sec_image_warping512": round(gn_rate, 2),
             "gn_iters_per_sec_arap36k_vertices": round(arap_rate, 2),
+            "arap_per_step_fixed_ms": round(arap_fixed_ms, 2),
+            "arap_per_cg_iter_ms": round(arap_cg_ms, 4),
             "gn_iters_per_sec_optical_flow256_pyramid": round(flow_rate, 2),
             "gn_iters_per_sec_robust_nonrigid10k": round(robust_rate, 2),
             "gn_iters_per_sec_sfs512": round(sfs_rate, 2),
