@@ -86,6 +86,26 @@ class ARAPSolver(CombinedSolverBase):
         alpha = (i + 1) / self.solver_params["numIter"]
         self.problem_inputs["Constraints"] = self.constraints(alpha)
 
+    def make_device_schedule(self, num_iter):
+        """Device-side marker annealing: the whole numIter schedule runs in
+        ONE program (harness fused path). The closed-over endpoint images
+        use the plan's finite sentinel clamping (schedule outputs are not
+        re-sanitized inside jit); interpolation preserves the sentinel since
+        both endpoints share it."""
+        import jax.numpy as jnp
+
+        san = self.plan.compiled._sanitize_sentinels
+        C0 = san(jnp.asarray(self.constraints(0.0)))
+        C1 = san(jnp.asarray(self.constraints(1.0)))
+
+        def schedule(consts, i):
+            a = (i.astype(jnp.float32) + 1.0) / num_iter
+            out = dict(consts)
+            out["Constraints"] = (1.0 - a) * C0 + a * C1
+            return out
+
+        return schedule
+
 
 def main():
     ap = example_argparser(__doc__)

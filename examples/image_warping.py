@@ -81,6 +81,24 @@ class WarpSolver(CombinedSolverBase):
         alpha = (i + 1) / self.solver_params["numIter"]
         self.problem_inputs["Constraints"] = self.constraint_image(alpha)
 
+    def make_device_schedule(self, num_iter):
+        """Device-side constraint annealing: the whole numIter schedule runs
+        in ONE program (harness fused path). Interpolating the rest/target
+        constraint images reproduces setConstraintImage(alpha) exactly —
+        invalid entries are -1 in both endpoints, so they stay -1."""
+        import jax.numpy as jnp
+
+        C0 = jnp.asarray(self.constraint_image(0.0))
+        C1 = jnp.asarray(self.constraint_image(1.0))
+
+        def schedule(consts, i):
+            a = (i.astype(jnp.float32) + 1.0) / num_iter
+            out = dict(consts)
+            out["Constraints"] = (1.0 - a) * C0 + a * C1
+            return out
+
+        return schedule
+
 
 def main():
     ap = example_argparser(__doc__)

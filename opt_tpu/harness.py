@@ -142,6 +142,32 @@ class CombinedSolverBase:
             **plan_kw,
         )
         self.pre_single_solve()
+        maker = getattr(self, "make_device_schedule", None)
+        use_sched = (
+            maker is not None
+            and num_iter > 1
+            # the TIMING surface reports per plan.solve; keep the host loop
+            # when per-kernel timing was requested
+            and not getattr(self, "collect_timing", False)
+        )
+        schedule = maker(num_iter) if use_sched else None
+        if schedule is not None:
+            # device-side outer schedule: the whole numIter loop (input
+            # annealing included) runs as ONE jitted program — no host
+            # round-trips between outer solves (Plan.solve_scheduled);
+            # per-outer-iteration costs come back, wall time is uniformly
+            # attributed since the fused program exposes only the total
+            res = self.plan.solve_scheduled(
+                dict(self.problem_inputs), schedule, num_iter
+            )
+            jax.block_until_ready(res.unknowns)
+            ms = res.wall_time_s * 1e3
+            for name, arr in res.unknowns.items():
+                self.problem_inputs[name] = arr
+            for c in res.costs:
+                run.iterations.append(SolverIteration(float(c), ms / num_iter))
+            self.post_single_solve()
+            return run
         for it in range(num_iter):
             self.pre_nonlinear_solve(it)  # hooks may swap self.plan (pyramids)
             t0 = time.perf_counter()

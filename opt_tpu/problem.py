@@ -393,6 +393,79 @@ class Plan:
         self._leaf_cache = None
         self._leaf_buckets = None
 
+    def solve_scheduled(
+        self,
+        inputs: Dict[str, Any],
+        schedule,
+        num_outer: int,
+        **solver_param_overrides,
+    ) -> SolveResult:
+        """Run ``num_outer`` chained solves with a device-side input
+        schedule, all inside ONE jitted program.
+
+        ``schedule(consts, i)`` is a traced function receiving the bound
+        constant images and the outer iteration index (int32 scalar) and
+        returning updated constants — the device-side equivalent of the
+        reference apps' host hooks that swap inputs between outer solves
+        (constraint annealing, image_warping CombinedSolver.h:150-152
+        setConstraintImage; arap CombinedSolver.h:83). The host-driven loop
+        pays a dispatch + transfer round-trip per outer solve; this pays
+        one for the whole schedule.
+
+        Note: ``schedule`` sees SANITIZED constants (±inf clamped to finite
+        sentinels at bind); any arrays it closes over should use finite
+        sentinels too, and schedules must preserve shapes/dtypes.
+        """
+        import jax
+
+        sp = normalize_solver_params(
+            {**self.solver_params, **solver_param_overrides}
+        )
+        unknowns, consts, graphs, params = self._normalize_and_place(inputs)
+        self._validate_fused(unknowns, consts, graphs, params)
+        max_iters = int(sp["nIterations"])
+        dtype = self.compiled.dtype
+        key = (num_outer, max_iters, id(schedule))
+        cache = self.__dict__.setdefault("_sched_cache", {})
+        fn = cache.get(key)
+        if fn is None:
+
+            def run(X0, consts, graphs_a, params, sp_t):
+                finals0 = jnp.full((num_outer,), jnp.nan, dtype)
+
+                def body(i, carry):
+                    X, lin_tot, finals = carry
+                    c_i = schedule(consts, i)
+                    state, _ = self.solver._solve_core(
+                        X, c_i, graphs_a, params, sp_t, max_iters
+                    )
+                    finals = finals.at[i].set(state["prev_cost"])
+                    return state["X"], lin_tot + state["lin_iters"], finals
+
+                return jax.lax.fori_loop(
+                    0,
+                    num_outer,
+                    body,
+                    (X0, jnp.zeros((), jnp.int32), finals0),
+                )
+
+            fn = cache[key] = jax.jit(run)
+        t0 = time.perf_counter()
+        X, lin_tot, finals = fn(
+            unknowns, consts, graphs, params, self.solver._traced_sp(sp)
+        )
+        finals_h = jax.device_get(finals)
+        wall = time.perf_counter() - t0
+        self._state = None
+        return SolveResult(
+            unknowns=self._restore_sentinels(X),
+            final_cost=float(finals_h[-1]),
+            costs=[float(c) for c in finals_h],
+            num_iterations=num_outer * max_iters,
+            wall_time_s=wall,
+            num_linear_iterations=int(lin_tot),
+        )
+
     def solve_batched(
         self, inputs: Dict[str, Any], **solver_param_overrides
     ) -> BatchedSolveResult:
