@@ -157,7 +157,15 @@ class FunctionSet:
         ∂r[q]/∂x[q+s,c], which is squared, summed over residual channels and
         scattered back via the slot's adjoint (shift for stencils, segment
         scatter for graphs). This reproduces the reference's symbolic
-        Σ(∂r/∂x00)² (o.t:2149-2160) without a CAS."""
+        Σ(∂r/∂x00)² (o.t:2149-2160) without a CAS.
+
+        Like the reference's per-endpoint scatter (createjtfgraph
+        o.t:2228-2253), the sum is PER SLOT: if a hyperedge references the
+        same vertex through two slots (a self-loop), the cross term is not
+        included and the value differs from the true diag(JᵀJ) there. The
+        reference's graph builders never emit self-loops
+        (OptGraph.h createGraphFromNeighborLists); the JᵀJ·p apply is exact
+        regardless (see tests/test_fuzz_operator.py)."""
         _, row_masks = self.masks(X)
         c = self.c
         slot_vals = c.gather_slot_values(X, self.consts, self.graphs, self.params)

@@ -1,0 +1,200 @@
+"""Seeded random-spec fuzzing of the assembled JᵀJ against the dense oracle.
+
+The 12 bundled energies pin the known shapes; this generates small random
+energies — mixed channel counts, stencil offsets, data-gated Selects with
+random thresholds, ComputedArrays, Excludes, graph terms — and checks the
+fused assembled operator (with its probe-based structural-zero pruning and
+threshold-aware probe values) against the dense Jacobian. This is the
+systematic defense for the probe heuristic that replaced the reference's
+exact symbolic zero elimination (polysimplify, ad.t:803-926; ADVICE r1).
+Deterministic: every spec derives from a fixed seed.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import opt_tpu as ot
+from opt_tpu.functions import FunctionSet
+
+N = 8  # grid side / vertex count
+
+
+def _random_grid_spec(rng):
+    """Random 2-D grid energy over 1-2 unknowns with gates/computed arrays."""
+    n_unknowns = rng.randint(1, 3)
+    u_ch = [int(rng.randint(1, 4)) for _ in range(n_unknowns)]
+    thresholds = [float(t) for t in rng.uniform(-3, 3, 2)]
+    offsets = [(0, 0), (1, 0), (0, 1), (-1, 0), (0, -1), (1, 1)]
+    n_terms = rng.randint(2, 5)
+    term_cfg = []
+    for _ in range(n_terms):
+        term_cfg.append(
+            {
+                "u": int(rng.randint(0, n_unknowns)),
+                "off": offsets[rng.randint(0, len(offsets))],
+                "gate": int(rng.randint(0, 3)),  # 0 none, 1 const, 2 computed
+                "thr": thresholds[rng.randint(0, 2)],
+                "nonlin": int(rng.randint(0, 2)),
+                "w": float(rng.uniform(0.2, 2.0)),
+            }
+        )
+    use_exclude = bool(rng.randint(0, 2))
+    use_computed = any(t["gate"] == 2 for t in term_cfg) or bool(
+        rng.randint(0, 2)
+    )
+
+    def spec(S):
+        W, H = S.Dim("W"), S.Dim("H")
+        U = [
+            S.Unknown(f"X{i}", u_ch[i], (W, H)) for i in range(n_unknowns)
+        ]
+        D = S.Array("D", 1, (W, H))
+        A = S.Array("A", u_ch[0], (W, H))
+        C = None
+        if use_computed:
+            C = S.ComputedArray(
+                "C", (W, H), lambda: U[0](0, 0) * U[0](0, 0) - A(0, 0)
+            )
+        if use_exclude:
+            S.Exclude(ot.greater(D(0, 0), 2.5))
+        for t in term_cfg:
+            x = U[t["u"]]
+            base = x(*t["off"]) - x(0, 0) * (0.5 if t["nonlin"] else 1.0)
+            if t["nonlin"]:
+                base = base + 0.1 * x(0, 0) * x(*t["off"])
+            if t["gate"] == 1:
+                base = ot.Select(
+                    ot.greater(D(0, 0), t["thr"]), t["w"] * base, 0.0
+                )
+            elif t["gate"] == 2 and C is not None:
+                # gate on C's first channel so the 0/1 mask broadcasts
+                # against any term channel count
+                base = ot.Select(
+                    ot.less(ot.Slice(C(0, 0), 0, 1), t["thr"]),
+                    t["w"] * base,
+                    0.0,
+                )
+            else:
+                base = t["w"] * base
+            S.Energy(base)
+        # always at least one plain fit so the problem is well-posed
+        S.Energy(0.3 * (U[0](0, 0) - A(0, 0)))
+
+    inputs = {"D": rng.uniform(-4, 4, (N, N)).astype(np.float32)}
+    inputs["A"] = rng.rand(N, N, u_ch[0]).astype(np.float32)
+    for i in range(n_unknowns):
+        inputs[f"X{i}"] = rng.rand(N, N, u_ch[i]).astype(np.float32)
+    return spec, {"W": N, "H": N}, inputs
+
+
+def _random_graph_spec(rng):
+    """Random graph energy: 2-endpoint edges, gated couplings."""
+    ch = int(rng.randint(1, 4))
+    thr = float(rng.uniform(-1, 1))
+    nonlin = bool(rng.randint(0, 2))
+
+    def spec(S):
+        Nd = S.Dim("N")
+        X = S.Unknown("X", ch, (Nd,))
+        Dv = S.Array("Dv", 1, (Nd,))
+        G = S.Graph("G", v0=(Nd,), v1=(Nd,))
+        d = X(G.v0) - X(G.v1)
+        if nonlin:
+            d = d + 0.2 * X(G.v0) * X(G.v1)
+        S.Energy(ot.Select(ot.greater(Dv(G.v0), thr), d, 0.0))
+        S.Energy(0.4 * (X(0) - Dv(0)))
+
+    rngE = np.random.RandomState(rng.randint(0, 1 << 30))
+    v0 = np.arange(N, dtype=np.int32)
+    # derangement: no self-loop edges. A hyperedge referencing the same
+    # vertex twice makes the PER-SLOT Jacobi diagonal differ from the true
+    # diag(JtJ) — by design, matching the reference's per-endpoint
+    # scatter of (dr/du)^2 (createjtfgraph o.t:2228-2253); the reference's
+    # graph builders (OptGraph.h createGraphFromNeighborLists) never emit
+    # self-loops either. The JtJ apply itself is exact regardless.
+    v1 = rngE.permutation(N).astype(np.int32)
+    while np.any(v1 == v0):
+        v1 = rngE.permutation(N).astype(np.int32)
+    inputs = {
+        "X": rng.rand(N, ch).astype(np.float32),
+        "Dv": rng.uniform(-2, 2, (N,)).astype(np.float32),
+        "G": {"v0": v0, "v1": v1},
+    }
+    return spec, {"N": N}, inputs
+
+
+def _dense_check(spec, dims, inputs):
+    from opt_tpu.assembly import assemble, plan_assembly
+
+    plan = ot.Problem(spec).plan(dims=dims)
+    c = plan.compiled
+    unknowns, consts, graphs_in, params = c.normalize_inputs(inputs)
+    graphs = plan._augment_incidence(graphs_in)
+    fs = FunctionSet(c, consts, graphs, params)
+    names = sorted(unknowns)
+    shapes = [unknowns[n].shape for n in names]
+    sizes = [int(np.prod(s)) for s in shapes]
+
+    def unflatten(v):
+        out, o = {}, 0
+        for n, s, sz in zip(names, shapes, sizes):
+            out[n] = v[o : o + sz].reshape(s)
+            o += sz
+        return out
+
+    def flatten(d):
+        return jnp.concatenate([jnp.ravel(d[n]) for n in names])
+
+    def r_flat(v):
+        return jnp.concatenate([t.ravel() for t in fs.F(unflatten(v))])
+
+    x0 = flatten(unknowns)
+    J = np.asarray(jax.jacfwd(r_flat)(x0))
+    fs.masks(unknowns)
+    _, row_masks = fs._mask_cache
+    colmask = np.asarray(
+        flatten(
+            {
+                n: (
+                    jnp.broadcast_to(row_masks[n], unknowns[n].shape)
+                    if row_masks.get(n) is not None
+                    else jnp.ones_like(unknowns[n])
+                )
+                for n in names
+            }
+        )
+    )
+    Jm = J * colmask[None, :]
+
+    spec_plan = plan_assembly(spec, c)
+    if spec_plan is None:
+        pytest.skip("assembly unavailable for this random spec")
+    apply_fn, diag, jtf_fn, _meta = assemble(
+        c, spec_plan, unknowns, consts, graphs, params, row_masks
+    )
+    np.testing.assert_allclose(
+        np.asarray(flatten(diag)),
+        (Jm * Jm).sum(axis=0),
+        rtol=2e-3,
+        atol=1e-4,
+    )
+    p = np.random.RandomState(7).rand(colmask.size).astype(np.float32)
+    got = np.asarray(flatten(apply_fn(unflatten(jnp.asarray(p)))))
+    want = Jm.T @ (Jm @ (p * colmask))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_grid_assembled_jtj(seed):
+    rng = np.random.RandomState(1000 + seed)
+    spec, dims, inputs = _random_grid_spec(rng)
+    _dense_check(spec, dims, inputs)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_graph_assembled_jtj(seed):
+    rng = np.random.RandomState(2000 + seed)
+    spec, dims, inputs = _random_graph_spec(rng)
+    _dense_check(spec, dims, inputs)
