@@ -215,3 +215,39 @@ def test_graph_halo_exchange_replaces_cg_loop_all_gather():
         h_off.count("all-gather"),
     )
     assert h_on.count("all-to-all") > h_off.count("all-to-all")
+
+
+def test_grid_cg_loop_compiles_to_halo_permutes_only():
+    """Grid problems under a mesh: the solve must contain NO all-gathers —
+    stencil reads lower to collective-permute halo exchanges and the CG
+    scalars to all-reduce (the design target of the 2-D tile sharding)."""
+    import jax
+
+    from opt_tpu.models.specs import poisson_image_editing
+
+    n = 64
+    rng = np.random.RandomState(0)
+    mask = np.ones((n, n), np.float32)
+    mask[8:-8, 8:-8] = 0
+    inputs = {
+        "X": rng.rand(n, n, 4).astype(np.float32),
+        "T": rng.rand(n, n, 4).astype(np.float32),
+        "M": mask,
+    }
+    mesh = make_mesh()
+    plan = ot.Problem(poisson_image_editing).plan({"W": n, "H": n}, mesh=mesh)
+    u, c, g, p = plan._normalize_and_place(dict(inputs))
+    sp = plan.solver._traced_sp(
+        ot.SOLVER_PARAMETER_DEFAULTS | {"nIterations": 1, "lIterations": 20}
+    )
+    hlo = (
+        jax.jit(
+            lambda X, cs, gs, ps: plan.solver._solve_core(X, cs, gs, ps, sp, 1)
+        )
+        .lower(u, c, g, p)
+        .compile()
+        .as_text()
+    )
+    assert "all-gather" not in hlo, "grid solve should not all-gather"
+    assert "collective-permute" in hlo  # halo exchanges
+    assert "all-reduce" in hlo  # CG dot products / cost
