@@ -198,3 +198,80 @@ def test_fuzz_graph_assembled_jtj(seed):
     rng = np.random.RandomState(2000 + seed)
     spec, dims, inputs = _random_graph_spec(rng)
     _dense_check(spec, dims, inputs)
+
+
+def _random_3d_spec(rng):
+    """Random 3-D grid energy (volumetric-style stencils + gates)."""
+    ch = int(rng.randint(1, 4))
+    thr = float(rng.uniform(-1.5, 1.5))
+    offsets = [(1, 0, 0), (0, 1, 0), (0, 0, 1), (-1, 0, 0)]
+    picked = [offsets[rng.randint(0, 4)] for _ in range(2)]
+    nonlin = bool(rng.randint(0, 2))
+
+    def spec(S):
+        W, H, D = S.Dim("W"), S.Dim("H"), S.Dim("D")
+        X = S.Unknown("X", ch, (W, H, D))
+        A = S.Array("A", ch, (W, H, D))
+        M = S.Array("M", 1, (W, H, D))
+        for off in picked:
+            d = X(0, 0, 0) - X(*off)
+            if nonlin:
+                d = d + 0.1 * X(0, 0, 0) * X(*off)
+            S.Energy(ot.Select(ot.greater(M(0, 0, 0), thr), d, 0.0))
+        S.Energy(0.5 * (X(0, 0, 0) - A(0, 0, 0)))
+
+    n = 5
+    inputs = {
+        "X": rng.rand(n, n, n, ch).astype(np.float32),
+        "A": rng.rand(n, n, n, ch).astype(np.float32),
+        "M": rng.uniform(-2, 2, (n, n, n)).astype(np.float32),
+    }
+    return spec, {"W": n, "H": n, "D": n}, inputs
+
+
+def _sampled_image_spec(rng):
+    """Flow-style spec: bilinear SampledImage at unknown-dependent coords."""
+    wf = float(rng.uniform(0.5, 2.0))
+
+    def spec(S):
+        W, H = S.Dim("W"), S.Dim("H")
+        X = S.Unknown("X", 2, (W, H))
+        I = S.Array("I", 1, (W, H))
+        Ih = S.Array("Ih", 1, (W, H))
+        Ihx = S.Array("Ihx", 1, (W, H))
+        Ihy = S.Array("Ihy", 1, (W, H))
+        samp = S.SampledImage(Ih, Ihx, Ihy)
+        i, j = S.Index(0), S.Index(1)
+        S.Energy(
+            wf
+            * (
+                I(0, 0)
+                - samp(
+                    i[..., 0] + X(0, 0)[..., 0], j[..., 0] + X(0, 0)[..., 1]
+                )
+            )
+        )
+        S.Energy(0.3 * (X(0, 0) - X(1, 0)))
+
+    inputs = {
+        "X": (0.2 * rng.randn(N, N, 2)).astype(np.float32),
+        "I": rng.rand(N, N).astype(np.float32),
+        "Ih": rng.rand(N, N).astype(np.float32),
+        "Ihx": (0.1 * rng.randn(N, N)).astype(np.float32),
+        "Ihy": (0.1 * rng.randn(N, N)).astype(np.float32),
+    }
+    return spec, {"W": N, "H": N}, inputs
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_fuzz_3d_assembled_jtj(seed):
+    rng = np.random.RandomState(3000 + seed)
+    spec, dims, inputs = _random_3d_spec(rng)
+    _dense_check(spec, dims, inputs)
+
+
+@pytest.mark.parametrize("seed", range(2))
+def test_fuzz_sampled_image_assembled_jtj(seed):
+    rng = np.random.RandomState(4000 + seed)
+    spec, dims, inputs = _sampled_image_spec(rng)
+    _dense_check(spec, dims, inputs)
