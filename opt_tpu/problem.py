@@ -425,9 +425,12 @@ class Plan:
         self._validate_fused(unknowns, consts, graphs, params)
         max_iters = int(sp["nIterations"])
         dtype = self.compiled.dtype
-        key = (num_outer, max_iters, id(schedule))
+        # cache holds a strong reference to the schedule object: identity
+        # comparison is only safe while the object is alive (a dead object's
+        # id() can be reused by a different closure)
         cache = self.__dict__.setdefault("_sched_cache", {})
-        fn = cache.get(key)
+        entry = cache.get((num_outer, max_iters))
+        fn = entry[1] if entry is not None and entry[0] is schedule else None
         if fn is None:
 
             def run(X0, consts, graphs_a, params, sp_t):
@@ -449,7 +452,8 @@ class Plan:
                     (X0, jnp.zeros((), jnp.int32), finals0),
                 )
 
-            fn = cache[key] = jax.jit(run)
+            fn = jax.jit(run)
+            cache[(num_outer, max_iters)] = (schedule, fn)
         t0 = time.perf_counter()
         X, lin_tot, finals = fn(
             unknowns, consts, graphs, params, self.solver._traced_sp(sp)
