@@ -63,6 +63,7 @@ from .lib import (
 )
 from .problem import BatchedSolveResult, Plan, Problem, SolveResult
 from .pyramid import PyramidPlan, upsample2x_nearest
+from . import parallel  # ot.parallel.mesh.make_mesh (docs/MANUAL.md)
 from .solver.params import (
     GuardedInvertType,
     InitializationParameters,

@@ -1,0 +1,1 @@
+from . import mesh  # noqa: F401  (ot.parallel.mesh access path)
