@@ -458,7 +458,8 @@ class CompiledProblem:
 # ---------------------------------------------------------------------------
 
 
-_COMPILE_CACHE: "weakref.WeakKeyDictionary" = None  # lazy-initialized
+_COMPILE_CACHE: "OrderedDict" = None  # lazy-initialized LRU
+_COMPILE_CACHE_MAX = 128
 
 
 def compile_spec(spec_fn: Callable, dim_sizes: Dict[str, int], dtype) -> CompiledProblem:
@@ -473,25 +474,30 @@ def compile_spec(spec_fn: Callable, dim_sizes: Dict[str, int], dtype) -> Compile
     deterministic and CompiledProblem carries no binding state, so repeated
     plans of the same problem (pyramid schedules, create/free cycles —
     tests/create_delete_cycle/main.cpp:22-27) skip the two trace passes.
-    The cache is weak-keyed on the spec function, so throwaway lambdas
-    don't accumulate."""
+    The cache is a bounded LRU (not weak-keyed: CompiledProblem stores
+    spec_fn, so a weak key would always be strongly reachable through its
+    own value and never collect — throwaway lambdas accumulate only up to
+    the cap)."""
     global _COMPILE_CACHE
-    import weakref
+    from collections import OrderedDict
 
     if _COMPILE_CACHE is None:
-        _COMPILE_CACHE = weakref.WeakKeyDictionary()
-    key = (tuple(sorted(dim_sizes.items())), np.dtype(dtype).name)
+        _COMPILE_CACHE = OrderedDict()
     try:
-        per_fn = _COMPILE_CACHE.setdefault(spec_fn, {})
-        hit = per_fn.get(key)
-        if hit is not None:
-            return hit
-    except TypeError:  # spec_fn not weak-referenceable
-        per_fn = None
+        key = (spec_fn, tuple(sorted(dim_sizes.items())), np.dtype(dtype).name)
+        hit = _COMPILE_CACHE.get(key)
+    except TypeError:  # spec_fn not hashable
+        key = None
+        hit = None
+    if hit is not None:
+        _COMPILE_CACHE.move_to_end(key)
+        return hit
 
     compiled = _compile_spec_uncached(spec_fn, dim_sizes, dtype)
-    if per_fn is not None:
-        per_fn[key] = compiled
+    if key is not None:
+        _COMPILE_CACHE[key] = compiled
+        while len(_COMPILE_CACHE) > _COMPILE_CACHE_MAX:
+            _COMPILE_CACHE.popitem(last=False)
     return compiled
 
 

@@ -146,26 +146,43 @@ class Plan:
         simply never touch those pixels."""
         import numpy as _np
 
+        # memo holds the keyed input object itself (not its id()): a dead
+        # object's id can be reused by a fresh array, which would return a
+        # stale inf-mask (the id-reuse class fixed for the scheduled-solve
+        # cache in solve_scheduled). One held leaf per unknown name.
         memo = self.__dict__.setdefault("_sentinel_memo", {})
         found = {}
         for name in self.compiled.unknown_names:
             v = inputs.get(name)
             if v is None:
                 continue
-            key = id(v)
             hit = memo.get(name)
-            if hit is not None and hit[0] == key:
+            if hit is not None and hit[0] is v:
                 if hit[1] is not None:
                     found[name] = hit[1]
                 continue
-            a = _np.asarray(v)
             orig = None
-            if a.dtype.kind == "f" and _np.isinf(a).any():
-                if a.ndim == self.compiled.registry.images[name].ispace.ndim:
-                    a = a[..., None]
-                orig = jnp.asarray(a, self.compiled.dtype)
-                found[name] = orig
-            memo[name] = (key, orig)
+            if isinstance(v, jax.Array):
+                # device-resident leaf (e.g. the harness writing result
+                # unknowns back between outer solves): np.asarray would pull
+                # the full array to host on every bind — scan device-side
+                # and sync one scalar instead.
+                if jnp.issubdtype(v.dtype, jnp.floating) and bool(
+                    jnp.isinf(v).any()
+                ):
+                    a = v
+                    if a.ndim == self.compiled.registry.images[name].ispace.ndim:
+                        a = a[..., None]
+                    orig = jnp.asarray(a, self.compiled.dtype)
+                    found[name] = orig
+            else:
+                a = _np.asarray(v)
+                if a.dtype.kind == "f" and _np.isinf(a).any():
+                    if a.ndim == self.compiled.registry.images[name].ispace.ndim:
+                        a = a[..., None]
+                    orig = jnp.asarray(a, self.compiled.dtype)
+                    found[name] = orig
+            memo[name] = (v, orig)
         self._unk_sentinels = found
 
     def _restore_sentinels(self, X):
@@ -392,6 +409,11 @@ class Plan:
         self._bound = None
         self._leaf_cache = None
         self._leaf_buckets = None
+        # drop the sentinel memo with the leaf cache: its entries hold the
+        # keyed input leaves alive, and keeping masks for freed bindings
+        # would leak them past the plan's release point
+        self.__dict__.pop("_sentinel_memo", None)
+        self._unk_sentinels = {}
 
     def solve_scheduled(
         self,
@@ -617,8 +639,14 @@ class Plan:
 
     # -- fused solve (Opt_ProblemSolve, o.t:2548-2551) --------------------------
     def solve(
-        self, inputs: Dict[str, Any], stepwise: bool = False, **solver_param_overrides
+        self,
+        inputs: Dict[str, Any],
+        *,
+        stepwise: bool = False,
+        **solver_param_overrides,
     ) -> SolveResult:
+        # stepwise is keyword-only: a positional dict of solver params here
+        # would otherwise be silently truthy and switch execution paths
         sp = normalize_solver_params({**self.solver_params, **solver_param_overrides})
         unknowns, consts, graphs, params = self._normalize_and_place(inputs)
         self._validate_fused(unknowns, consts, graphs, params)

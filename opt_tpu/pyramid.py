@@ -129,7 +129,10 @@ class PyramidPlan:
         finals_h = jax.device_get(finals)
         wall = time.perf_counter() - t0
         return SolveResult(
-            unknowns=state["X"],
+            # same ±inf invalid-marker restore as every other solve entry
+            # point: markers in the finest level's unknown INPUTS (whose
+            # values are otherwise ignored) come back verbatim
+            unknowns=self.plans[-1]._restore_sentinels(state["X"]),
             final_cost=float(finals_h[-1]),
             costs=[float(c) for c in finals_h],
             num_iterations=len(self.plans) * int(sp["nIterations"]),

@@ -178,13 +178,19 @@ class GaussNewtonSolver:
         return self._step_jit(state, consts, graphs, params, self._traced_sp(sp))
 
     def validate_assembly(self, X, consts, graphs, params) -> bool:
-        """One random-vector apply comparison of the assembled JᵀJ operator
-        against the composed Jᵀ(J·p) at real bound inputs. The probe-based
-        structural-zero pruning in plan_assembly can miss couplings whose
-        data-dependent gates never flip under the probe distribution (the
-        reference's polysimplify, ad.t:803-926, is exact and cannot); this
-        check catches any such miss on the data actually being solved.
-        Returns True when the operators agree."""
+        """Random-vector apply comparison of the assembled JᵀJ operator
+        against the composed Jᵀ(J·p), exercising the SAME const-cache path
+        the solver runs (assemble_const + assemble_stencil), at two points:
+
+        * the real bound inputs X — catches probe-based structural-zero
+          pruning misses on the data actually being solved (the reference's
+          polysimplify, ad.t:803-926, is exact and has no such blind spot);
+        * a small perturbation X′ with the const cache still built at X —
+          catches constant-slot false positives (a (term, slot) field the
+          probe draws judged X-independent but that varies over the solve
+          would be served stale from the cache; at X both trivially agree).
+
+        Returns True when the operators agree at both points."""
         if self._stencil_plan is None:
             return True
         import numpy as np
@@ -195,14 +201,16 @@ class GaussNewtonSolver:
             k: jnp.asarray(rng.uniform(-1.0, 1.0, c.unknown_shape(k)), c.dtype)
             for k in c.unknown_names
         }
+        dX = {
+            k: jnp.asarray(
+                rng.uniform(-1.0, 1.0, c.unknown_shape(k)), c.dtype
+            )
+            for k in c.unknown_names
+        }
 
-        def _check(X, consts, graphs, params, v):
-            fs = FunctionSet(c, consts, graphs, params)
-            fs.masks(X)
-            vm = fs.mask_rows(v)
-            _r, J, JT = fs.linearize(X)
+        def _one(fs, Xp, A, vm):
+            _r, J, JT = fs.linearize(Xp)
             ref = JT(J(vm))
-            A, _diag, _jtf, _meta = fs.assemble_stencil(X, self._stencil_plan)
             got = A(vm)
             err = jnp.zeros((), c.dtype)
             scale = jnp.zeros((), c.dtype)
@@ -211,8 +219,39 @@ class GaussNewtonSolver:
                 scale = jnp.maximum(scale, jnp.max(jnp.abs(ref[k])))
             return err, scale
 
+        def _check(X, consts, graphs, params, v, dX):
+            fs = FunctionSet(c, consts, graphs, params)
+            fs.masks(X)
+            vm = fs.mask_rows(v)
+            cc = fs.assemble_const(X, self._stencil_plan)
+            A, _diag, _jtf, _meta = fs.assemble_stencil(
+                X, self._stencil_plan, cc
+            )
+            err1, scale1 = _one(fs, X, A, vm)
+            # the perturbed point needs consistency, not proximity: for a
+            # correct plan assembled-vs-composed agree at ANY X (truly
+            # constant fields are X-independent, varying ones are re-probed
+            # at X′), while a falsely-hoisted field's staleness scales with
+            # the step — so perturb at O(1), not epsilon. Masks re-evaluate
+            # at X′ via a fresh FunctionSet, matching _solve_core's
+            # per-step mask evaluation; the const cache stays the X one.
+            Xp = {
+                k: X[k] + dX[k] * (0.5 * jnp.abs(X[k]) + 0.5) for k in X
+            }
+            fs2 = FunctionSet(c, consts, graphs, params)
+            fs2.masks(Xp)
+            vm2 = fs2.mask_rows(v)
+            A2, _d2, _j2, _m2 = fs2.assemble_stencil(
+                Xp, self._stencil_plan, cc
+            )
+            err2, scale2 = _one(fs2, Xp, A2, vm2)
+            return (
+                jnp.maximum(err1, err2),
+                jnp.maximum(scale1, scale2),
+            )
+
         err, scale = jax.device_get(
-            jax.jit(_check)(X, consts, graphs, params, v)
+            jax.jit(_check)(X, consts, graphs, params, v, dX)
         )
         tol = 1e-9 if c.dtype == jnp.float64 else 5e-4
         return bool(err <= tol * (1.0 + scale))

@@ -336,21 +336,16 @@ def save_mesh(path: str, verts: np.ndarray, faces=None) -> None:
     faces = None if faces is None or len(faces) == 0 else np.asarray(faces)
     nf = 0 if faces is None else len(faces)
     if path.endswith(".off"):
-        with open(path, "w") as f:
-            f.write("OFF\n%d %d 0\n" % (len(verts), nf))
-            for v in verts:
-                f.write("%g %g %g\n" % tuple(v[:3]))
-            if faces is not None:
-                for fc in faces:
-                    f.write("%d %s\n" % (len(fc), " ".join(str(int(i)) for i in fc)))
-        return
-    with open(path, "w") as f:
-        f.write(
+        header = "OFF\n%d %d 0\n" % (len(verts), nf)
+    else:
+        header = (
             "ply\nformat ascii 1.0\nelement vertex %d\n"
             "property float x\nproperty float y\nproperty float z\n"
             "element face %d\nproperty list uchar int vertex_indices\n"
             "end_header\n" % (len(verts), nf)
         )
+    with open(path, "w") as f:
+        f.write(header)
         for v in verts:
             f.write("%g %g %g\n" % tuple(v[:3]))
         if faces is not None:

@@ -37,7 +37,7 @@ def test_profile_plan(capsys):
     plan = Problem(laplacian).plan(dims={"W": 16, "H": 16})
     rep = profile_plan(plan, inputs, n_nonlinear=2, l_small=5, l_big=15)
     out = capsys.readouterr().out
-    assert "TIMING" in out and "Per-iter times ms" in out
+    assert "TIMING" in out and "Marginal times ms" in out
     assert rep["nonlinear_ms"] > 0
 
 
@@ -79,3 +79,66 @@ def test_create_delete_cycle():
         api.plan_free(plan)
         api.problem_delete(state, problem)
     assert not state.problems
+
+
+def test_report_solve_timing_lines(capsys):
+    """collect_per_kernel_timing emits the reference's greppable surface
+    (util.t:469-508): the kernel table, the TIMING line and the
+    'Per-iter times ms' aggregate pair."""
+    import opt_tpu as ot
+    from opt_tpu.problem import Problem
+
+    rng = np.random.RandomState(0)
+    inputs = {"X": rng.rand(12, 12).astype(np.float32),
+              "A": rng.rand(12, 12).astype(np.float32)}
+    plan = Problem(laplacian).plan(
+        dims={"W": 12, "H": 12},
+        init_params=ot.InitializationParameters(
+            collect_per_kernel_timing=True
+        ),
+    )
+    plan.solve(inputs, nIterations=2, lIterations=5)
+    out = capsys.readouterr().out
+    assert "TIMING " in out
+    assert "Per-iter times ms (nonlinear,linear):" in out
+    assert "PCGInit1" in out and "PCGStep1" in out
+
+
+def test_sentinel_memo_not_fooled_by_id_reuse():
+    """free() drops the sentinel memo, and memo hits require the SAME live
+    object — a fresh finite array occupying a freed array's id must not
+    inherit its inf-mask (id-reuse bug class; cf. solve_scheduled cache)."""
+    from opt_tpu.problem import Problem
+
+    rng = np.random.RandomState(0)
+    a_inf = rng.rand(8, 8).astype(np.float32)
+    a_inf[0, 0] = -np.inf
+    inputs = {"X": a_inf, "A": rng.rand(8, 8).astype(np.float32)}
+    plan = Problem(laplacian).plan(dims={"W": 8, "H": 8})
+    res = plan.solve(dict(inputs), nIterations=2, lIterations=5)
+    assert np.isneginf(np.asarray(res.unknowns["X"])[0, 0])
+    plan.free()
+    assert plan.__dict__.get("_sentinel_memo") is None
+    # a finite unknown after free() must come back finite everywhere
+    fin = {"X": rng.rand(8, 8).astype(np.float32),
+           "A": inputs["A"]}
+    res2 = plan.solve(fin, nIterations=2, lIterations=5)
+    assert np.isfinite(np.asarray(res2.unknowns["X"])).all()
+
+
+def test_compile_cache_bounded():
+    """Throwaway spec lambdas do not accumulate past the LRU cap."""
+    import opt_tpu.compile as oc
+
+    # build a handful of distinct spec closures; cache length must stay
+    # bounded by the cap regardless
+    def make(i):
+        def spec(S):
+            laplacian(S)
+        spec.__name__ = f"spec_{i}"
+        return spec
+
+    for i in range(5):
+        oc.compile_spec(make(i), {"W": 4, "H": 4}, np.float32)
+    assert oc._COMPILE_CACHE is not None
+    assert len(oc._COMPILE_CACHE) <= oc._COMPILE_CACHE_MAX

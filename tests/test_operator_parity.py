@@ -280,3 +280,40 @@ def test_graph_problem_with_exclusion_masks():
     p = rng.rand(colmask.size).astype(np.float32)
     got = np.asarray(flatten(apply_fn(unflatten(jnp.asarray(p)))))
     np.testing.assert_allclose(got, Jm.T @ (Jm @ (p * colmask)), rtol=1e-4, atol=1e-4)
+
+
+def test_validate_assembly_catches_false_const_hoist():
+    """validate_assembly traces the const-cache path the solver actually
+    runs, and its perturbed-point comparison must reject a plan whose
+    const_tsids wrongly claims an X-dependent Jacobian slot is constant
+    (the probe-based detection is probabilistic; this is its safety net)."""
+    import dataclasses
+
+    name = "image_warping"  # nonlinear: Jacobian genuinely varies with X
+    dims, inputs = CASES[name]
+    plan = ot.Problem(ALL_SPECS[name]).plan(dims=dims)
+    sol = plan.solver
+    assert sol._stencil_plan is not None
+    u, c, g, p = plan._normalize_and_place(dict(inputs))
+    assert sol.validate_assembly(u, c, g, p)
+
+    true_plan = sol._stencil_plan
+    all_ts = {
+        (t_idx, sid)
+        for contribs in list(true_plan.w_spec.values())
+        + list(true_plan.g_spec.values())
+        for (t_idx, so, si) in contribs
+        for sid in (so, si)
+    }
+    assert any(k not in true_plan.const_tsids for k in all_ts), (
+        "test needs at least one genuinely varying slot"
+    )
+    sol._stencil_plan = dataclasses.replace(
+        true_plan, const_tsids=frozenset(all_ts)
+    )
+    try:
+        assert not sol.validate_assembly(u, c, g, p), (
+            "stale constant-slot cache passed validation"
+        )
+    finally:
+        sol._stencil_plan = true_plan

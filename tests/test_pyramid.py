@@ -59,3 +59,28 @@ def test_pyramid_matches_host_driven_sequence():
         np.asarray(res.unknowns["X"]), np.asarray(r1.unknowns["X"]), atol=1e-6
     )
     assert res.num_linear_iterations > 0
+
+
+def test_pyramid_restores_inf_sentinels():
+    """±inf invalid markers in the finest level's unknown inputs come back
+    verbatim — same contract as Plan.solve / solve_scheduled."""
+    n = 16
+    coarse, fine = _levels(n)
+    dims = [{"W": n // 2, "H": n // 2}, {"W": n, "H": n}]
+    fine_x0 = np.zeros_like(fine)
+    fine_x0[0, 0] = -np.inf
+    pplan = ot.PyramidPlan(
+        ot.Problem(lap_spec), dims, prolong, nIterations=2, lIterations=8
+    )
+    res = pplan.solve(
+        [
+            {"X": np.zeros_like(coarse), "A": coarse},
+            {"X": fine_x0, "A": fine},
+        ]
+    )
+    out = np.asarray(res.unknowns["X"])
+    assert np.isneginf(out[0, 0])
+    mask = np.ones_like(out, bool)
+    mask[0, 0] = False
+    assert np.isfinite(out[mask]).all()
+    assert np.isfinite(res.final_cost)

@@ -100,9 +100,9 @@ def test_arap_inf_sentinels_solve(kind, fused):
     )
     sp = {"nIterations": 6, "lIterations": 20}
 
-    res_inf = plan.solve(_arap_inputs(N, use_inf=True), sp)
+    res_inf = plan.solve(_arap_inputs(N, use_inf=True), **sp)
     assert np.isfinite(res_inf.final_cost), "solve NaN'd on -inf sentinels"
-    res_fin = plan.solve(_arap_inputs(N, use_inf=False), sp)
+    res_fin = plan.solve(_arap_inputs(N, use_inf=False), **sp)
     assert np.isfinite(res_fin.final_cost)
     # -inf and -1e9 sentinels describe the same problem (both fail the
     # >= -999999.9 validity test) — costs must agree to float tolerance
