@@ -855,14 +855,29 @@ def assemble(compiled, plan: AssemblyPlan, X, consts, graphs, params,
                     [c.reshape(E, ct * ct) for c in cols], axis=-1
                 )
             )  # [E, n_stack*ct*ct]
-        W_grp = jnp.concatenate(
-            rows + [jnp.zeros((1, n_stack * ct * ct), dt)], axis=0
-        )  # [m*E + 1, ...]; the inc sentinel (m*E) reads the zero row
         inc = graphs[g][gk]
         n_out, d_tot = inc.shape
-        G = jnp.take(W_grp, inc.reshape(-1), axis=0).reshape(
-            (n_out, d_tot, n_stack * ct * ct)
-        )
+        inc_send = graphs[g].get("__halo_send__" + gk)
+        inc_loc = graphs[g].get("__halo_loc__" + gk)
+        if mesh is not None and inc_send is not None:
+            # owner-block neighbor exchange for the per-GN-step assembly
+            # gather: a global take here reads edge-block rows from
+            # vertex-owner rows, which XLA SPMD satisfies by all-gathering
+            # the whole stacked block array every GN step (O(m·E·Ct²), the
+            # dominant per-step collective). Each device instead sends just
+            # the boundary rows of its own edge shards through one
+            # all_to_all (tables precomputed at bind over the device-major
+            # row mapping — parallel/mesh.py map_stacked_rows_device_major).
+            from .parallel.mesh import halo_gather_parts
+
+            G = halo_gather_parts(mesh, rows, inc_send, inc_loc)
+        else:
+            W_grp = jnp.concatenate(
+                rows + [jnp.zeros((1, n_stack * ct * ct), dt)], axis=0
+            )  # [m*E + 1, ...]; the inc sentinel (m*E) reads the zero row
+            G = jnp.take(W_grp, inc.reshape(-1), axis=0).reshape(
+                (n_out, d_tot, n_stack * ct * ct)
+            )
         S_sum = jnp.sum(G[:, :, : ct * ct], axis=1).reshape(n_out, ct, ct)
         exec_entry = {"S": S_sum, "ct": ct, "dia": [], "C": None,
                       "cross": None, "halo": (None, None)}
@@ -1170,8 +1185,21 @@ def assemble(compiled, plan: AssemblyPlan, X, consts, graphs, params,
                     o = offs[img]
                     padded = padded.at[:, o : o + unknown_channels[img]].set(c)
                 blocks.append(padded)
-            rows = jnp.concatenate(blocks + [jnp.zeros((1, ctot), dt)], axis=0)
-            acc = jnp.take(rows, graphs[g][gk], axis=0).sum(axis=1)
+            jt_send = graphs[g].get("__halo_send__" + gk)
+            jt_loc = graphs[g].get("__halo_loc__" + gk)
+            if mesh is not None and jt_send is not None:
+                # same neighbor exchange (and same tables) as the assembly
+                # gather above: the per-slot edge blocks are the parts
+                from .parallel.mesh import halo_gather_parts
+
+                acc = halo_gather_parts(
+                    mesh, blocks, jt_send, jt_loc
+                ).sum(axis=1)
+            else:
+                rows = jnp.concatenate(
+                    blocks + [jnp.zeros((1, ctot), dt)], axis=0
+                )
+                acc = jnp.take(rows, graphs[g][gk], axis=0).sum(axis=1)
             for u in u_list:
                 sl = acc[:, offs[u] : offs[u] + unknown_channels[u]]
                 cur = out[u]

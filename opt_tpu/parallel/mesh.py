@@ -172,19 +172,27 @@ class ShardingRules:
 def build_halo_tables(cross, num_vertices: int, ndev: int):
     """Precompute the exchange schedule for an id table (host-side, numpy).
 
-    cross: int array [N, ...] of global vertex ids, sentinel = num_vertices.
+    cross: int array [R, ...] of global SOURCE-row ids, sentinel =
+    num_vertices. The requester rows (axis 0, R of them) and the source
+    rows (num_vertices of them) may live in different block-sharded spaces
+    — e.g. vertex-owner rows requesting edge-block rows for the
+    per-GN-step assembly gathers; for the CG-loop p reads the two spaces
+    coincide (R == num_vertices).
     Returns dict(send [ndev, ndev, M] int32 sender-local indices (sentinel
-    B), loc [N, ...] localized ids into [own block (B) | halo (ndev*M) |
-    zero row], M) — or None when N doesn't divide ndev (those configs
-    replicate, see ShardingRules._spec_for_image).
+    B), loc [R, ...] localized ids into [own source block (B) | halo
+    (ndev*M) | zero row], M) — or None when R or num_vertices doesn't
+    divide ndev (those configs replicate, see
+    ShardingRules._spec_for_image).
     """
     cross = np.asarray(cross)
     n = num_vertices
-    if ndev <= 1 or n % ndev != 0:
+    R = cross.shape[0]
+    if ndev <= 1 or n % ndev != 0 or R % ndev != 0:
         return None
-    B = n // ndev
+    B = n // ndev  # source block size
+    Br = R // ndev  # requester block size
     owner = np.clip(cross // B, 0, ndev - 1)
-    row_dev = (np.arange(cross.shape[0]) // B).reshape(
+    row_dev = (np.arange(R) // Br).reshape(
         (-1,) + (1,) * (cross.ndim - 1)
     )
     valid = cross < n
@@ -193,8 +201,8 @@ def build_halo_tables(cross, num_vertices: int, ndev: int):
     # per (requester d, source s): unique s-owned ids requested by d
     need = [[np.empty(0, np.int64)] * ndev for _ in range(ndev)]
     for d in range(ndev):
-        blk = cross[d * B : (d + 1) * B]
-        rem = remote[d * B : (d + 1) * B]
+        blk = cross[d * Br : (d + 1) * Br]
+        rem = remote[d * Br : (d + 1) * Br]
         if not rem.any():
             continue
         ids = blk[rem]
@@ -219,10 +227,10 @@ def build_halo_tables(cross, num_vertices: int, ndev: int):
     Mp = max(1, M)
     loc = np.empty_like(cross, dtype=np.int32)
     sentinel_loc = B + ndev * Mp
-    flat_loc = loc.reshape(cross.shape[0], -1)
-    flat_cross = cross.reshape(cross.shape[0], -1)
+    flat_loc = loc.reshape(R, -1)
+    flat_cross = cross.reshape(R, -1)
     for d in range(ndev):
-        rows = slice(d * B, (d + 1) * B)
+        rows = slice(d * Br, (d + 1) * Br)
         blk = flat_cross[rows]
         out = np.full(blk.shape, sentinel_loc, np.int32)
         own = (blk >= d * B) & (blk < (d + 1) * B)
@@ -252,25 +260,61 @@ def _flat_mesh(mesh: Mesh) -> Mesh:
     return got
 
 
-def halo_gather(mesh: Mesh, pp: jnp.ndarray, send: jnp.ndarray,
-                loc: jnp.ndarray) -> jnp.ndarray:
-    """p-read through a localized id table with one all_to_all exchange.
+def map_stacked_rows_device_major(inc, E: int, m: int, ndev: int):
+    """Re-index a combined-incidence table (ids k·E+e into m slot-major
+    stacked edge-row blocks, sentinel m·E — ops/graph_ops.py
+    combined_incidence_table) into DEVICE-major row order, so that
+    contiguous owner blocks match what each device assembles locally from
+    its own edge shards: device d's source block is [slot-0 rows of its
+    edges | slot-1 rows | …], i.e. row (k, e) ↦ d·(m·E_b) + k·E_b +
+    (e mod E_b) with d = e // E_b, E_b = E/ndev. Sentinel preserved.
+    Returns the mapped table, or None when E doesn't divide ndev."""
+    inc = np.asarray(inc)
+    if ndev <= 1 or E % ndev != 0:
+        return None
+    Eb = E // ndev
+    k = inc // E
+    e = inc % E
+    mapped = (e // Eb) * (m * Eb) + k * Eb + (e % Eb)
+    return np.where(inc >= m * E, m * E, mapped).astype(np.int64)
 
-    pp: [N, C] owner-block-sharded packed vertex values.
+
+def halo_gather_parts(mesh: Mesh, parts, send: jnp.ndarray,
+                      loc: jnp.ndarray) -> jnp.ndarray:
+    """Row-read through a localized id table with one all_to_all exchange.
+
+    parts: list of [Rows_i, C] block-sharded arrays whose PER-DEVICE shards,
+    concatenated in list order, form each device's local source block —
+    for a single vertex array that is just [pp]; for the per-GN-step
+    assembly gathers the parts are the m per-slot edge-row matrices and
+    ``loc`` comes from :func:`build_halo_tables` applied to the
+    device-major-mapped incidence table
+    (:func:`map_stacked_rows_device_major`).
     send/loc: tables from :func:`build_halo_tables` (device-resident).
     Returns [*loc.shape, C].
-    Collective volume = ndev²·M·C ≈ total boundary size, independent of N.
+    Collective volume = ndev²·M·C ≈ total boundary size, independent of
+    the source row count.
     """
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map  # jax >= 0.8
+        _rep_kw = {"check_vma": False}
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
+        _rep_kw = {"check_rep": False}
     from jax.sharding import PartitionSpec
 
     fm = _flat_mesh(mesh)
-    C = pp.shape[-1]
+    C = parts[0].shape[-1]
 
-    def body(pp_blk, send_me, loc_blk):
-        B = pp_blk.shape[0]
+    def body(*args):
+        send_me, loc_blk = args[-2:]
+        blk = (
+            jnp.concatenate(args[:-2], axis=0)
+            if len(args) > 3
+            else args[0]
+        )
         pp_ext = jnp.concatenate(
-            [pp_blk, jnp.zeros((1, C), pp_blk.dtype)], axis=0
+            [blk, jnp.zeros((1, C), blk.dtype)], axis=0
         )
         # what I owe each requester: [ndev, M, C]
         out_buf = jnp.take(pp_ext, send_me[0], axis=0)
@@ -278,7 +322,7 @@ def halo_gather(mesh: Mesh, pp: jnp.ndarray, send: jnp.ndarray,
             out_buf, "gv", split_axis=0, concat_axis=0, tiled=False
         )  # [ndev, M, C]: recv[s] = values of my requests owned by s
         p_full = jnp.concatenate(
-            [pp_blk, recv.reshape(-1, C), jnp.zeros((1, C), pp_blk.dtype)],
+            [blk, recv.reshape(-1, C), jnp.zeros((1, C), blk.dtype)],
             axis=0,
         )
         flat = jnp.take(p_full, loc_blk.reshape(-1), axis=0)
@@ -288,7 +332,19 @@ def halo_gather(mesh: Mesh, pp: jnp.ndarray, send: jnp.ndarray,
     return shard_map(
         body,
         mesh=fm,
-        in_specs=(P_("gv"), P_("gv"), P_("gv")),
+        in_specs=(P_("gv"),) * (len(parts) + 2),
         out_specs=P_("gv"),
-        check_rep=False,
-    )(pp, send, loc)
+        **_rep_kw,
+    )(*parts, send, loc)
+
+
+def halo_gather(mesh: Mesh, pp: jnp.ndarray, send: jnp.ndarray,
+                loc: jnp.ndarray) -> jnp.ndarray:
+    """p-read through a localized id table with one all_to_all exchange.
+
+    pp: [N, C] owner-block-sharded packed vertex values.
+    send/loc: tables from :func:`build_halo_tables` (device-resident).
+    Returns [*loc.shape, C].
+    Collective volume = ndev²·M·C ≈ total boundary size, independent of N.
+    """
+    return halo_gather_parts(mesh, [pp], send, loc)

@@ -310,7 +310,10 @@ class Plan:
                         and self.rules.mesh is not None
                         and self.rules.mesh.size > 1
                     ):
-                        from .parallel.mesh import build_halo_tables
+                        from .parallel.mesh import (
+                            build_halo_tables,
+                            map_stacked_rows_device_major,
+                        )
 
                         halo_targets = [("__ellx__" + suffix, cross)]
                         if dia is not None:
@@ -330,6 +333,30 @@ class Plan:
                                 )
                                 cached["__halo_loc__" + tkey] = jnp.asarray(
                                     halo["loc"]
+                                )
+                        # per-GN-step assembly + JᵀF gathers: the combined
+                        # incidence table reads EDGE-block rows from
+                        # vertex-owner rows — under SPMD a plain take
+                        # all-gathers the whole stacked block array (the
+                        # dominant per-step collective, O(m·E·Ct²)). The
+                        # same exchange machinery covers it after mapping
+                        # the slot-major row ids to device-major order
+                        # (each device serves its own edges' rows).
+                        ndev = self.rules.mesh.size
+                        E_g = idxs[names[0]].shape[0]
+                        mapped = map_stacked_rows_device_major(
+                            inc, E_g, len(names), ndev
+                        )
+                        if mapped is not None:
+                            halo = build_halo_tables(
+                                mapped, len(names) * E_g, ndev
+                            )
+                            if halo is not None:
+                                cached["__halo_send__" + group_key] = (
+                                    jnp.asarray(halo["send"])
+                                )
+                                cached["__halo_loc__" + group_key] = (
+                                    jnp.asarray(halo["loc"])
                                 )
                 # ELL tables for the gather-only JᵀJ apply
                 nvert = {
@@ -396,6 +423,32 @@ class Plan:
         if self._state is None:
             raise RuntimeError("call init() first")
         return float(self._state["prev_cost"])
+
+    def dump_hlo(self, inputs, path=None, **solver_param_overrides) -> str:
+        """Compiled-HLO text of the fused solve program — the TPU analogue
+        of the reference's verbosity≥3 generated-code dumps (PTX print at
+        util.t:4 `_opt_verbosity > 3`; kernel schedule dump to log.txt,
+        o.t:1618-1622). Also emitted automatically once per plan by
+        ``solve()`` when ``set_verbosity(3)`` is active."""
+        sp = normalize_solver_params(
+            {**self.solver_params, **solver_param_overrides}
+        )
+        u, c, g, p = self._normalize_and_place(inputs)
+        tsp = self.solver._traced_sp(sp)
+        txt = (
+            jax.jit(
+                lambda X, cs, gs, ps: self.solver._solve_core(
+                    X, cs, gs, ps, tsp, int(sp["nIterations"])
+                )
+            )
+            .lower(u, c, g, p)
+            .compile()
+            .as_text()
+        )
+        if path is not None:
+            with open(path, "w") as f:
+                f.write(txt)
+        return txt
 
     @property
     def unknowns(self) -> Dict[str, jnp.ndarray]:
@@ -696,4 +749,13 @@ class Plan:
             from .utils.timer import report_solve_timing
 
             report_solve_timing(self, result)
+        from .utils.logging import log_debug, verbosity
+
+        if verbosity() >= 3 and not getattr(self, "_hlo_dumped", False):
+            # verbosity>=3 generated-code dump, once per plan (the
+            # reference prints PTX at _opt_verbosity > 3, util.t:4, and
+            # dumps the kernel schedule to log.txt, o.t:1618-1622)
+            self._hlo_dumped = True
+            self.dump_hlo(inputs, path="opt_tpu_solve_hlo.txt", **solver_param_overrides)
+            log_debug("compiled solve HLO written to opt_tpu_solve_hlo.txt")
         return result

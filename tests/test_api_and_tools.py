@@ -142,3 +142,27 @@ def test_compile_cache_bounded():
         oc.compile_spec(make(i), {"W": 4, "H": 4}, np.float32)
     assert oc._COMPILE_CACHE is not None
     assert len(oc._COMPILE_CACHE) <= oc._COMPILE_CACHE_MAX
+
+
+def test_dump_hlo_and_verbosity3(tmp_path, monkeypatch):
+    """Plan.dump_hlo returns the compiled solve program; verbosity>=3
+    writes it once per plan (the reference's PTX/schedule dump analogue)."""
+    import os
+
+    from opt_tpu.problem import Problem
+    from opt_tpu.utils.logging import set_verbosity
+
+    rng = np.random.RandomState(0)
+    inputs = {"X": rng.rand(8, 8).astype(np.float32),
+              "A": rng.rand(8, 8).astype(np.float32)}
+    plan = Problem(laplacian).plan(dims={"W": 8, "H": 8})
+    txt = plan.dump_hlo(inputs, nIterations=1, lIterations=3)
+    assert "HloModule" in txt and "while" in txt
+
+    monkeypatch.chdir(tmp_path)
+    set_verbosity(3)
+    try:
+        plan.solve(dict(inputs), nIterations=1, lIterations=3)
+    finally:
+        set_verbosity(0)
+    assert os.path.exists(tmp_path / "opt_tpu_solve_hlo.txt")
