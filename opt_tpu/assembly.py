@@ -470,7 +470,7 @@ def assemble_const(compiled, plan: AssemblyPlan, X0, consts, graphs, params):
 
 
 def assemble(compiled, plan: AssemblyPlan, X, consts, graphs, params,
-             row_masks, const_cache=None, mesh=None):
+             row_masks, const_cache=None, mesh=None, coeff_dtype=None):
     """Assemble the coefficient fields at linearization point X.
 
     Returns (apply_fn, diag, jtf_fn, cg_meta): the row/column-masked JᵀJ·p
@@ -485,6 +485,12 @@ def assemble(compiled, plan: AssemblyPlan, X, consts, graphs, params,
     fused ``while_loop`` — the TPU analogue of the reference folding
     input-independent partials at compile time (ad.t:129-251 constant
     folding under polysimplify).
+
+    ``coeff_dtype`` (e.g. ``jnp.bfloat16``) narrows ONLY the storage of the
+    CG-loop-resident coefficient fields (the HBM traffic of the hot loop);
+    probes, JᵀF, the Jacobi diagonal and all CG state stay in the solve
+    dtype, and the bf16·f32 multiplies promote back to f32
+    (InitializationParameters.coefficient_dtype).
     """
     slots = compiled.registry.slots
     dt = compiled.dtype
@@ -1259,6 +1265,31 @@ def assemble(compiled, plan: AssemblyPlan, X, consts, graphs, params,
                 )
             elif i == j:
                 diag[u_out] = diag[u_out].at[graphs[g][k_out], i].add(field)
+
+    if coeff_dtype is not None:
+        # narrow ONLY the loop-resident coefficient storage, after the
+        # full-precision Jacobi diagonal above was read off; apply_fn closes
+        # over these containers, so in-place replacement is visible at its
+        # trace. The multiplies against f32 p promote back to f32.
+        cdt = jnp.dtype(coeff_dtype)
+        w_packed[:] = [
+            (isp, delta, kind, W.astype(cdt), oo, oi, co, ci)
+            for (isp, delta, kind, W, oo, oi, co, ci) in w_packed
+        ]
+        for ex in grp_exec.values():
+            ex["S"] = ex["S"].astype(cdt)
+            ex["dia"] = [(off, W.astype(cdt)) for off, W in ex["dia"]]
+            if ex["C"] is not None:
+                ex["C"] = ex["C"].astype(cdt)
+        for key in list(pair_exec):
+            W_ell, ell = pair_exec[key]
+            pair_exec[key] = (W_ell.astype(cdt), ell)
+        g_unhandled[:] = [
+            (g, uo, ko, ui, ki, kind, W.astype(cdt))
+            for (g, uo, ko, ui, ki, kind, W) in g_unhandled
+        ]
+        # the fused Pallas kernel is not dtype-parameterized yet
+        return apply_fn, diag, jtf_fn, None
 
     # fused-CG eligibility: hand the masked per-channel-pair stencil fields
     # to the Pallas whole-solve kernel when the operator is a pure 2-D

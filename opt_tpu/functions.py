@@ -225,19 +225,22 @@ class FunctionSet:
         return _mask_rows_select(x, row_masks)
 
     # -- assembled gather-form JᵀJ (see assembly.py) ---------------------------
-    def assemble_stencil(self, X, plan, const_cache=None, mesh=None):
+    def assemble_stencil(self, X, plan, const_cache=None, mesh=None,
+                         coeff_dtype=None):
         """(apply_fn, diag, jtf_fn, cg_meta): row/column-masked JᵀJ·p in
         assembled gather form, the Jacobi diagonal read off the Δ=0 fields,
         a JᵀF evaluator, and the fused-Pallas-CG descriptor (or None). The
         TPU equivalent of the reference's fused createjtjcentered/
         createjtjgraph/evalJTF kernels (o.t:2029-2172). ``mesh`` activates
-        the owner-block neighbor exchange for graph cross-endpoint reads."""
+        the owner-block neighbor exchange for graph cross-endpoint reads;
+        ``coeff_dtype`` narrows the loop-resident coefficient storage
+        (assembly.assemble)."""
         from .assembly import assemble
 
         _, row_masks = self.masks(X)
         return assemble(
             self.c, plan, X, self.consts, self.graphs, self.params, row_masks,
-            const_cache=const_cache, mesh=mesh,
+            const_cache=const_cache, mesh=mesh, coeff_dtype=coeff_dtype,
         )
 
     def assemble_const(self, X0, plan):

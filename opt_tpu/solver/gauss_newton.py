@@ -311,7 +311,8 @@ class GaussNewtonSolver:
                 asm_cache = self._asm_cache(fs, X)
             r_terms, J, _JT, _ = self._prepare(X, fs, need_jtf=False)
             A, diag_asm, jtf_fn, cg_meta = fs.assemble_stencil(
-                X, self._stencil_plan, asm_cache, mesh=self._mesh()
+                X, self._stencil_plan, asm_cache, mesh=self._mesh(),
+                coeff_dtype=self.ip.coefficient_dtype,
             )
             r0 = {k: -v for k, v in jtf_fn(r_terms).items()}
         else:
@@ -404,7 +405,8 @@ class GaussNewtonSolver:
                 asm_cache = self._asm_cache(fs, X)
             r_terms, J, _JT, _ = self._prepare(X, fs, need_jtf=False)
             A_base, diag, jtf_fn, cg_meta = fs.assemble_stencil(
-                X, self._stencil_plan, asm_cache, mesh=self._mesh()
+                X, self._stencil_plan, asm_cache, mesh=self._mesh(),
+                coeff_dtype=self.ip.coefficient_dtype,
             )
             r0 = {k: -v for k, v in jtf_fn(r_terms).items()}
         else:

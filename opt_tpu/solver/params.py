@@ -65,6 +65,20 @@ class InitializationParameters:
     # ``TIMING`` / ``Per-iter times ms (nonlinear, linear)`` lines
     # (util.t:469-508 format; utils/timer.report_solve_timing).
     collect_per_kernel_timing: bool = False
+    # EXPERIMENTAL, no reference counterpart: store the assembled JᵀJ
+    # coefficient fields in a narrower dtype ("bfloat16") while all CG
+    # state, dots and the Jacobi diagonal stay in the solve dtype. The CG
+    # hot loop is HBM-bandwidth-bound on the coefficient reads, so halving
+    # their bytes is a direct TPU lever; the inner solve then runs on a
+    # ~3-decimal-digit perturbation of JᵀJ, which the exact per-outer-step
+    # JᵀF turns into iterative refinement (outer GN/LM corrects the inner
+    # error; final costs match f32 on well-conditioned problems). None =
+    # full precision. Forces the XLA CG path (the fused Pallas kernel is
+    # not yet dtype-parameterized). On stiff graph energies (ARAP-style
+    # near-singular rotation directions) pair it with LM: plain GN accepts
+    # every step and the perturbed directions can be non-descent
+    # (tests/test_bf16_coefficients.py).
+    coefficient_dtype: Any = None
 
 
 # Runtime-settable parameters (solverGPUGaussNewton.t:26-39). `nIterations`
