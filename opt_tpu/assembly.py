@@ -1288,16 +1288,18 @@ def assemble(compiled, plan: AssemblyPlan, X, consts, graphs, params,
             (g, uo, ko, ui, ki, kind, W.astype(cdt))
             for (g, uo, ko, ui, ki, kind, W) in g_unhandled
         ]
-        # the fused Pallas kernel is not dtype-parameterized yet
-        return apply_fn, diag, jtf_fn, None
 
     # fused-CG eligibility: hand the masked per-channel-pair stencil fields
     # to the Pallas whole-solve kernel when the operator is a pure 2-D
-    # stencil over one index space (ops/pallas_cg.py); None otherwise.
+    # stencil over one index space (ops/pallas_cg.py); None otherwise. The
+    # kernel stores the weight fields in coeff_dtype too — there the win is
+    # VMEM capacity (bf16 fields let 2x-larger grids stay in the fused
+    # path) on top of the read traffic.
     from .ops.pallas_cg import plan_fused_grid_cg
 
     cg_meta = plan_fused_grid_cg(
-        compiled, plan, fields, w_layouts, grp_exec, pair_exec, g_unhandled
+        compiled, plan, fields, w_layouts, grp_exec, pair_exec, g_unhandled,
+        coeff_dtype=coeff_dtype,
     )
     return apply_fn, diag, jtf_fn, cg_meta
 

@@ -199,6 +199,7 @@ def plan_fused_grid_cg(
     grp_exec,
     pair_exec,
     g_unhandled,
+    coeff_dtype=None,
 ) -> Optional[Dict]:
     """Decide applicability from the assembled operator structure and build
     the kernel inputs.
@@ -246,16 +247,25 @@ def plan_fused_grid_cg(
 
     import numpy as _np
 
-    working = (len(field_list) + 7 * ctot) * int(_np.prod(dom)) * 4
+    # coeff_dtype (e.g. bf16) halves the weight-field share of the working
+    # set — the fields usually dominate it, so narrower storage roughly
+    # doubles the grid size that stays in the fused path
+    f_bytes = jnp.dtype(coeff_dtype).itemsize if coeff_dtype else 4
+    working = (
+        len(field_list) * f_bytes + 7 * ctot * 4
+    ) * int(_np.prod(dom))
     if working > VMEM_BUDGET_BYTES:
         return None
+    F = jnp.stack(field_list, axis=0)
+    if coeff_dtype is not None:
+        F = F.astype(coeff_dtype)
     return {
         "u_list": tuple(u_list),
         "offs": dict(offs),
         "channels": channels,
         "ctot": ctot,
         "triples": tuple(triples),
-        "F": jnp.stack(field_list, axis=0),
+        "F": F,
     }
 
 

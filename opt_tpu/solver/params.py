@@ -73,8 +73,10 @@ class InitializationParameters:
     # ~3-decimal-digit perturbation of JᵀJ, which the exact per-outer-step
     # JᵀF turns into iterative refinement (outer GN/LM corrects the inner
     # error; final costs match f32 on well-conditioned problems). None =
-    # full precision. Forces the XLA CG path (the fused Pallas kernel is
-    # not yet dtype-parameterized). On stiff graph energies (ARAP-style
+    # full precision. The fused Pallas CG kernel stores its weight fields
+    # in this dtype too, where the win is VMEM capacity: bf16 fields let
+    # ~2x-larger grids stay in the fused path. On stiff graph energies
+    # (ARAP-style
     # near-singular rotation directions) pair it with LM: plain GN accepts
     # every step and the perturbed directions can be non-descent
     # (tests/test_bf16_coefficients.py).

@@ -250,3 +250,40 @@ def test_fused_pallas_cg_computed_array_spec():
         res_p.final_cost,
         res_x.final_cost,
     )
+
+
+def test_fused_pallas_cg_bf16_coefficients():
+    """coefficient_dtype="bfloat16" keeps the fused kernel active (the
+    fields are stored bf16 in VMEM — the capacity win) and the solve lands
+    on the f32 final cost via outer refinement."""
+    n = 32
+    inputs = _poisson_inputs(n)
+    res_f32 = ot.Problem(poisson_image_editing).plan(
+        dims={"W": n, "H": n}
+    ).solve(dict(inputs), nIterations=4, lIterations=60)
+
+    plan_p = ot.Problem(poisson_image_editing).plan(
+        dims={"W": n, "H": n},
+        init_params=InitializationParameters(
+            use_pallas_cg="interpret", coefficient_dtype="bfloat16"
+        ),
+    )
+    assert plan_p.solver._pallas_mode == "interpret"
+    res_pal = plan_p.solve(dict(inputs), nIterations=4, lIterations=60)
+    import jax.numpy as jnp
+
+    # the kernel really stores bf16 fields
+    fs_meta = None
+    from opt_tpu.functions import FunctionSet
+
+    u, c, g, p = plan_p._normalize_and_place(dict(inputs))
+    fs = FunctionSet(plan_p.compiled, c, g, p)
+    fs.masks(u)
+    _a, _d, _j, fs_meta = fs.assemble_stencil(
+        u, plan_p.solver._stencil_plan, coeff_dtype="bfloat16"
+    )
+    assert fs_meta is not None and fs_meta["F"].dtype == jnp.bfloat16
+    assert np.allclose(res_pal.final_cost, res_f32.final_cost, rtol=5e-3), (
+        res_pal.final_cost,
+        res_f32.final_cost,
+    )
