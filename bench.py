@@ -115,7 +115,19 @@ def bench_poisson(n=512, n_inner=2000):
     # computed from PCG iterations actually executed, not requested.
     secs, res = _time_solve(plan, inputs, 1, n_inner)
     iters = max(1, res.num_linear_iterations)
-    return iters / secs, res.final_cost
+
+    # bf16 coefficient-storage variant (same problem, same exits): the CG
+    # loop's coefficient reads at half the bytes — report the rate and the
+    # final-cost delta vs f32 honestly
+    plan16 = ot.Problem(poisson_image_editing).plan(
+        dims={"W": n, "H": n},
+        init_params=ot.InitializationParameters(
+            coefficient_dtype="bfloat16"
+        ),
+    )
+    secs16, res16 = _time_solve(plan16, inputs, 1, n_inner)
+    rate16 = max(1, res16.num_linear_iterations) / secs16
+    return iters / secs, res.final_cost, rate16, res16.final_cost
 
 
 def bench_image_warping(n=512, n_outer=8, n_inner=400):
@@ -371,7 +383,7 @@ def bench_batched_curve_fitting(B=512, N=256, repeats=3):
 
 
 def main():
-    pcg_rate, poisson_cost = bench_poisson()
+    pcg_rate, poisson_cost, pcg16_rate, poisson16_cost = bench_poisson()
     gn_rate, warp_cost = bench_image_warping()
     arap_rate, arap_cost, arap_fixed_ms, arap_cg_ms = bench_arap_graph()
     flow_rate, flow_cost = bench_optical_flow()
@@ -394,6 +406,8 @@ def main():
             "gn_iters_per_sec_sfs512": round(sfs_rate, 2),
             "batched_lm_curvefits_per_sec": round(batch_rate, 1),
             "batched_curvefit_max_param_err": batch_err,
+            "pcg_iters_per_sec_poisson512_bf16coeff": round(pcg16_rate, 2),
+            "poisson_bf16coeff_final_cost": float(poisson16_cost),
             "poisson_final_cost": float(poisson_cost),
             "image_warping_final_cost": float(warp_cost),
             "arap_final_cost": float(arap_cost),
