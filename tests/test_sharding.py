@@ -3,6 +3,7 @@ test multi-host logic the JAX-native way with forced host platform devices).
 """
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -271,3 +272,34 @@ def test_grid_cg_loop_compiles_to_halo_permutes_only():
     assert "all-gather" not in hlo, "grid solve should not all-gather"
     assert "collective-permute" in hlo  # halo exchanges
     assert "all-reduce" in hlo  # CG dot products / cost
+
+
+@pytest.mark.parametrize(
+    "seed,n_verts",
+    [(0, 64), (1, 48), (2, 49), (3, 8)],  # 49: not divisible -> replicate
+)
+def test_fuzz_sharded_graph_solve_matches_single_device(seed, n_verts):
+    """Random graph energies (gated couplings, random channel counts,
+    random permutation topologies) solved over the 8-device mesh must
+    match the single-device solve — stresses the owner-block halo index
+    math (build_halo_tables, map_stacked_rows_device_major) across
+    topology/divisibility edge cases, including the replication fallback
+    for odd vertex counts."""
+    import test_fuzz_operator as tfo
+
+    old_n = tfo.N
+    tfo.N = n_verts
+    try:
+        rng = np.random.RandomState(1000 + seed)
+        spec, dims, inputs = tfo._random_graph_spec(rng)
+    finally:
+        tfo.N = old_n
+
+    sp = dict(nIterations=3, lIterations=15)
+    res1 = ot.Problem(spec).plan(dims=dims).solve(dict(inputs), **sp)
+    plan8 = ot.Problem(spec).plan(dims=dims, mesh=make_mesh())
+    res8 = plan8.solve(dict(inputs), **sp)
+    assert np.isfinite(res8.final_cost)
+    assert np.allclose(res1.final_cost, res8.final_cost, rtol=2e-4), (
+        res1.final_cost, res8.final_cost,
+    )
