@@ -198,50 +198,46 @@ def build_halo_tables(cross, num_vertices: int, ndev: int):
     valid = cross < n
     remote = valid & (owner != row_dev)
 
-    # per (requester d, source s): unique s-owned ids requested by d
-    need = [[np.empty(0, np.int64)] * ndev for _ in range(ndev)]
-    for d in range(ndev):
-        blk = cross[d * Br : (d + 1) * Br]
-        rem = remote[d * Br : (d + 1) * Br]
-        if not rem.any():
-            continue
-        ids = blk[rem]
-        src = ids // B
-        for s in np.unique(src):
-            need[d][int(s)] = np.unique(ids[src == s])
-    M = max(
-        (len(need[d][s]) for d in range(ndev) for s in range(ndev)),
-        default=0,
-    )
-
-    send = np.full((ndev, ndev, max(1, M)), B, np.int32)
-    halo_slot = {}  # global id -> halo index, per requester
-    for d in range(ndev):
-        halo_slot[d] = {}
-        for s in range(ndev):
-            ids = need[d][s]
-            send[s, d, : len(ids)] = (ids - s * B).astype(np.int32)
-            for k, gid in enumerate(ids):
-                halo_slot[d][int(gid)] = B + s * max(1, M) + k
-
+    # Fully vectorized (id loops over boundary entries cost O(boundary)
+    # Python-time at large graphs/device counts): the unique (requester d,
+    # source s, global id g) triples are one np.unique over a packed key
+    # sorted by (d, s, g), so each (d, s) group is contiguous with ids
+    # ascending, matching the per-group np.unique of the loop formulation
+    # bit for bit.
+    d_all = np.broadcast_to(row_dev, cross.shape)[remote].astype(np.int64)
+    g_all = cross[remote].astype(np.int64)
+    s_all = g_all // B
+    key = (d_all * ndev + s_all) * n + g_all
+    uk = np.unique(key)
+    grp = uk // n  # = d * ndev + s
+    g_u = uk % n
+    counts = np.bincount(grp, minlength=ndev * ndev)
+    M = int(counts.max()) if len(uk) else 0
     Mp = max(1, M)
-    loc = np.empty_like(cross, dtype=np.int32)
+
+    starts = np.zeros(ndev * ndev + 1, np.int64)
+    np.cumsum(counts, out=starts[1:])
+    slot = np.arange(len(uk)) - starts[grp]  # index within each (d,s) group
+    d_u = grp // ndev
+    s_u = grp % ndev
+
+    send = np.full((ndev, ndev, Mp), B, np.int32)
+    send[s_u, d_u, slot] = (g_u - s_u * B).astype(np.int32)
+    halo_index = (B + s_u * Mp + slot).astype(np.int32)
+
+    # localization: own-block reads index the local block, remote reads
+    # look up their (d, s, g) triple in uk (every remote entry is present
+    # by construction), sentinels hit the zero row past the halo
     sentinel_loc = B + ndev * Mp
-    flat_loc = loc.reshape(R, -1)
-    flat_cross = cross.reshape(R, -1)
-    for d in range(ndev):
-        rows = slice(d * Br, (d + 1) * Br)
-        blk = flat_cross[rows]
-        out = np.full(blk.shape, sentinel_loc, np.int32)
-        own = (blk >= d * B) & (blk < (d + 1) * B)
-        out[own] = (blk[own] - d * B).astype(np.int32)
-        rem_mask = (blk < n) & ~own
-        if rem_mask.any():
-            lut = halo_slot[d]
-            out[rem_mask] = np.array(
-                [lut[int(g)] for g in blk[rem_mask]], np.int32
-            )
-        flat_loc[rows] = out
+    loc = np.full(cross.shape, sentinel_loc, np.int32)
+    own = valid & (owner == row_dev)
+    loc[own] = (cross[own] - np.broadcast_to(row_dev, cross.shape)[own] * B
+                ).astype(np.int32)
+    if len(uk):
+        dq = np.broadcast_to(row_dev, cross.shape)[remote].astype(np.int64)
+        gq = cross[remote].astype(np.int64)
+        q = (dq * ndev + gq // B) * n + gq
+        loc[remote] = halo_index[np.searchsorted(uk, q)]
     return {"send": send, "loc": loc, "M": Mp}
 
 
