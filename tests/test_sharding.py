@@ -303,3 +303,47 @@ def test_fuzz_sharded_graph_solve_matches_single_device(seed, n_verts):
     assert np.allclose(res1.final_cost, res8.final_cost, rtol=2e-4), (
         res1.final_cost, res8.final_cost,
     )
+
+
+def test_sharded_four_slot_hypergraph_matches_single_device():
+    """cotangent-style 4-endpoint hyperedges: the m=4 slot stacking in the
+    combined-incidence exchange (device-major row mapping with 4 slot
+    blocks per device) must reproduce the single-device solve."""
+    from opt_tpu.models.specs import cotangent_mesh_smoothing
+
+    n_side = 8
+    N = n_side * n_side
+    rng = np.random.RandomState(7)
+    ii, jj = np.meshgrid(np.arange(n_side), np.arange(n_side), indexing="ij")
+    pos = np.stack(
+        [ii.ravel(), jj.ravel(), 0.1 * rng.rand(N)], -1
+    ).astype(np.float32)
+    vid = np.arange(N).reshape(n_side, n_side)
+    v0 = np.concatenate([vid[:-1].ravel(), vid[:, :-1].ravel()]).astype(
+        np.int32
+    )
+    v1 = np.concatenate([vid[1:].ravel(), vid[:, 1:].ravel()]).astype(
+        np.int32
+    )
+    inputs = {
+        "X": pos.copy(),
+        "A": pos,
+        "G": {"v0": v0, "v1": v1, "v2": (v0 + 2) % N, "v3": (v0 + 3) % N},
+        "w_fit": 1.0,
+        "w_reg": 0.5,
+    }
+    sp = dict(nIterations=3, lIterations=15)
+    res1 = ot.Problem(cotangent_mesh_smoothing).plan(dims={"N": N}).solve(
+        dict(inputs), **sp
+    )
+    plan8 = ot.Problem(cotangent_mesh_smoothing).plan(
+        dims={"N": N}, mesh=make_mesh()
+    )
+    res8 = plan8.solve(dict(inputs), **sp)
+    u, c, g, p = plan8._normalize_and_place(dict(inputs))
+    assert any(
+        k.startswith("__halo_send____inc__") for k in g["G"]
+    ), "4-slot inc halo tables missing"
+    assert np.allclose(res1.final_cost, res8.final_cost, rtol=2e-4), (
+        res1.final_cost, res8.final_cost,
+    )
