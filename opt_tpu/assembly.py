@@ -1266,6 +1266,153 @@ def assemble(compiled, plan: AssemblyPlan, X, consts, graphs, params,
             elif i == j:
                 diag[u_out] = diag[u_out].at[graphs[g][k_out], i].add(field)
 
+    # -- optional per-element block-Jacobi preconditioner ---------------------
+    # (opt-in via InitializationParameters.preconditioner="block_jacobi"; no
+    # reference counterpart — the reference is scalar Jacobi only,
+    # o.t:2149-2168). The Δ=0 coupling block per packed element — centered
+    # zero-offset fields plus the pre-summed same-vertex graph blocks — is
+    # exactly the best per-element SPD approximation of JᵀJ the assembly
+    # already holds; inverting the C×C blocks once per nonlinear iteration
+    # couples the channels the scalar Jacobi ignores (Offset×Angle,
+    # rotation×translation), cutting CG iterations on mixed-unknown
+    # problems. Exposed as an attribute so the (apply, diag, jtf, meta)
+    # result shape stays stable for every existing caller.
+    def make_block_pre(extra_diag=None):
+        """Build M⁻¹ from the Δ=0 blocks and return ``r -> M⁻¹·r`` (row
+        masks applied to the output; inputs are the solver's already
+        row-masked residuals). ``extra_diag``: optional per-unknown
+        diagonal to add before inversion (LM damping)."""
+        from .solver.params import FLOAT_EPSILON
+
+        isp_layouts = dict(w_layouts)  # ispace -> (u_list, offs, ctot)
+
+        def _layout_for(isp):
+            got = isp_layouts.get(isp)
+            if got is None:
+                u_list = [
+                    u for u in compiled.unknown_names if isp_of[u] == isp
+                ]
+                offs, o = {}, 0
+                for u in u_list:
+                    offs[u] = o
+                    o += unknown_channels[u]
+                got = (u_list, offs, o)
+                isp_layouts[isp] = got
+            return got
+
+        blocks = {}
+
+        def _block_for(isp):
+            B = blocks.get(isp)
+            if B is None:
+                _ul, _offs, ctot = _layout_for(isp)
+                dom = isp.shape(compiled.dim_sizes)
+                B = jnp.zeros(dom + (ctot, ctot), dt)
+            return B
+
+        # centered Δ=0 packed fields
+        for (isp, delta, kind, W, oo, oi, co, ci) in w_packed:
+            if any(d != 0 for d in delta):
+                continue
+            B = _block_for(isp)
+            Wf = W.astype(dt)
+            if kind == "scalar":
+                for k in range(co):
+                    B = B.at[..., oo + k, oi + k].add(Wf[..., 0])
+            elif kind == "diag":
+                for k in range(Wf.shape[-1]):
+                    B = B.at[..., oo + k, oi + k].add(Wf[..., k])
+            else:
+                B = B.at[..., oo : oo + co, oi : oi + ci].add(Wf)
+            blocks[isp] = B
+
+        # pre-summed same-vertex graph blocks (grp_exec S), remapped from
+        # the group layout into the ispace layout
+        for (g, gk), ex in grp_exec.items():
+            _names, gu_list, goffs, _gct = g_layouts[(g, gk)]
+            isp = isp_of[gu_list[0]]
+            B = _block_for(isp)
+            _ul, woffs, _ctot = _layout_for(isp)
+            S = ex["S"].astype(dt)
+            for uo in gu_list:
+                for ui in gu_list:
+                    co, ci = unknown_channels[uo], unknown_channels[ui]
+                    B = B.at[
+                        ..., woffs[uo] : woffs[uo] + co,
+                        woffs[ui] : woffs[ui] + ci,
+                    ].add(
+                        S[
+                            :, goffs[uo] : goffs[uo] + co,
+                            goffs[ui] : goffs[ui] + ci,
+                        ]
+                    )
+            blocks[isp] = B
+
+        # scatter-fallback same-vertex couplings (no ELL tables)
+        for (g, u_out, k_out, u_in, k_in, i, j), field in gfields.items():
+            if k_out != k_in:
+                continue
+            isp = isp_of[u_out]
+            B = _block_for(isp)
+            _ul, woffs, _ctot = _layout_for(isp)
+            idx = graphs[g][k_out]
+            f = field.astype(dt)
+            if (g, u_out, k_out, u_in, k_in) in plan.scalar_groups:
+                for ch in range(unknown_channels[u_out]):
+                    B = B.at[
+                        idx, woffs[u_out] + ch, woffs[u_in] + ch
+                    ].add(f)
+            else:
+                B = B.at[idx, woffs[u_out] + i, woffs[u_in] + j].add(f)
+            blocks[isp] = B
+
+        inv = {}
+        for isp, B in blocks.items():
+            u_list, offs, ctot = isp_layouts[isp]
+            if extra_diag is not None:
+                for u in u_list:
+                    e = extra_diag.get(u)
+                    if e is None:
+                        continue
+                    for k in range(unknown_channels[u]):
+                        B = B.at[..., offs[u] + k, offs[u] + k].add(
+                            e[..., k]
+                        )
+            # relative diagonal regularization keeps rank-deficient blocks
+            # (excluded rows, unconstrained channels) invertible without
+            # perturbing well-conditioned ones; symmetrized against inv()
+            # roundoff so M⁻¹ stays SPD for CG
+            dvals = jnp.diagonal(B, axis1=-2, axis2=-1)
+            reg = 1e-5 * dvals + FLOAT_EPSILON
+            Breg = B + reg[..., :, None] * jnp.eye(ctot, dtype=dt)
+            Minv = jnp.linalg.inv(Breg)
+            inv[isp] = 0.5 * (Minv + jnp.swapaxes(Minv, -1, -2))
+
+        def pre_apply(r):
+            out = {}
+            for isp, Minv in inv.items():
+                u_list, offs, _ctot = isp_layouts[isp]
+                rp = (
+                    jnp.concatenate([r[u] for u in u_list], axis=-1)
+                    if len(u_list) > 1
+                    else r[u_list[0]]
+                )
+                # broadcast-mul + minor-axis reduce (einsum = MXU trap on
+                # tiny blocks, docs/PERFORMANCE.md item 4)
+                z = jnp.sum(Minv * rp[..., None, :], axis=-1)
+                for u in u_list:
+                    sl = z[..., offs[u] : offs[u] + unknown_channels[u]]
+                    m = row_masks.get(u)
+                    out[u] = sl if m is None else sl * m
+            for u in unknown_channels:  # unknowns with no Δ=0 block
+                if u not in out:
+                    out[u] = r[u]
+            return out
+
+        return pre_apply
+
+    apply_fn.block_pre = make_block_pre
+
     if coeff_dtype is not None:
         # narrow ONLY the loop-resident coefficient storage, after the
         # full-precision Jacobi diagonal above was read off; apply_fn closes

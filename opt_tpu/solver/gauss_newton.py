@@ -324,7 +324,24 @@ class GaussNewtonSolver:
             pre_raw = {k: jnp.ones_like(v) for k, v in r0.items()}
         pre = fs.mask_rows(self._guarded_invert(pre_raw))
 
-        if cg_meta is not None and self._pallas_mode is not None:
+        # block-Jacobi (opt-in, assembled path): invert the per-element
+        # Δ=0 coupling block once per nonlinear iteration; z = M⁻¹r is a
+        # per-element block matvec instead of the scalar multiply (the
+        # scalar pre above is then dead and DCE'd). Not routed through the
+        # fused Pallas kernel (elementwise-pre only).
+        pre_apply = None
+        if (
+            self.ip.preconditioner == "block_jacobi"
+            and self.compiled.use_preconditioner
+            and hasattr(A, "block_pre")
+        ):
+            pre_apply = A.block_pre()
+
+        if (
+            cg_meta is not None
+            and self._pallas_mode is not None
+            and pre_apply is None
+        ):
             # whole-inner-loop fused Pallas kernel (ops/pallas_cg.py):
             # identical algebra and exits to the while_loop below
             from ..ops.pallas_cg import fused_grid_cg
@@ -348,7 +365,8 @@ class GaussNewtonSolver:
                 "lin_iters": state["lin_iters"] + l_done,
             }
 
-        p0 = _mul(pre, r0)
+        M = pre_apply if pre_apply is not None else (lambda r: _mul(pre, r))
+        p0 = M(r0)
         rz0 = tree_dot(r0, p0)
         delta0 = _zeros_like(r0)
         rz_floor = sp["cg_rz_tolerance"].astype(rz0.dtype) * rz0
@@ -360,7 +378,7 @@ class GaussNewtonSolver:
             alpha = self._safe_div(rz, den)
             delta = _axpy(alpha, p, delta)
             r = _axpy(-alpha, Ap, r)
-            z = _mul(pre, r)
+            z = M(r)
             rz_new = tree_dot(z, r)
             beta = self._safe_div(rz_new, rz)
             p = _axpy(beta, p, z)

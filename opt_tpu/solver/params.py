@@ -65,6 +65,16 @@ class InitializationParameters:
     # ``TIMING`` / ``Per-iter times ms (nonlinear, linear)`` lines
     # (util.t:469-508 format; utils/timer.report_solve_timing).
     collect_per_kernel_timing: bool = False
+    # Preconditioner choice. "jacobi" (default) is the reference's scalar
+    # Jacobi (o.t:2149-2168). "block_jacobi" (no reference counterpart,
+    # GN + assembled path only) inverts the full per-element Δ=0 coupling
+    # block — the channel coupling scalar Jacobi ignores — cutting CG
+    # iterations on mixed-unknown problems (Offset×Angle, ARAP blocks);
+    # built from blocks the assembly already holds, inverted once per
+    # nonlinear iteration. LM and the composed/explicit paths use scalar
+    # Jacobi regardless (their damping/scaling semantics are defined on
+    # the scalar diagonal).
+    preconditioner: str = "jacobi"
     # EXPERIMENTAL, no reference counterpart: store the assembled JᵀJ
     # coefficient fields in a narrower dtype ("bfloat16") while all CG
     # state, dots and the Jacobi diagonal stay in the solve dtype. The CG
