@@ -22,12 +22,27 @@ class IntrinsicSolver(CombinedSolverBase):
         super().__init__(intrinsic_image_decomposition, {"W": h, "H": w}, params)
         self.img = img
 
+    def _log_inputs(self):
+        """The reference works in log2 space (CombinedSolver.h:70-100):
+        i = log2(rgb + eps), initial albedo r = log2(chroma + eps) with
+        chroma = rgb / intensity, initial shading s = log2(intensity + eps).
+        The additive energy r + s − i then models rgb ≈ albedo · shading."""
+        EPS = 0.01
+        rgb = self.img
+        intensity = rgb.mean(-1, keepdims=True)
+        chroma = rgb / np.maximum(intensity, 1e-6)
+        return (
+            np.log2(chroma + EPS).astype(np.float32),
+            np.log2(intensity[..., 0] + EPS).astype(np.float32),
+            np.log2(rgb + EPS).astype(np.float32),
+        )
+
     def combined_solve_init(self):
-        h, w, _ = self.img.shape
+        r0, s0, i_log = self._log_inputs()
         self.problem_inputs = {
-            "r": self.img.copy(),
-            "s": np.zeros((h, w), np.float32),
-            "i": self.img,
+            "r": r0.copy(),
+            "s": s0.copy(),
+            "i": i_log,
             "w_fitSqrt": np.sqrt(500.0),
             "w_regSqrtAlbedo": np.sqrt(1000.0),
             "w_regSqrtShading": np.sqrt(10000.0),
@@ -35,8 +50,9 @@ class IntrinsicSolver(CombinedSolverBase):
         }
 
     def pre_single_solve(self):
-        self.problem_inputs["r"] = self.img.copy()
-        self.problem_inputs["s"] = np.zeros(self.img.shape[:2], np.float32)
+        r0, s0, _ = self._log_inputs()
+        self.problem_inputs["r"] = r0.copy()
+        self.problem_inputs["s"] = s0.copy()
 
 
 def main():
@@ -68,6 +84,17 @@ def main():
     solver.solve_all()
     solver.report_final_costs()
     solver.save_results_csv(args.results)
+    # reference output step (main.cpp:27-50): albedo = exp2(r)/1.5 and
+    # shading = exp2(s), clamped to [0,1] PNGs
+    from opt_tpu.utils.io import save_image
+
+    r = np.asarray(solver.problem_inputs["r"])
+    s = np.asarray(solver.problem_inputs["s"])
+    if s.ndim == 3:
+        s = s[..., 0]
+    save_image("outputAlbedo.png", np.clip(np.exp2(r) / 1.5, 0, 1))
+    save_image("outputShading.png", np.clip(np.exp2(s), 0, 1))
+    print("Saved outputAlbedo.png / outputShading.png")
 
 
 if __name__ == "__main__":

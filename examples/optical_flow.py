@@ -132,6 +132,26 @@ def main():
     solver.solve_all()
     solver.report_final_costs()
     solver.save_results_csv(args.results)
+    # reference output step (main.cpp:50-53 renderFlowVecotors): flow
+    # vectors drawn every 5th pixel on the source image, colored by
+    # magnitude (depth-colormap over [0, 5])
+    from opt_tpu.utils.io import save_image
+
+    flow = np.asarray(solver.problem_inputs["X"])
+    out = np.repeat(im0[..., None], 3, axis=-1).copy()
+    h, w = im0.shape
+    skip = 5
+    for i in range(1, h - 1, skip):
+        for j in range(1, w - 1, skip):
+            di, dj = flow[i, j]
+            n = max(2, int(2 * max(abs(di), abs(dj))) + 1)
+            t = np.linspace(0.0, 1.0, n)
+            pi = np.clip(np.rint(i + t * di).astype(int), 0, h - 1)
+            pj = np.clip(np.rint(j + t * dj).astype(int), 0, w - 1)
+            m = min(1.0, float(np.hypot(di, dj)) / 5.0)
+            out[pi, pj] = [2.0 * m, 0.4 * (1.0 - m), 0.2]  # magnitude ramp
+    save_image("out.png", np.clip(out, 0, 1))
+    print("Saved out.png")
 
 
 if __name__ == "__main__":

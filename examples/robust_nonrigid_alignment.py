@@ -86,6 +86,13 @@ def main():
     solver.solve_all()
     solver.report_final_costs()
     solver.save_results_csv(args.results)
+    # reference output step (main.cpp:69): the aligned template mesh
+    from opt_tpu.utils.io import save_mesh
+
+    save_mesh(
+        "out.ply", np.asarray(solver.problem_inputs["Offset"]), faces
+    )
+    print("Saved out.ply")
 
 
 if __name__ == "__main__":

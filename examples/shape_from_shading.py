@@ -103,6 +103,31 @@ def main():
     solver.solve_all()
     solver.report_final_costs()
     solver.save_results_csv(args.results)
+    # reference output step (main.cpp:43-49): refined depth as imagedump,
+    # a scaled PNG, and a camera-grid PLY mesh (SimpleBuffer::savePLYMesh:
+    # z = depth*1000, invalid pixels parked at 0, faces on valid quads)
+    from opt_tpu.utils.io import save_image, save_imagedump, save_mesh
+
+    depth = np.asarray(solver.problem_inputs["X"])[..., 0] if np.asarray(
+        solver.problem_inputs["X"]
+    ).ndim == 3 else np.asarray(solver.problem_inputs["X"])
+    valid = np.isfinite(depth) & (depth > 0)
+    d = np.where(valid, depth, 0.0).astype(np.float32)
+    save_imagedump("sfsOutput.imagedump", d[..., None])
+    save_image("sfsOutput0.png", d / 150.0, scale=255.0)
+    h, w = d.shape
+    ii, jj = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    verts = np.stack([ii.ravel(), jj.ravel(), (d * 1000.0).ravel()], -1)
+    vq = valid[:-1, :-1] & valid[1:, :-1] & valid[:-1, 1:] & valid[1:, 1:]
+    a = (ii[:-1, :-1] * w + jj[:-1, :-1])[vq]
+    faces = np.concatenate(
+        [
+            np.stack([a, a + 1, a + w], -1),
+            np.stack([a + 1, a + w + 1, a + w], -1),
+        ]
+    ).astype(np.int32)
+    save_mesh("sfsOutput.ply", verts.astype(np.float32), faces)
+    print("Saved sfsOutput.imagedump / sfsOutput0.png / sfsOutput.ply")
 
 
 if __name__ == "__main__":

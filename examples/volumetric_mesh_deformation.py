@@ -65,6 +65,17 @@ def main():
     solver.solve_all()
     solver.report_final_costs()
     solver.save_results_csv(args.results)
+    # reference output step (main.cpp:32 out.ply): the reference trilinearly
+    # interpolates an embedded surface mesh through the solved lattice; this
+    # app is synthetic-lattice (no embedded mesh), so the deformed lattice
+    # nodes are written as a point cloud
+    from opt_tpu.utils.io import save_mesh
+
+    save_mesh(
+        "out.ply",
+        np.asarray(solver.problem_inputs["Offset"]).reshape(-1, 3),
+    )
+    print("Saved out.ply")
 
 
 if __name__ == "__main__":
