@@ -341,6 +341,7 @@ class GaussNewtonSolver:
             cg_meta is not None
             and self._pallas_mode is not None
             and pre_apply is None
+            and getattr(self.ip, "cg_variant", "standard") == "standard"
         ):
             # whole-inner-loop fused Pallas kernel (ops/pallas_cg.py):
             # identical algebra and exits to the while_loop below
@@ -370,6 +371,72 @@ class GaussNewtonSolver:
         rz0 = tree_dot(r0, p0)
         delta0 = _zeros_like(r0)
         rz_floor = sp["cg_rz_tolerance"].astype(rz0.dtype) * rz0
+
+        if getattr(self.ip, "cg_variant", "standard") == "chronopoulos_gear":
+            # single-reduction PCG (Chronopoulos–Gear; PAPERS.md
+            # communication-reduced CG): γ=rᵀu and δ=uᵀAu are computed on
+            # the same vectors, so the two reductions are independent and
+            # lower to ONE all-reduce per iteration under a mesh; s=Ap is
+            # maintained by the recurrence s = w + βs (still one matvec
+            # per iteration). Same iterates as the standard loop in exact
+            # arithmetic; same γ (=rᵀz) convergence floor and guards.
+            def body_cs(carry):
+                delta, r, p, s, gamma, alpha_prev, l, brk = carry
+                u = M(r)
+                w = A(u)
+                gamma_new = tree_dot(r, u)
+                delta_d = tree_dot(u, w)
+                first = l == 0
+                beta = jnp.where(
+                    first,
+                    jnp.zeros_like(gamma_new),
+                    self._safe_div(gamma_new, gamma),
+                )
+                den = delta_d - beta * self._safe_div(gamma_new, alpha_prev)
+                alpha = jnp.where(
+                    first,
+                    self._safe_div(gamma_new, delta_d),
+                    self._safe_div(gamma_new, den),
+                )
+                p = _axpy(beta, p, u)
+                s = _axpy(beta, s, w)
+                delta = _axpy(alpha, p, delta)
+                r = _axpy(-alpha, s, r)
+                brk = jnp.logical_or(
+                    gamma_new <= rz_floor, delta_d <= 0
+                )
+                return (delta, r, p, s, gamma_new, alpha, l + 1, brk)
+
+            def cond_cs(carry):
+                return jnp.logical_and(
+                    carry[6] < sp["lIterations"], ~carry[7]
+                )
+
+            one = jnp.ones((), rz0.dtype)
+            out = jax.lax.while_loop(
+                cond_cs,
+                body_cs,
+                (
+                    delta0,
+                    r0,
+                    _zeros_like(r0),
+                    _zeros_like(r0),
+                    one,
+                    one,
+                    jnp.zeros((), jnp.int32),
+                    jnp.zeros((), jnp.bool_),
+                ),
+            )
+            delta, l_done = out[0], out[6]
+            X_new = {k: X[k] + delta[k] for k in X}
+            new_cost = fs.cost(X_new)
+            return {
+                **state,
+                "X": X_new,
+                "prev_cost": new_cost.astype(state["prev_cost"].dtype),
+                "n_iter": state["n_iter"] + 1,
+                "lin_iters": state["lin_iters"] + l_done,
+            }
 
         def body(carry):
             delta, r, p, rz, l, brk = carry

@@ -65,6 +65,17 @@ class InitializationParameters:
     # ``TIMING`` / ``Per-iter times ms (nonlinear, linear)`` lines
     # (util.t:469-508 format; utils/timer.report_solve_timing).
     collect_per_kernel_timing: bool = False
+    # CG inner-loop variant (GN path). "standard" is the reference's PCG
+    # recurrence (two DEPENDENT reductions per iteration: pᵀAp before the
+    # x/r updates, rᵀz after). "chronopoulos_gear" computes both dot
+    # products on the same vector pair (γ=rᵀu, δ=uᵀAu with u=M⁻¹r) and
+    # maintains s=Ap by recurrence, so the two reductions are independent
+    # and XLA's collective combiner merges them into ONE all-reduce per
+    # iteration — half the latency-bound synchronizations per CG iteration
+    # on a mesh (PAPERS.md: communication-reduced CG variants). Identical
+    # iterates in exact arithmetic; one extra vector recurrence and
+    # slightly different rounding.
+    cg_variant: str = "standard"
     # Preconditioner choice. "jacobi" (default) is the reference's scalar
     # Jacobi (o.t:2149-2168). "block_jacobi" (no reference counterpart,
     # GN + assembled path only) inverts the full per-element Δ=0 coupling
