@@ -1277,6 +1277,13 @@ def assemble(compiled, plan: AssemblyPlan, X, consts, graphs, params,
     # rotation×translation), cutting CG iterations on mixed-unknown
     # problems. Exposed as an attribute so the (apply, diag, jtf, meta)
     # result shape stays stable for every existing caller.
+    # snapshot the FULL-PRECISION sources for the block preconditioner
+    # before any coefficient-dtype narrowing below mutates these containers
+    # in place: the narrowing contract covers only CG-loop-resident
+    # storage, and M⁻¹ must be built from solve-dtype blocks
+    _bp_w_packed = tuple(w_packed)
+    _bp_S = {key: ex["S"] for key, ex in grp_exec.items()}
+
     def make_block_pre(extra_diag=None):
         """Build M⁻¹ from the Δ=0 blocks and return ``r -> M⁻¹·r`` (row
         masks applied to the output; inputs are the solver's already
@@ -1311,7 +1318,7 @@ def assemble(compiled, plan: AssemblyPlan, X, consts, graphs, params,
             return B
 
         # centered Δ=0 packed fields
-        for (isp, delta, kind, W, oo, oi, co, ci) in w_packed:
+        for (isp, delta, kind, W, oo, oi, co, ci) in _bp_w_packed:
             if any(d != 0 for d in delta):
                 continue
             B = _block_for(isp)
@@ -1326,14 +1333,20 @@ def assemble(compiled, plan: AssemblyPlan, X, consts, graphs, params,
                 B = B.at[..., oo : oo + co, oi : oi + ci].add(Wf)
             blocks[isp] = B
 
-        # pre-summed same-vertex graph blocks (grp_exec S), remapped from
-        # the group layout into the ispace layout
-        for (g, gk), ex in grp_exec.items():
+        # pre-summed same-vertex graph blocks, remapped from the group
+        # layout into the ispace layout; masked on both sides like the
+        # scalar diag path (the operator the loop applies is M·A(M·p), so
+        # its Δ=0 block is m·B·m — without this, inv(B) couples masked
+        # channels into unmasked ones at constraint boundaries)
+        for (g, gk) in grp_exec:
             _names, gu_list, goffs, _gct = g_layouts[(g, gk)]
             isp = isp_of[gu_list[0]]
             B = _block_for(isp)
             _ul, woffs, _ctot = _layout_for(isp)
-            S = ex["S"].astype(dt)
+            S = _bp_S[(g, gk)].astype(dt)
+            pm = _group_mask(g, gk)
+            if pm is not None:
+                S = S * pm[:, :, None] * pm[:, None, :]
             for uo in gu_list:
                 for ui in gu_list:
                     co, ci = unknown_channels[uo], unknown_channels[ui]

@@ -96,6 +96,9 @@ class Problem:
         return Plan(self, compiled, kind or self.kind, init_params, solver_params, mesh)
 
 
+_HLO_DUMP_COUNTER = 0  # verbosity>=3 dump files, numbered per plan
+
+
 class Plan:
     def __init__(
         self, problem, compiled: CompiledProblem, kind, init_params, solver_params,
@@ -161,27 +164,24 @@ class Plan:
                 if hit[1] is not None:
                     found[name] = hit[1]
                 continue
-            orig = None
             if isinstance(v, jax.Array):
                 # device-resident leaf (e.g. the harness writing result
                 # unknowns back between outer solves): np.asarray would pull
                 # the full array to host on every bind — scan device-side
                 # and sync one scalar instead.
-                if jnp.issubdtype(v.dtype, jnp.floating) and bool(
+                a = v
+                has_inf = jnp.issubdtype(v.dtype, jnp.floating) and bool(
                     jnp.isinf(v).any()
-                ):
-                    a = v
-                    if a.ndim == self.compiled.registry.images[name].ispace.ndim:
-                        a = a[..., None]
-                    orig = jnp.asarray(a, self.compiled.dtype)
-                    found[name] = orig
+                )
             else:
                 a = _np.asarray(v)
-                if a.dtype.kind == "f" and _np.isinf(a).any():
-                    if a.ndim == self.compiled.registry.images[name].ispace.ndim:
-                        a = a[..., None]
-                    orig = jnp.asarray(a, self.compiled.dtype)
-                    found[name] = orig
+                has_inf = a.dtype.kind == "f" and bool(_np.isinf(a).any())
+            orig = None
+            if has_inf:
+                if a.ndim == self.compiled.registry.images[name].ispace.ndim:
+                    a = a[..., None]
+                orig = jnp.asarray(a, self.compiled.dtype)
+                found[name] = orig
             memo[name] = (v, orig)
         self._unk_sentinels = found
 
@@ -754,8 +754,14 @@ class Plan:
         if verbosity() >= 3 and not getattr(self, "_hlo_dumped", False):
             # verbosity>=3 generated-code dump, once per plan (the
             # reference prints PTX at _opt_verbosity > 3, util.t:4, and
-            # dumps the kernel schedule to log.txt, o.t:1618-1622)
+            # dumps the kernel schedule to log.txt, o.t:1618-1622).
+            # Numbered per plan so multi-plan sessions (pyramids, benches)
+            # don't overwrite each other's dumps. Costs a second lowering/
+            # compile of the solve program — debug-level only.
             self._hlo_dumped = True
-            self.dump_hlo(inputs, path="opt_tpu_solve_hlo.txt", **solver_param_overrides)
-            log_debug("compiled solve HLO written to opt_tpu_solve_hlo.txt")
+            global _HLO_DUMP_COUNTER
+            path = f"opt_tpu_solve_hlo_{_HLO_DUMP_COUNTER}.txt"
+            _HLO_DUMP_COUNTER += 1
+            self.dump_hlo(inputs, path=path, **solver_param_overrides)
+            log_debug(f"compiled solve HLO written to {path}")
         return result

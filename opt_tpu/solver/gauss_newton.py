@@ -215,8 +215,20 @@ class GaussNewtonSolver:
             err = jnp.zeros((), c.dtype)
             scale = jnp.zeros((), c.dtype)
             for k in ref:
-                err = jnp.maximum(err, jnp.max(jnp.abs(ref[k] - got[k])))
-                scale = jnp.maximum(scale, jnp.max(jnp.abs(ref[k])))
+                # compare only where BOTH operators are finite: the O(1)
+                # perturbation below may leave a spec's numeric domain
+                # (sqrt/log/÷ of unknowns), and the two paths NaN
+                # asymmetrically there — the assembled fields fold masks
+                # multiplicatively (0·NaN = NaN) while the composed
+                # transpose zero-pads structurally. A falsely hoisted or
+                # pruned coupling still perturbs the finite region almost
+                # everywhere, which is where users actually solve.
+                ok = jnp.isfinite(ref[k]) & jnp.isfinite(got[k])
+                diff = jnp.where(ok, jnp.abs(ref[k] - got[k]), 0.0)
+                err = jnp.maximum(err, jnp.max(diff))
+                scale = jnp.maximum(
+                    scale, jnp.max(jnp.where(ok, jnp.abs(ref[k]), 0.0))
+                )
             return err, scale
 
         def _check(X, consts, graphs, params, v, dX):
@@ -387,25 +399,35 @@ class GaussNewtonSolver:
                 gamma_new = tree_dot(r, u)
                 delta_d = tree_dot(u, w)
                 first = l == 0
+                # γ at the top of iteration j is the post-update rᵀz of
+                # update j-1 — exactly what the standard loop checks after
+                # its update. When the floor is already met, skip this
+                # iteration's update and don't count it, so exits and
+                # lin_iters match the standard variant (the probe matvec
+                # above is already spent — inherent to the single-reduction
+                # pipelining).
+                stop_now = jnp.logical_and(~first, gamma_new <= rz_floor)
                 beta = jnp.where(
                     first,
                     jnp.zeros_like(gamma_new),
                     self._safe_div(gamma_new, gamma),
                 )
                 den = delta_d - beta * self._safe_div(gamma_new, alpha_prev)
+                used_den = jnp.where(first, delta_d, den)
                 alpha = jnp.where(
-                    first,
-                    self._safe_div(gamma_new, delta_d),
-                    self._safe_div(gamma_new, den),
+                    stop_now,
+                    jnp.zeros_like(gamma_new),
+                    self._safe_div(gamma_new, used_den),
                 )
                 p = _axpy(beta, p, u)
                 s = _axpy(beta, s, w)
                 delta = _axpy(alpha, p, delta)
                 r = _axpy(-alpha, s, r)
-                brk = jnp.logical_or(
-                    gamma_new <= rz_floor, delta_d <= 0
-                )
-                return (delta, r, p, s, gamma_new, alpha, l + 1, brk)
+                # same exits as the standard loop: rᵀz floor and a
+                # non-positive step denominator (the USED one, not uᵀAu)
+                brk = jnp.logical_or(stop_now, used_den <= 0)
+                l = l + jnp.where(stop_now, 0, 1)
+                return (delta, r, p, s, gamma_new, alpha, l, brk)
 
             def cond_cs(carry):
                 return jnp.logical_and(

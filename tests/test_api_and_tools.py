@@ -165,4 +165,6 @@ def test_dump_hlo_and_verbosity3(tmp_path, monkeypatch):
         plan.solve(dict(inputs), nIterations=1, lIterations=3)
     finally:
         set_verbosity(0)
-    assert os.path.exists(tmp_path / "opt_tpu_solve_hlo.txt")
+    import glob
+
+    assert glob.glob(str(tmp_path / "opt_tpu_solve_hlo_*.txt"))

@@ -94,3 +94,73 @@ def test_block_jacobi_converges_faster_to_same_cost(
         res_b.num_linear_iterations
         < iter_ratio * res_j.num_linear_iterations
     ), (res_b.num_linear_iterations, res_j.num_linear_iterations)
+
+
+def test_block_pre_built_from_full_precision_under_bf16():
+    """coefficient_dtype narrows only CG-loop storage: M⁻¹ must be built
+    from solve-dtype blocks, so the block-pre output is identical with and
+    without bf16 narrowing."""
+    import jax.numpy as jnp
+
+    from opt_tpu.functions import FunctionSet
+
+    spec, dims, inputs = _arap_case()
+    rng = np.random.RandomState(3)
+    r = None
+    for coeff in (None, "bfloat16"):
+        plan = ot.Problem(spec).plan(
+            dims=dims,
+            init_params=ot.InitializationParameters(
+                preconditioner="block_jacobi", coefficient_dtype=coeff
+            ),
+        )
+        u, c, g, p = plan._normalize_and_place(dict(inputs))
+        fs = FunctionSet(plan.compiled, c, g, p)
+        fs.masks(u)
+        A, _d, _j, _m = fs.assemble_stencil(
+            u, plan.solver._stencil_plan, coeff_dtype=coeff
+        )
+        if r is None:
+            r = {
+                k: jnp.asarray(
+                    rng.randn(*plan.compiled.unknown_shape(k)),
+                    plan.compiled.dtype,
+                )
+                for k in plan.compiled.unknown_names
+            }
+        z = A.block_pre()(r)
+        if coeff is None:
+            z_ref = z
+    for k in z_ref:
+        np.testing.assert_array_equal(np.asarray(z_ref[k]), np.asarray(z[k]))
+
+
+def test_validation_survives_domain_restricted_specs():
+    """The perturbed-point validation must not drop the assembled path for
+    specs whose residuals leave the numeric domain under an O(1) unknown
+    perturbation (sqrt of an unknown)."""
+    import jax.numpy as jnp
+
+    def sqrt_spec(S):
+        W, H = S.Dim("W"), S.Dim("H")
+        X = S.Unknown("X", 1, (W, H))
+        A = S.Array("A", 1, (W, H))
+        # domain X > -2; optimum X = (1+A)^2 - 2 ∈ [-1, 2] keeps the SOLVE
+        # inside, while validation's O(1) perturbation from X0 = -1.5
+        # (±(0.5·1.5+0.5) = ±1.25) crosses the domain edge — both
+        # operators NaN there, which must not drop the assembled path
+        S.Energy(
+            jnp.sqrt(X(0, 0) + 2.0) - (1.0 + A(0, 0)),
+            X(0, 0) - X(1, 0),
+        )
+
+    rng = np.random.RandomState(0)
+    inputs = {"X": np.full((8, 8), -1.5, np.float32),
+              "A": rng.rand(8, 8).astype(np.float32)}
+    plan = ot.Problem(sqrt_spec).plan(dims={"W": 8, "H": 8})
+    assert plan.solver._stencil_plan is not None
+    res = plan.solve(dict(inputs), nIterations=2, lIterations=10)
+    assert np.isfinite(res.final_cost)
+    assert plan.solver._stencil_plan is not None, (
+        "validation dropped the assembled path on a domain-restricted spec"
+    )
