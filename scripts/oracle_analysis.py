@@ -207,8 +207,25 @@ def main():
         same_obj, _ = analyze(name, out)
         ok = ok and same_obj
     path = os.path.join(ROOT, "regression_logs_oracle", "ANALYSIS.md")
+    text = "\n".join(out) + "\n"
+    if args.only and os.path.exists(path):
+        # partial rerun: splice the regenerated sections into the existing
+        # file instead of clobbering the examples that were not rerun
+        import re
+
+        existing = open(path).read()
+        for name in args.only:
+            pat = rf"## {re.escape(name)}\n.*?(?=\n## |\Z)"
+            m_new = re.search(pat, text, re.S)
+            if m_new is None:
+                continue
+            if re.search(pat, existing, re.S):
+                existing = re.sub(pat, m_new.group(0), existing, flags=re.S)
+            else:
+                existing = existing.rstrip() + "\n\n" + m_new.group(0)
+        text = existing
     with open(path, "w") as f:
-        f.write("\n".join(out) + "\n")
+        f.write(text)
     print(f"wrote {path}")
     sys.exit(0 if ok else 1)
 
