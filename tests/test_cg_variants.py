@@ -131,3 +131,43 @@ def test_cs_cg_halves_loop_all_reduces_on_mesh():
         h_cs.count(" all-reduce("),
         h_std.count(" all-reduce("),
     )
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_solver_option_combos_on_random_specs(seed):
+    """Random specs x random solver-option combos (variant, preconditioner,
+    coefficient dtype, kind): every combination must solve finitely and
+    land near the baseline f32/standard/jacobi result (GN; LM trajectories
+    legitimately differ on nonconvex specs, so LM asserts finiteness and
+    non-increase only)."""
+    import sys
+    import os
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    import test_fuzz_operator as tfo
+
+    # both generators return (spec, dims, inputs)
+    gen = tfo._random_grid_spec if seed % 2 == 0 else tfo._random_graph_spec
+    rng = np.random.RandomState(7000 + seed)
+    spec, dims, inputs = gen(rng)
+
+    kind = "gaussNewtonGPU" if seed % 2 == 0 else "LMGPU"
+    combo = dict(
+        cg_variant=["standard", "chronopoulos_gear"][rng.randint(2)],
+        preconditioner=["jacobi", "block_jacobi"][rng.randint(2)],
+        coefficient_dtype=[None, "bfloat16"][rng.randint(2)],
+    )
+    sp = dict(nIterations=3, lIterations=15)
+    base = ot.Problem(spec, kind=kind).plan(dims=dims).solve(
+        dict(inputs), **sp
+    )
+    plan = ot.Problem(spec, kind=kind).plan(
+        dims=dims, init_params=ot.InitializationParameters(**combo)
+    )
+    res = plan.solve(dict(inputs), **sp)
+    assert np.isfinite(res.final_cost), (combo, res.costs)
+    assert res.final_cost <= res.costs[0] + 1e-5, (combo, res.costs)
+    if kind == "gaussNewtonGPU" and combo["coefficient_dtype"] is None:
+        np.testing.assert_allclose(
+            res.final_cost, base.final_cost, rtol=2e-2, atol=1e-6
+        )
