@@ -39,11 +39,17 @@ def _ensure_live_backend(probe_timeout_s: float = 300.0) -> None:
     if os.environ.get("OPT_TPU_BENCH_NO_PROBE"):
         return
     try:
+        # the probe must EXECUTE a computation, not just enumerate devices:
+        # a half-dead tunnel can accept connections (jax.devices() returns)
+        # while every execution blocks forever in the client's retry loop —
+        # observed 2026-08-18; an enumeration-only probe passed and the
+        # bench then hung with zero CPU progress.
         subprocess.run(
             [
                 sys.executable,
                 "-c",
-                "import jax; jax.devices()",
+                "import jax, jax.numpy as jnp; "
+                "print(float(jnp.arange(64.0).sum()))",
             ],
             timeout=probe_timeout_s,
             check=True,
