@@ -176,7 +176,16 @@ def _slot_jacobians(compiled, X, consts, graphs, params, slot_ids):
     exact Jacobi diagonal, functions.py jtj_diag). All probes across slots
     and channels run as ONE vmapped linear evaluation."""
     sv = compiled.gather_slot_values(X, consts, graphs, params)
-    f = lambda s: compiled.local_residual_terms(s, params, consts)
+    # per-edge validity masks scale the slot-form residuals exactly as
+    # residual_terms does (compile.graph_term_scales contract): masked
+    # edges' Jacobian fields — and every coefficient product built from
+    # them — are exactly zero
+    scales = compiled.graph_term_scales(graphs)
+
+    def f(s):
+        terms = compiled.local_residual_terms(s, params, consts)
+        return [t if sc is None else t * sc for t, sc in zip(terms, scales)]
+
     _, lin = jax.linearize(f, sv)
 
     # stack every (slot, channel) one-hot tangent along a leading probe axis

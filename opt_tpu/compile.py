@@ -145,7 +145,33 @@ class CompiledProblem:
                 g = val if isinstance(val, dict) else {
                     s: getattr(val, s) for s in self.registry.graphs[name].slots
                 }
-                graphs[name] = {s: jnp.asarray(i, jnp.int32) for s, i in g.items()}
+                gd = {}
+                for s, i in g.items():
+                    if s == "valid":
+                        # optional per-edge 0/1 validity mask (runtime
+                        # input): deactivated edges contribute nothing —
+                        # the TPU analogue of the reference's runtime edge
+                        # count (util.t:728 guards idx < N at launch). A
+                        # mask change never retraces or rebuilds tables.
+                        m = jnp.asarray(i, self.dtype)
+                        if m.ndim == 1:
+                            m = m[:, None]
+                        gd[s] = m
+                    else:
+                        gd[s] = jnp.asarray(i, jnp.int32)
+                if "valid" in gd:
+                    slot_lens = [
+                        int(v.shape[0])
+                        for s, v in gd.items()
+                        if s != "valid" and not s.startswith("__")
+                    ]
+                    if slot_lens and int(gd["valid"].shape[0]) != slot_lens[0]:
+                        raise SpecError(
+                            f"graph {name!r}: valid mask has "
+                            f"{int(gd['valid'].shape[0])} entries, edges "
+                            f"have {slot_lens[0]}"
+                        )
+                graphs[name] = gd
             elif name in self.registry.params:
                 params[name] = jnp.asarray(val, self.dtype)
             else:
@@ -282,8 +308,28 @@ class CompiledProblem:
         residual instances)."""
         b = self._run("field", unknowns, consts, graphs, params)
         out = []
-        for term, val in zip(self.terms, b.energy_values):
-            out.append(self._apply_bbox(self._normalize_term(val, term), term))
+        scales = self.graph_term_scales(graphs)
+        for term, val, sc in zip(self.terms, b.energy_values, scales):
+            val = self._apply_bbox(self._normalize_term(val, term), term)
+            out.append(val if sc is None else val * sc)
+        return out
+
+    def graph_term_scales(self, graphs):
+        """Per-term residual scale from the optional per-edge ``valid``
+        masks ([E, 1] each, stop-gradient'd), aligned with ``self.terms``
+        (None where no mask applies). Masking the RESIDUAL zeroes the
+        edge's rows of J, its JᵀF/diag contributions and its cost
+        consistently — everything downstream flows through r. Callers that
+        evaluate residuals or their linearizations outside residual_terms
+        (slot-form probes) must apply the same scales."""
+        out = []
+        for term in self.terms:
+            sc = None
+            if term.domain and term.domain[0] == "graph":
+                g = graphs.get(term.domain[1])
+                if g is not None and g.get("valid") is not None:
+                    sc = jax.lax.stop_gradient(g["valid"])
+            out.append(sc)
         return out
 
     def residual_fn(self, consts, graphs, params):

@@ -169,7 +169,16 @@ class FunctionSet:
         _, row_masks = self.masks(X)
         c = self.c
         slot_vals = c.gather_slot_values(X, self.consts, self.graphs, self.params)
-        f = lambda sv: c.local_residual_terms(sv, self.params, self.consts)
+        # per-edge validity masks scale the slot-form residuals exactly as
+        # residual_terms does (graph_term_scales contract)
+        scales = c.graph_term_scales(self.graphs)
+
+        def f(sv):
+            terms = c.local_residual_terms(sv, self.params, self.consts)
+            return [
+                t if sc is None else t * sc for t, sc in zip(terms, scales)
+            ]
+
         _, lin = jax.linearize(f, slot_vals)
 
         diag = {
