@@ -129,3 +129,25 @@ def test_bad_mask_length_raises():
             nIterations=1,
             lIterations=2,
         )
+
+
+def test_masked_solve_under_mesh_matches_single_device():
+    """valid masks compose with owner-block sharding. Tolerance note:
+    masking disconnects mesh regions (gauge freedom), so psum
+    reduction-order drift compounds faster across GN steps than on the
+    connected graph — step 1 agrees exactly, step 3 to ~1e-3."""
+    from opt_tpu.parallel.mesh import make_mesh
+
+    N, pos, v0, v1, con = _arap_edges(16)
+    rng = np.random.RandomState(0)
+    keep = (rng.rand(len(v0)) > 0.3).astype(np.float32)
+    g = {"v0": v0, "v1": v1, "valid": keep}
+    sp = dict(nIterations=3, lIterations=15)
+    r1 = ot.Problem(arap_mesh_deformation).plan(dims={"N": N}).solve(
+        _inputs(pos, con, g), **sp
+    )
+    r8 = ot.Problem(arap_mesh_deformation).plan(
+        dims={"N": N}, mesh=make_mesh()
+    ).solve(_inputs(pos, con, g), **sp)
+    np.testing.assert_allclose(r8.costs[0], r1.costs[0], rtol=1e-5)
+    np.testing.assert_allclose(r8.final_cost, r1.final_cost, rtol=2e-3)
