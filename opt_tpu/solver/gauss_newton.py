@@ -555,7 +555,24 @@ class GaussNewtonSolver:
         ctc = fs.mask_rows_select(ctc)
         pre_lm = fs.mask_rows_select(pre_lm)
 
-        if cg_meta is not None and self._pallas_mode is not None:
+        # block-Jacobi for LM: invert the DAMPED per-element block
+        # (B_Δ0 + diag(CtC)) — the same ctc the operator A applies below,
+        # so M models (A + CtC) exactly per element. The scalar pre_lm
+        # (with its reference Jacobi-scaling pipeline) is then dead and
+        # DCE'd; opt-in, scalar stays the default.
+        pre_apply = None
+        if (
+            self.ip.preconditioner == "block_jacobi"
+            and self.compiled.use_preconditioner
+            and hasattr(A_base, "block_pre")
+        ):
+            pre_apply = A_base.block_pre(extra_diag=ctc)
+
+        if (
+            cg_meta is not None
+            and self._pallas_mode is not None
+            and pre_apply is None
+        ):
             # whole LM inner loop in the fused Pallas kernel: damping,
             # residual reset and Q/ζ exit included (ops/pallas_cg.py)
             from ..ops.pallas_cg import fused_grid_cg
@@ -577,7 +594,10 @@ class GaussNewtonSolver:
             )
 
         b = r0  # t:652 "copy over to b"
-        p0 = _mul(pre_lm, r0)
+        M = pre_apply if pre_apply is not None else (
+            lambda r: _mul(pre_lm, r)
+        )
+        p0 = M(r0)
         rz0 = tree_dot(r0, p0)
         rz_floor = sp["cg_rz_tolerance"].astype(dt) * rz0
         delta0 = _zeros_like(r0)
@@ -600,7 +620,7 @@ class GaussNewtonSolver:
                 lambda _: _axpy(-alpha, Ap, r),
                 None,
             )
-            z = _mul(pre_lm, r)
+            z = M(r)
             rz_new = tree_dot(z, r)
             Q1 = 0.5 * tree_dot(delta, _axpy(1.0, b, r))  # t:478-481
             beta = self._safe_div(rz_new, rz)

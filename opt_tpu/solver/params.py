@@ -78,13 +78,14 @@ class InitializationParameters:
     cg_variant: str = "standard"
     # Preconditioner choice. "jacobi" (default) is the reference's scalar
     # Jacobi (o.t:2149-2168). "block_jacobi" (no reference counterpart,
-    # GN + assembled path only) inverts the full per-element Δ=0 coupling
+    # assembled path only) inverts the full per-element Δ=0 coupling
     # block — the channel coupling scalar Jacobi ignores — cutting CG
     # iterations on mixed-unknown problems (Offset×Angle, ARAP blocks);
     # built from blocks the assembly already holds, inverted once per
-    # nonlinear iteration. LM and the composed/explicit paths use scalar
-    # Jacobi regardless (their damping/scaling semantics are defined on
-    # the scalar diagonal).
+    # nonlinear iteration. Under LM the DAMPED block (B + diag(CtC)) is
+    # inverted, modeling the trust-region operator exactly per element
+    # (the reference's scalar Jacobi-scaling pipeline applies only to the
+    # scalar mode). The composed/explicit paths use scalar Jacobi.
     preconditioner: str = "jacobi"
     # EXPERIMENTAL, no reference counterpart: store the assembled JᵀJ
     # coefficient fields in a narrower dtype ("bfloat16") while all CG

@@ -164,3 +164,26 @@ def test_validation_survives_domain_restricted_specs():
     assert plan.solver._stencil_plan is not None, (
         "validation dropped the assembled path on a domain-restricted spec"
     )
+
+
+def test_block_jacobi_lm_damped_blocks():
+    """LM inverts the DAMPED block (B + diag(CtC)): same converged cost,
+    fewer CG iterations (LM's Q/zeta exits already truncate CG, so the
+    gain is smaller than GN's; measured 63 vs 99)."""
+    spec, dims, inputs = _arap_case()
+    sp = dict(nIterations=10, lIterations=200, cg_rz_tolerance=1e-5)
+    res_j = ot.Problem(spec, kind="LMGPU").plan(dims=dims).solve(
+        dict(inputs), **sp
+    )
+    res_b = ot.Problem(spec, kind="LMGPU").plan(
+        dims=dims,
+        init_params=ot.InitializationParameters(
+            preconditioner="block_jacobi"
+        ),
+    ).solve(dict(inputs), **sp)
+    np.testing.assert_allclose(
+        res_b.final_cost, res_j.final_cost, rtol=5e-3
+    )
+    assert res_b.num_linear_iterations < 0.8 * res_j.num_linear_iterations, (
+        res_b.num_linear_iterations, res_j.num_linear_iterations,
+    )
