@@ -32,6 +32,33 @@ def edge_scatter_add(
     return out.at[idx].add(values)
 
 
+def bucket_size(n: int, minimum: int = 1) -> int:
+    """Next power-of-two bucket ≥ n (≥ minimum).
+
+    Dynamic-topology padding target: the reference passes the edge count as
+    a RUNTIME kernel parameter (util.t:728 ``getValidGraphElement`` guards
+    ``idx < N`` at launch), so per-frame topology changes never recompile.
+    Here shapes are static under jit, so the edge axis (and the incidence
+    widths derived from it) are padded to power-of-two buckets: topologies
+    in the same bucket share one trace/compile.
+    """
+    n = max(int(n), 1)
+    return max(int(minimum), 1 << (n - 1).bit_length())
+
+
+def pad_table_width(table, width: int, sentinel: int):
+    """Pad a [N, D] incidence-style table to D=width columns of sentinel."""
+    import numpy as np
+
+    table = np.asarray(table)
+    n, d = table.shape
+    if d >= width:
+        return table
+    out = np.full((n, width), sentinel, table.dtype)
+    out[:, :d] = table
+    return out
+
+
 def slot_groups(gdecl, dim_sizes):
     """Group a graph's endpoint slots by the index space they point into.
 
@@ -186,7 +213,7 @@ def dia_split(
     return offsets, np.stack(masks), rem_pos, rem_cross
 
 
-def ell_tables(idx_by_slot, num_vertices_by_slot):
+def ell_tables(idx_by_slot, num_vertices_by_slot, width_bucket=None):
     """ELL-format tables for gather-only JᵀJ application.
 
     For each slot k: ``inc[k]`` = [N_k, D_k] edge ids incident to each vertex
@@ -206,6 +233,18 @@ def ell_tables(idx_by_slot, num_vertices_by_slot):
         k: incidence_table(np.asarray(i), num_vertices_by_slot[k])
         for k, i in idx_by_slot.items()
     }
+    if width_bucket is not None:
+        # dynamic topology: bucket the incidence width so topologies with
+        # nearby max-degree share one trace; sentinel rows (edge id E) flow
+        # through the ell derivation below to the vertex sentinel N_ki
+        inc = {
+            k: pad_table_width(
+                t,
+                width_bucket(t.shape[1]),
+                np.asarray(idx_by_slot[k]).shape[0],
+            )
+            for k, t in inc.items()
+        }
     ell = {}
     for ko, tko in inc.items():
         E = np.asarray(idx_by_slot[ko]).shape[0]

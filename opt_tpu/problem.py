@@ -79,6 +79,7 @@ class Problem:
         double_precision: bool = False,
         init_params: Optional[InitializationParameters] = None,
         mesh=None,
+        dynamic_topology: Optional[bool] = None,
         **solver_params,
     ) -> "Plan":
         """Compile for concrete grid sizes (Opt_ProblemPlan, o.t:861-882).
@@ -93,6 +94,11 @@ class Problem:
                 "opt_tpu.enable_double_precision() before creating arrays"
             )
         compiled = compile_spec(self.spec_fn, dims, dtype)
+        if dynamic_topology is not None:
+            init_params = dataclasses.replace(
+                init_params or InitializationParameters(),
+                dynamic_topology=bool(dynamic_topology),
+            )
         return Plan(self, compiled, kind or self.kind, init_params, solver_params, mesh)
 
 
@@ -115,6 +121,9 @@ class Plan:
             compiled, self.uses_lambda, init_params, sharding_rules=self.rules
         )
         self.solver_params = normalize_solver_params(solver_params)
+        self.dynamic_topology = bool(
+            getattr(self.solver.ip, "dynamic_topology", False)
+        )
         self._state = None
         self._bound = None  # (consts, graphs, params)
         self._fused_validated = False
@@ -233,6 +242,63 @@ class Plan:
             cache.update(changed)
         return tuple(dict(b) for b in buckets)
 
+    def _pad_dynamic(self, graphs):
+        """Pad graph edge axes to power-of-two buckets (dynamic_topology).
+
+        Padded edges get round-robin in-bounds vertex ids and a zero entry
+        in the (always-present) ``valid`` mask, so they contribute nothing
+        to J, JᵀF, the diagonal, the assembled blocks or the cost — the
+        exact edge-mask semantics (compile.graph_term_scales, tested by
+        tests/test_edge_mask.py). Round-robin ids spread the padded edges'
+        incidences across vertices so no single vertex's incidence width
+        inflates. The mask is injected even at exact bucket sizes so the
+        trace signature (pytree structure) is identical across frames.
+        Reference analogue: runtime edge count, util.t:728."""
+        from .ops.graph_ops import bucket_size
+
+        if not graphs:
+            return graphs
+        out = {}
+        for gname, slots in graphs.items():
+            if any(k.startswith("__") for k in slots):
+                out[gname] = slots
+                continue
+            gdecl = self.compiled.registry.graphs[gname]
+            slot_names = [s for s in slots if s != "valid"]
+            if not slot_names:
+                out[gname] = slots
+                continue
+            E = int(slots[slot_names[0]].shape[0])
+            Eb = bucket_size(E, minimum=8)
+            gd = {}
+            for s in slot_names:
+                idx = np.asarray(slots[s])
+                if Eb > E:
+                    n = int(
+                        np.prod(
+                            gdecl.slots[s].shape(self.compiled.dim_sizes)
+                        )
+                    )
+                    pad = (np.arange(Eb - E, dtype=np.int64) % n).astype(
+                        idx.dtype
+                    )
+                    idx = np.concatenate([idx, pad])
+                gd[s] = jnp.asarray(idx, jnp.int32)
+            v = slots.get("valid")
+            if v is None:
+                vv = np.ones((E, 1), np.float64)
+            else:
+                vv = np.asarray(v, np.float64)
+                if vv.ndim == 1:
+                    vv = vv[:, None]
+            if Eb > E:
+                vv = np.concatenate(
+                    [vv, np.zeros((Eb - E, vv.shape[1]), vv.dtype)]
+                )
+            gd["valid"] = jnp.asarray(vv, self.compiled.dtype)
+            out[gname] = gd
+        return out
+
     def _augment_incidence(self, graphs):
         """Attach the host-precomputed combined incidence table ("__inc__")
         so the assembled JᵀJ applies graph couplings as ONE channel-packed
@@ -251,6 +317,8 @@ class Plan:
 
         if not graphs:
             return graphs
+        if self.dynamic_topology:
+            graphs = self._pad_dynamic(graphs)
         if not hasattr(self, "_inc_cache"):
             self._inc_cache = {}
         out = {}
@@ -269,7 +337,9 @@ class Plan:
                     b"".join(idxs[s].tobytes() for s in all_names)
                 ).hexdigest(),
             )
-            cached = self._inc_cache.get(ckey)
+            cached = self._inc_cache.pop(ckey, None)
+            if cached is not None:
+                self._inc_cache[ckey] = cached  # LRU: re-insert at the end
             if cached is None:
                 cached = {}
                 # combined per-(vertex-space) tables: the incidence table
@@ -281,6 +351,18 @@ class Plan:
                     inc = combined_incidence_table(
                         [idxs[s] for s in names], n
                     )
+                    if self.dynamic_topology:
+                        # bucket the incidence width (sentinel m*E rows are
+                        # zero in the stacked block array); the cross table
+                        # below inherits the padded shape and maps the
+                        # sentinels to the zero p row (vertex id n)
+                        from .ops.graph_ops import bucket_size, pad_table_width
+
+                        inc = pad_table_width(
+                            inc,
+                            bucket_size(inc.shape[1]),
+                            len(names) * int(idxs[names[0]].shape[0]),
+                        )
                     suffix = group_key[len("__inc__"):]
                     cross = combined_cross_table(
                         [idxs[s] for s in names], n, inc=inc
@@ -288,8 +370,13 @@ class Plan:
                     cached[group_key] = jnp.asarray(inc)
                     cached["__ellx__" + suffix] = jnp.asarray(cross)
                     # DIA split: dominant vertex-id offsets become shifted
-                    # adds in the CG loop instead of gathers
-                    dia = dia_split(cross, n)
+                    # adds in the CG loop instead of gathers. Skipped under
+                    # dynamic topology: the offset VALUES and the remainder
+                    # widths are topology-specialized (they name input keys
+                    # and fix shapes), so they would retrace per frame.
+                    dia = (
+                        None if self.dynamic_topology else dia_split(cross, n)
+                    )
                     if dia is not None:
                         offsets, masks, rem_pos, rem_cross = dia
                         for k, off in enumerate(offsets):
@@ -365,12 +452,22 @@ class Plan:
                     )
                     for s in all_names
                 }
-                inc, ell = ell_tables(idxs, nvert)
+                from .ops.graph_ops import bucket_size as _bs
+
+                inc, ell = ell_tables(
+                    idxs,
+                    nvert,
+                    width_bucket=_bs if self.dynamic_topology else None,
+                )
                 for s, t in inc.items():
                     cached[f"__ell_inc_{s}"] = jnp.asarray(t)
                 for (ko, ki), t in ell.items():
                     cached[f"__ell_{ko}__{ki}"] = jnp.asarray(t)
                 self._inc_cache[ckey] = cached
+                if self.dynamic_topology and len(self._inc_cache) > 32:
+                    # per-frame topologies would otherwise grow the table
+                    # cache without bound; evict least-recently-used
+                    self._inc_cache.pop(next(iter(self._inc_cache)))
             out[gname].update(cached)
         return out
 

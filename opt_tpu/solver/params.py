@@ -60,6 +60,16 @@ class InitializationParameters:
     # a BCOO once per nonlinear iteration and run JᵀJ·p as two sparse
     # matvecs (explicit.py). Verification / special-purpose surface.
     use_explicit_jtj: bool = False
+    # Dynamic graph topology without retraces: pad every graph's edge axis
+    # to a power-of-two bucket (padded edges carry a zero validity mask and
+    # contribute nothing — exactly the edge-mask semantics), bucket the
+    # derived incidence-table widths, and skip the topology-specialized DIA
+    # split. Re-solving the plan with a changed topology in the same bucket
+    # then hits the jit cache; only the cheap vectorized host-side tables
+    # rebuild. The analogue of the reference's RUNTIME edge count (kernels
+    # guard idx < N at launch, util.t:728), which lets per-frame topology
+    # changes (nonrigid tracking) run without recompiling.
+    dynamic_topology: bool = False
     # Opt_InitializationParameters.collectPerKernelTimingInfo (Opt.h:21-25):
     # after each solve, print the per-phase timing table plus the greppable
     # ``TIMING`` / ``Per-iter times ms (nonlinear, linear)`` lines
