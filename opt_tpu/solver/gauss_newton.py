@@ -572,6 +572,7 @@ class GaussNewtonSolver:
             cg_meta is not None
             and self._pallas_mode is not None
             and pre_apply is None
+            and getattr(self.ip, "cg_variant", "standard") == "standard"
         ):
             # whole LM inner loop in the fused Pallas kernel: damping,
             # residual reset and Q/ζ exit included (ops/pallas_cg.py)
@@ -606,6 +607,89 @@ class GaussNewtonSolver:
         A = lambda v: _axpy(1.0, _mul(ctc, v), A_base(v))  # JᵀJp + CtC·p (o.t:2076-2082)
 
         reset_period = sp["residual_reset_period"]
+
+        if getattr(self.ip, "cg_variant", "standard") == "chronopoulos_gear":
+            # single-reduction PCG under LM: γ=rᵀu, δ=uᵀAu AND the Q value
+            # of the PREVIOUS update (Q=½δᵀ(b+r), solverGPUGaussNewton.t:
+            # 478-481) are all computed at the top of the iteration on
+            # already-available vectors, so LM's three reductions per CG
+            # iteration are independent and lower to ONE all-reduce under a
+            # mesh (vs two dependent ones + the Q fetch in the standard
+            # loop). Exit parity with the standard LM loop: the ζ and
+            # rᵀz-floor checks fire one iteration later by construction
+            # (the probe matvec is already spent — inherent to the
+            # single-reduction pipelining), with identical counted
+            # lin_iters. The residual reset recomputes r = b − A·δ on the
+            # reference's period; note the α-denominator recurrence itself
+            # is not reset (exact-arithmetic equal; opt-in variant).
+            q_tol = sp["q_tolerance"].astype(dt)
+
+            def body_cs(carry):
+                delta, r, p, s, gamma, alpha_prev, Q0c, l, brk = carry
+                u = M(r)
+                w = A(u)
+                gamma_new = tree_dot(r, u)
+                delta_d = tree_dot(u, w)
+                Qcur = 0.5 * tree_dot(delta, _axpy(1.0, b, r))
+                first = l == 0
+                zeta = l.astype(dt) * (Qcur - Q0c) / Qcur
+                stop_now = jnp.logical_and(
+                    ~first,
+                    jnp.logical_or(gamma_new <= rz_floor, zeta < q_tol),
+                )
+                beta = jnp.where(
+                    first,
+                    jnp.zeros_like(gamma_new),
+                    self._safe_div(gamma_new, gamma),
+                )
+                den = delta_d - beta * self._safe_div(gamma_new, alpha_prev)
+                used_den = jnp.where(first, delta_d, den)
+                alpha = jnp.where(
+                    stop_now,
+                    jnp.zeros_like(gamma_new),
+                    self._safe_div(gamma_new, used_den),
+                )
+                p = _axpy(beta, p, u)
+                s = _axpy(beta, s, w)
+                delta = _axpy(alpha, p, delta)
+                r = _axpy(-alpha, s, r)
+                l_new = l + jnp.where(stop_now, 0, 1)
+                use_reset = jnp.logical_and(
+                    l_new % reset_period == 0, ~stop_now
+                )
+                r = jax.lax.cond(
+                    use_reset,
+                    lambda _: _sub(b, A(delta)),  # t:491-534
+                    lambda _: r,
+                    None,
+                )
+                return (delta, r, p, s, gamma_new, alpha, Qcur, l_new, stop_now)
+
+            def cond_cs(carry):
+                return jnp.logical_and(
+                    carry[7] < sp["lIterations"], ~carry[8]
+                )
+
+            one = jnp.ones((), rz0.dtype)
+            out = jax.lax.while_loop(
+                cond_cs,
+                body_cs,
+                (
+                    delta0,
+                    r0,
+                    _zeros_like(r0),
+                    _zeros_like(r0),
+                    one,
+                    one,
+                    Q0,
+                    jnp.zeros((), jnp.int32),
+                    jnp.zeros((), jnp.bool_),
+                ),
+            )
+            delta, l_done = out[0], out[7]
+            return self._lm_finish(
+                state, fs, sp, X, delta, l_done, r_terms, J, SSq
+            )
 
         def body(carry):
             delta, r, p, rz, Q0, l, brk = carry

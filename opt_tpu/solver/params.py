@@ -75,7 +75,7 @@ class InitializationParameters:
     # ``TIMING`` / ``Per-iter times ms (nonlinear, linear)`` lines
     # (util.t:469-508 format; utils/timer.report_solve_timing).
     collect_per_kernel_timing: bool = False
-    # CG inner-loop variant (GN path). "standard" is the reference's PCG
+    # CG inner-loop variant (GN and LM). "standard" is the reference's PCG
     # recurrence (two DEPENDENT reductions per iteration: pᵀAp before the
     # x/r updates, rᵀz after). "chronopoulos_gear" computes both dot
     # products on the same vector pair (γ=rᵀu, δ=uᵀAu with u=M⁻¹r) and
@@ -84,7 +84,11 @@ class InitializationParameters:
     # iteration — half the latency-bound synchronizations per CG iteration
     # on a mesh (PAPERS.md: communication-reduced CG variants). Identical
     # iterates in exact arithmetic; one extra vector recurrence and
-    # slightly different rounding.
+    # slightly different rounding. Under LM the previous update's Q value
+    # (the ζ exit, t:478-481, t:1093-1102) joins the same fused reduction,
+    # so all THREE per-iteration dots ride one all-reduce; LM's residual
+    # reset recomputes r on the reference period (the α-denominator
+    # recurrence itself is not reset).
     cg_variant: str = "standard"
     # Preconditioner choice. "jacobi" (default) is the reference's scalar
     # Jacobi (o.t:2149-2168). "block_jacobi" (no reference counterpart,

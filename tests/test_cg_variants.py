@@ -90,6 +90,62 @@ def test_cs_cg_matches_standard_final_cost(case):
     ), (res_cs.num_linear_iterations, res_std.num_linear_iterations)
 
 
+@pytest.mark.parametrize("case", ["poisson", "arap"])
+def test_cs_cg_matches_standard_lm(case):
+    """LM path: the CS loop reproduces the standard LM inner loop's
+    final cost (incl. the Q/ζ exit and residual-reset semantics) and a
+    comparable linear-iteration count."""
+    if case == "poisson":
+        spec, dims, inputs = (
+            poisson_image_editing,
+            {"W": 24, "H": 24},
+            _poisson_inputs(24),
+        )
+        sp = dict(nIterations=4, lIterations=60)
+    else:
+        N, inputs = _arap_inputs(8)
+        spec, dims = arap_mesh_deformation, {"N": N}
+        sp = dict(nIterations=5, lIterations=40)
+
+    res_std = ot.Problem(spec, kind="LMGPU").plan(dims=dims).solve(
+        dict(inputs), **sp
+    )
+    res_cs = ot.Problem(spec, kind="LMGPU").plan(
+        dims=dims,
+        init_params=ot.InitializationParameters(
+            cg_variant="chronopoulos_gear"
+        ),
+    ).solve(dict(inputs), **sp)
+    assert np.isfinite(res_cs.final_cost)
+    np.testing.assert_allclose(
+        res_cs.final_cost, res_std.final_cost, rtol=5e-3, atol=1e-6
+    )
+    assert (
+        abs(res_cs.num_linear_iterations - res_std.num_linear_iterations)
+        <= 0.15 * res_std.num_linear_iterations + 3
+    ), (res_cs.num_linear_iterations, res_std.num_linear_iterations)
+
+
+def test_cs_cg_lm_q_exit_fires():
+    """The ζ early-exit must terminate the CS LM inner loop the same way
+    it terminates the standard one: with a loose q_tolerance both loops
+    use far fewer linear iterations than the cap, and agree."""
+    inputs = _poisson_inputs(24)
+    sp = dict(nIterations=2, lIterations=200, q_tolerance=1e-2)
+    counts = {}
+    for variant in ["standard", "chronopoulos_gear"]:
+        res = ot.Problem(poisson_image_editing, kind="LMGPU").plan(
+            dims={"W": 24, "H": 24},
+            init_params=ot.InitializationParameters(cg_variant=variant),
+        ).solve(dict(inputs), **sp)
+        counts[variant] = res.num_linear_iterations
+    assert counts["standard"] < 2 * 200, counts
+    assert (
+        abs(counts["chronopoulos_gear"] - counts["standard"])
+        <= 0.15 * counts["standard"] + 3
+    ), counts
+
+
 def test_cs_cg_halves_loop_all_reduces_on_mesh():
     """Under the 8-device mesh the CS loop's two independent reductions
     merge: the compiled while-body carries fewer all-reduce ops than the
