@@ -299,6 +299,43 @@ class Plan:
             out[gname] = gd
         return out
 
+    def _reorder_edges(self, graphs):
+        """Bind-time edge renumbering for mesh locality (opt-in,
+        InitializationParameters(edge_reorder="owner")): stable-sort each
+        graph's edges by the device owner of their FIRST endpoint slot, so
+        a device's edge shard mostly consists of edges whose accumulation
+        target it owns. The per-GN-step device-major edge-row exchange
+        (parallel/mesh.py) has collective volume set by edge-numbering
+        alignment, not boundary size; owner sorting collapses it toward
+        the true partition boundary. The energy is a sum over edges, so
+        the solution is order-independent; only the float reduction order
+        (and dumpJ's per-edge row order) changes — hence opt-in."""
+        ndev = self.rules.mesh.size
+        out = {}
+        for gname, slots in graphs.items():
+            if any(k.startswith("__") for k in slots):
+                out[gname] = slots
+                continue
+            gdecl = self.compiled.registry.graphs[gname]
+            slot_names = [s for s in sorted(slots) if s != "valid"]
+            if not slot_names:
+                out[gname] = slots
+                continue
+            first = slot_names[0]
+            idx0 = np.asarray(slots[first])
+            n0 = int(
+                np.prod(gdecl.slots[first].shape(self.compiled.dim_sizes))
+            )
+            if n0 % ndev or idx0.shape[0] % ndev:
+                out[gname] = slots  # replicated configs: nothing to align
+                continue
+            owner = idx0.astype(np.int64) // (n0 // ndev)
+            perm = np.argsort(owner, kind="stable")
+            out[gname] = {
+                s: jnp.asarray(np.asarray(v)[perm]) for s, v in slots.items()
+            }
+        return out
+
     def _augment_incidence(self, graphs):
         """Attach the host-precomputed combined incidence table ("__inc__")
         so the assembled JᵀJ applies graph couplings as ONE channel-packed
@@ -319,6 +356,13 @@ class Plan:
             return graphs
         if self.dynamic_topology:
             graphs = self._pad_dynamic(graphs)
+        if (
+            self.rules is not None
+            and self.rules.mesh is not None
+            and self.rules.mesh.size > 1
+            and getattr(self.solver.ip, "edge_reorder", False)
+        ):
+            graphs = self._reorder_edges(graphs)
         if not hasattr(self, "_inc_cache"):
             self._inc_cache = {}
         out = {}

@@ -101,6 +101,17 @@ class InitializationParameters:
     # (the reference's scalar Jacobi-scaling pipeline applies only to the
     # scalar mode). The composed/explicit paths use scalar Jacobi.
     preconditioner: str = "jacobi"
+    # Bind-time edge renumbering for mesh locality (no reference
+    # counterpart — single-GPU reference). "owner": stable-sort each
+    # graph's edges by the device owner of their first endpoint, so a
+    # device's edge shard mostly holds edges whose accumulation target it
+    # owns. The per-GN-step device-major edge-row exchange
+    # (parallel/mesh.py map_stacked_rows_device_major + build_halo_tables)
+    # has volume set by edge-numbering ALIGNMENT, not boundary size; owner
+    # sorting collapses it toward the true boundary. Opt-in because it
+    # perturbs the per-edge float reduction order (golden-cost drift) and
+    # dumpJ's per-edge row order. No effect without a mesh.
+    edge_reorder: Any = False
     # EXPERIMENTAL, no reference counterpart: store the assembled JᵀJ
     # coefficient fields in a narrower dtype ("bfloat16") while all CG
     # state, dots and the Jacobi diagonal stay in the solve dtype. The CG

@@ -89,7 +89,7 @@ def _poisson_hlo(n: int, mesh):
     return plan.dump_hlo(inputs, nIterations=1, lIterations=20)
 
 
-def _arap_hlo(n_side: int, mesh, shuffle: bool = True):
+def _arap_hlo(n_side: int, mesh, shuffle: bool = True, owner_sort: bool = False):
     import numpy as np
     import opt_tpu as ot
     from opt_tpu.models.specs import arap_mesh_deformation
@@ -122,7 +122,14 @@ def _arap_hlo(n_side: int, mesh, shuffle: bool = True):
         "w_fitSqrt": np.float32(1.0),
         "w_regSqrt": np.float32(np.sqrt(0.5)),
     }
-    plan = ot.Problem(arap_mesh_deformation).plan(dims={"N": N}, mesh=mesh)
+    ip = (
+        ot.InitializationParameters(edge_reorder="owner")
+        if owner_sort
+        else None
+    )
+    plan = ot.Problem(arap_mesh_deformation).plan(
+        dims={"N": N}, mesh=mesh, init_params=ip
+    )
     return plan.dump_hlo(inputs, nIterations=3, lIterations=20)
 
 
@@ -151,8 +158,14 @@ def main():
         print(f"poisson {n}x{n}:", json.dumps(report[f"poisson_{n}x{n}"]),
               flush=True)
     for s in [int(s) for s in args.graph_sides.split(",")]:
-        for shuffle, tag in ((False, "local"), (True, "shuffled")):
-            t = collective_table(_arap_hlo(s, mesh, shuffle=shuffle))
+        for shuffle, owner_sort, tag in (
+            (False, False, "local"),
+            (True, False, "shuffled"),
+            (True, True, "shuffled_ownersort"),
+        ):
+            t = collective_table(
+                _arap_hlo(s, mesh, shuffle=shuffle, owner_sort=owner_sort)
+            )
             key = f"arap_{s * s}v_{tag}"
             report[key] = {
                 k: {"ops": c, "bytes": b} for k, (c, b) in sorted(t.items())

@@ -127,6 +127,47 @@ def test_owner_block_graph_sharding_matches_single_device():
     assert shard_shapes == {(N // 8, 3)}, shard_shapes
 
 
+def test_edge_reorder_owner_shrinks_assembly_exchange():
+    """edge_reorder="owner" (opt-in): owner-sorted edges must (a) match
+    the unsorted sharded solve (sum over edges — only float reduction
+    order changes) and (b) shrink the per-GN-step device-major edge-row
+    exchange (its all_to_all payload M), whose volume is set by
+    edge-numbering alignment rather than boundary size. Shuffled vertex
+    ids make the adversarial case: random owners scatter edge rows
+    across all devices."""
+    from opt_tpu.models.specs import arap_mesh_deformation as arap_spec
+
+    N, inputs = _arap_inputs(16)
+    # shuffle the vertex numbering so the natural edge order has no
+    # owner alignment at all
+    rng = np.random.RandomState(3)
+    perm = rng.permutation(N).astype(np.int32)
+    inv = np.argsort(perm).astype(np.int32)
+    inputs = dict(inputs)
+    for k in ("Offset", "Angle", "UrShape", "Constraints"):
+        inputs[k] = np.asarray(inputs[k])[inv].copy()
+    inputs["G"] = {
+        "v0": perm[inputs["G"]["v0"]],
+        "v1": perm[inputs["G"]["v1"]],
+    }
+    mesh = make_mesh()
+    sp = dict(nIterations=3, lIterations=20)
+    sizes = {}
+    costs = {}
+    for tag, ip in [
+        ("base", None),
+        ("owner", ot.InitializationParameters(edge_reorder="owner")),
+    ]:
+        plan = ot.Problem(arap_spec).plan(
+            dims={"N": N}, mesh=mesh, init_params=ip
+        )
+        u, c, g, p = plan._normalize_and_place(dict(inputs))
+        sizes[tag] = g["G"]["__halo_send____inc__v0|v1"].shape[2]
+        costs[tag] = plan.solve(dict(inputs), **sp).final_cost
+    np.testing.assert_allclose(costs["owner"], costs["base"], rtol=2e-3)
+    assert sizes["owner"] < 0.7 * sizes["base"], sizes
+
+
 def test_halo_gather_matches_plain_take():
     """Owner-block neighbor exchange (parallel/mesh.py halo_gather): the
     all_to_all + local-gather read must reproduce the plain global take
