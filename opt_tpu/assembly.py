@@ -170,12 +170,12 @@ def _probe_inputs(compiled, rng, probe_edges: int, extra_vals=()):
     return unknowns, consts, graphs, params
 
 
-def _slot_jacobians(compiled, X, consts, graphs, params, slot_ids):
+def _slot_jacobians(compiled, X, consts, graphs, params, slot_ids, mesh=None):
     """D[(term_idx, sid)] = ∂r_t/∂slot_sid as [*dom, r_ch, C_s] via one-hot
     jvp probes of the slot-form residual function (same mechanism as the
     exact Jacobi diagonal, functions.py jtj_diag). All probes across slots
     and channels run as ONE vmapped linear evaluation."""
-    sv = compiled.gather_slot_values(X, consts, graphs, params)
+    sv = compiled.gather_slot_values(X, consts, graphs, params, mesh=mesh)
     # per-edge validity masks scale the slot-form residuals exactly as
     # residual_terms does (compile.graph_term_scales contract): masked
     # edges' Jacobian fields — and every coefficient product built from
@@ -440,7 +440,8 @@ def _used_tsids(compiled, plan) -> List[Tuple[int, int]]:
     ]
 
 
-def assemble_const(compiled, plan: AssemblyPlan, X0, consts, graphs, params):
+def assemble_const(compiled, plan: AssemblyPlan, X0, consts, graphs, params,
+                   mesh=None):
     """Loop-invariant assembly phase: probe the X-independent (term, slot)
     Jacobian fields once (any evaluation point is valid — here the solve's
     initial unknowns) and pre-multiply every coupling block whose both sides
@@ -459,7 +460,7 @@ def assemble_const(compiled, plan: AssemblyPlan, X0, consts, graphs, params):
                 "var_slots": var_slots}
     cache_slots = sorted({sid for (_t, sid) in const_ts})
     D_all, moved, base_of = _slot_jacobians(
-        compiled, X0, consts, graphs, params, cache_slots
+        compiled, X0, consts, graphs, params, cache_slots, mesh=mesh
     )
     D = {k: D_all[k] for k in const_ts}
     B: Dict[Tuple[int, int, int], jnp.ndarray] = {}
@@ -506,7 +507,7 @@ def assemble(compiled, plan: AssemblyPlan, X, consts, graphs, params,
 
     if const_cache is None:
         D, moved, base_of = _slot_jacobians(
-            compiled, X, consts, graphs, params, plan.needed_slots
+            compiled, X, consts, graphs, params, plan.needed_slots, mesh=mesh
         )
         jt_sources = [(moved, base_of)]
         src_of = {k: 0 for k in D}
@@ -515,7 +516,7 @@ def assemble(compiled, plan: AssemblyPlan, X, consts, graphs, params,
         var_slots = const_cache["var_slots"]
         if var_slots:
             D_var, moved_var, base_var = _slot_jacobians(
-                compiled, X, consts, graphs, params, var_slots
+                compiled, X, consts, graphs, params, var_slots, mesh=mesh
             )
         else:
             D_var, moved_var, base_var = {}, None, {}

@@ -248,7 +248,7 @@ class CompiledProblem:
     # ---- field-mode runs ----------------------------------------------------
     def _run(
         self, mode, unknowns, consts, graphs, params, slot_values=None,
-        computed_subs=None,
+        computed_subs=None, mesh=None,
     ):
         builder = SpecBuilder(
             mode,
@@ -261,6 +261,10 @@ class CompiledProblem:
                 "graphs": graphs,
                 "params": params,
                 "computed_subs": computed_subs,
+                # device mesh (or None): field-mode graph reads ride the
+                # per-slot neighbor exchange instead of an all-gathering
+                # take (spec._access_image_graph, parallel/mesh.py)
+                "mesh": mesh,
             },
             slot_values=slot_values,
         )
@@ -298,7 +302,9 @@ class CompiledProblem:
         m = bbox_mask(shape, bmin, bmax, dtype=val.dtype)
         return val * m
 
-    def residual_terms(self, unknowns, consts, graphs, params) -> List[jnp.ndarray]:
+    def residual_terms(
+        self, unknowns, consts, graphs, params, mesh=None
+    ) -> List[jnp.ndarray]:
         """All residual terms (bbox-masked), *not* exclusion-masked.
 
         Matches the reference's F as used by evalJTF/applyJTJ: residual
@@ -306,7 +312,7 @@ class CompiledProblem:
         only rows/updates for excluded unknowns are dropped (exclude gating in
         solverGPUGaussNewton.t is on the unknown index, not on gathered
         residual instances)."""
-        b = self._run("field", unknowns, consts, graphs, params)
+        b = self._run("field", unknowns, consts, graphs, params, mesh=mesh)
         out = []
         scales = self.graph_term_scales(graphs)
         for term, val, sc in zip(self.terms, b.energy_values, scales):
@@ -332,11 +338,13 @@ class CompiledProblem:
             out.append(sc)
         return out
 
-    def residual_fn(self, consts, graphs, params):
+    def residual_fn(self, consts, graphs, params, mesh=None):
         """Closure over constants: X -> list of residual term arrays."""
-        return lambda unknowns: self.residual_terms(unknowns, consts, graphs, params)
+        return lambda unknowns: self.residual_terms(
+            unknowns, consts, graphs, params, mesh=mesh
+        )
 
-    def exclusion_masks(self, unknowns, consts, graphs, params):
+    def exclusion_masks(self, unknowns, consts, graphs, params, mesh=None):
         """Per-ispace 'is excluded' masks [*spatial, 1] in the compute dtype
         (1.0 = excluded, 0.0 = active), or {} if none.
 
@@ -350,7 +358,7 @@ class CompiledProblem:
         the masks are 0/1 constants so the arithmetic is exact."""
         if not self.registry.exclude_terms:
             return {}
-        b = self._run("field", unknowns, consts, graphs, params)
+        b = self._run("field", unknowns, consts, graphs, params, mesh=mesh)
         masks: Dict[IndexSpace, jnp.ndarray] = {}
         for et, val in zip(self.registry.exclude_terms, b.exclude_values):
             if val.ndim == et.ispace.ndim:
@@ -381,7 +389,7 @@ class CompiledProblem:
         return excl_by_ispace.get(term.domain[1])
 
     # ---- slot-mode ----------------------------------------------------------
-    def gather_slot_values(self, unknowns, consts, graphs, params=None):
+    def gather_slot_values(self, unknowns, consts, graphs, params=None, mesh=None):
         """Materialize every slot's value field (shift / edge gather / mask).
 
         ComputedArray slots (cimg/cgrad) materialize the computed value AND
@@ -403,8 +411,15 @@ class CompiledProblem:
                 if s.kind == "img":
                     vals.append(shift(arr, s.offset))
                 else:
-                    idx = graphs[s.graph][s.key[3]]
-                    vals.append(edge_gather(arr, idx))
+                    from .parallel.mesh import slot_halo_gather
+
+                    got = slot_halo_gather(
+                        mesh, arr, graphs[s.graph], s.key[3]
+                    )
+                    if got is None:
+                        idx = graphs[s.graph][s.key[3]]
+                        got = edge_gather(arr, idx)
+                    vals.append(got)
             elif s.kind == "bounds":
                 shape = s.ispace.shape(self.dim_sizes)
                 vals.append(in_bounds_mask(shape, s.offset, s.expand, dtype=self.dtype))

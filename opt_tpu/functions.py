@@ -70,12 +70,14 @@ def tree_dot(a: Dict[str, jnp.ndarray], b: Dict[str, jnp.ndarray]) -> jnp.ndarra
 class FunctionSet:
     """Per-(problem, bound-constants) operator bundle used by the solver."""
 
-    def __init__(self, compiled: CompiledProblem, consts, graphs, params):
+    def __init__(self, compiled: CompiledProblem, consts, graphs, params,
+                 mesh=None):
         self.c = compiled
         self.consts = consts
         self.graphs = graphs
         self.params = params
-        self.F = compiled.residual_fn(consts, graphs, params)
+        self.mesh = mesh  # sharded graph reads ride the neighbor exchange
+        self.F = compiled.residual_fn(consts, graphs, params, mesh=mesh)
         self._mask_cache = None
 
     def masks(self, X):
@@ -84,7 +86,9 @@ class FunctionSet:
         Evaluated lazily with X available (Exclude expressions may in
         principle read any image); under one jit trace XLA CSEs repeats."""
         if self._mask_cache is None:
-            excl = self.c.exclusion_masks(X, self.consts, self.graphs, self.params)
+            excl = self.c.exclusion_masks(
+                X, self.consts, self.graphs, self.params, mesh=self.mesh
+            )
             self._mask_cache = (excl, self.c.unknown_row_masks(excl))
         return self._mask_cache
 
@@ -168,7 +172,9 @@ class FunctionSet:
         regardless (see tests/test_fuzz_operator.py)."""
         _, row_masks = self.masks(X)
         c = self.c
-        slot_vals = c.gather_slot_values(X, self.consts, self.graphs, self.params)
+        slot_vals = c.gather_slot_values(
+            X, self.consts, self.graphs, self.params, mesh=self.mesh
+        )
         # per-edge validity masks scale the slot-form residuals exactly as
         # residual_terms does (graph_term_scales contract)
         scales = c.graph_term_scales(self.graphs)
@@ -206,8 +212,22 @@ class FunctionSet:
                     add = shift_adjoint(contrib[..., None], s.offset)[..., 0]
                     diag[s.image] = diag[s.image].at[..., ch].add(add)
                 else:  # gimg
-                    idx = self.graphs[s.graph][s.key[3]]
-                    diag[s.image] = diag[s.image].at[idx, ch].add(contrib)
+                    from .parallel.mesh import slot_halo_scatter_add
+
+                    add = slot_halo_scatter_add(
+                        self.mesh, contrib[:, None],
+                        c.unknown_shape(s.image)[0],
+                        self.graphs[s.graph], s.key[3],
+                    )
+                    if add is not None:
+                        # reverse exchange (transpose of the halo read) —
+                        # boundary-sized, not an O(N·C) scatter collective
+                        diag[s.image] = diag[s.image].at[..., ch].add(
+                            add[:, 0]
+                        )
+                    else:
+                        idx = self.graphs[s.graph][s.key[3]]
+                        diag[s.image] = diag[s.image].at[idx, ch].add(contrib)
         return _mask_rows(diag, row_masks)
 
     def jtf_and_pre(self, X):
@@ -259,7 +279,8 @@ class FunctionSet:
         from .assembly import assemble_const
 
         return assemble_const(
-            self.c, plan, X0, self.consts, self.graphs, self.params
+            self.c, plan, X0, self.consts, self.graphs, self.params,
+            mesh=self.mesh,
         )
 
     # -- misc ---------------------------------------------------------------

@@ -10,11 +10,13 @@ new design with no reference counterpart. Strategy (BASELINE.json north_star):
   (unknowns) shard by contiguous owner blocks along axis 0, and the ELL/
   incidence tables (problem.Plan._augment_incidence) shard by the same
   blocks — each device owns a vertex range plus the accumulation rows that
-  produce it. Cross-endpoint reads in the assembled JᵀJ apply are gathers
-  through the ELL vertex table, which XLA SPMD lowers to an all-gather of
-  the (small) packed p vector per CG iteration; accumulation itself stays
-  local to the owner. Odd sizes fall back to replication (perf, not
-  correctness).
+  produce it. Every irregular cross-device read — the CG-loop
+  cross-endpoint p reads, the per-GN-step assembly/JᵀF edge-row gathers,
+  and the residual/probe per-edge vertex reads — rides a bind-time
+  precomputed all_to_all exchange (halo_gather / halo_gather_parts /
+  slot_halo_gather below) whose volume is the partition boundary, so the
+  compiled graph solve contains no all-gather. Odd sizes fall back to
+  replication (perf, not correctness).
 * CG dot products / costs are plain jnp.sum — XLA inserts the psum.
 
 Everything runs through ``jax.jit`` with sharding constraints; there is no
@@ -332,6 +334,45 @@ def halo_gather_parts(mesh: Mesh, parts, send: jnp.ndarray,
         out_specs=P_("gv"),
         **_rep_kw,
     )(*parts, send, loc)
+
+
+def slot_halo_gather(mesh, arr, g_dict, slot):
+    """Per-edge vertex-array read X[idx] through the bind-time per-slot
+    exchange tables ("__halo_send____slot_<s>" / "__halo_loc____slot_<s>",
+    problem.Plan._augment_incidence), or None when the tables are absent
+    (odd sizes replicate) or ``arr`` is not a plain [N, C] vertex array
+    (e.g. batched solves). Replaces the residual/probe evaluation's
+    ``jnp.take`` — which XLA SPMD lowers to an all-gather of the whole
+    vertex array per evaluation — with a boundary-sized all_to_all. Its
+    jvp is the same exchange on tangents and its linear transpose is the
+    reverse exchange (the scatter-add back to owners), so JᵀF / JᵀJ·p
+    derived by jax.linearize/linear_transpose ride the exchange too."""
+    if mesh is None or getattr(mesh, "size", 1) <= 1 or arr.ndim != 2:
+        return None
+    send = g_dict.get("__halo_send____slot_" + slot)
+    loc = g_dict.get("__halo_loc____slot_" + slot)
+    if send is None or loc is None:
+        return None
+    return halo_gather(mesh, arr, send, loc)[:, 0, :]
+
+
+def slot_halo_scatter_add(mesh, ct, num_rows: int, g_dict, slot):
+    """Transpose of :func:`slot_halo_gather`: accumulate per-edge values
+    ct [E, C] into a [num_rows, C] vertex array (out[idx[e]] += ct[e])
+    through the reverse exchange. Returns None when the tables are absent."""
+    if mesh is None or getattr(mesh, "size", 1) <= 1:
+        return None
+    send = g_dict.get("__halo_send____slot_" + slot)
+    loc = g_dict.get("__halo_loc____slot_" + slot)
+    if send is None or loc is None:
+        return None
+    import jax as _jax
+
+    f = lambda x: halo_gather(mesh, x, send, loc)
+    t = _jax.linear_transpose(
+        f, _jax.ShapeDtypeStruct((num_rows, ct.shape[-1]), ct.dtype)
+    )
+    return t(ct[:, None, :])[0]
 
 
 def halo_gather(mesh: Mesh, pp: jnp.ndarray, send: jnp.ndarray,

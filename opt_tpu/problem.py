@@ -496,6 +496,33 @@ class Plan:
                     )
                     for s in all_names
                 }
+                if (
+                    self.rules is not None
+                    and self.rules.mesh is not None
+                    and self.rules.mesh.size > 1
+                ):
+                    # per-slot edge→vertex exchange tables: residual/probe
+                    # evaluation reads vertex arrays per edge (X[idx[e]]);
+                    # under owner-block sharding a plain take all-gathers
+                    # the vertex array per evaluation. These tables let
+                    # spec._access_image_graph / compile.gather_slot_values
+                    # ride a boundary-sized all_to_all instead
+                    # (parallel/mesh.py slot_halo_gather); loc is stored
+                    # [E, 1] so place_inputs' 2-axis owner-block spec fits.
+                    from .parallel.mesh import build_halo_tables
+
+                    ndev_s = self.rules.mesh.size
+                    for s in all_names:
+                        halo = build_halo_tables(
+                            idxs[s][:, None], nvert[s], ndev_s
+                        )
+                        if halo is not None:
+                            cached["__halo_send____slot_" + s] = jnp.asarray(
+                                halo["send"]
+                            )
+                            cached["__halo_loc____slot_" + s] = jnp.asarray(
+                                halo["loc"]
+                            )
                 from .ops.graph_ops import bucket_size as _bs
 
                 inc, ell = ell_tables(

@@ -142,7 +142,7 @@ class GaussNewtonSolver:
     # -- state -----------------------------------------------------------------
     def _init_state(self, X, consts, graphs, params, sp):
         X = self._constrain(X)
-        fs = FunctionSet(self.compiled, consts, graphs, params)
+        fs = FunctionSet(self.compiled, consts, graphs, params, mesh=self._mesh())
         dt = self.compiled.dtype
         return {
             "X": X,
@@ -232,7 +232,7 @@ class GaussNewtonSolver:
             return err, scale
 
         def _check(X, consts, graphs, params, v, dX):
-            fs = FunctionSet(c, consts, graphs, params)
+            fs = FunctionSet(c, consts, graphs, params, mesh=self._mesh())
             fs.masks(X)
             vm = fs.mask_rows(v)
             cc = fs.assemble_const(X, self._stencil_plan)
@@ -250,7 +250,7 @@ class GaussNewtonSolver:
             Xp = {
                 k: X[k] + dX[k] * (0.5 * jnp.abs(X[k]) + 0.5) for k in X
             }
-            fs2 = FunctionSet(c, consts, graphs, params)
+            fs2 = FunctionSet(c, consts, graphs, params, mesh=self._mesh())
             fs2.masks(Xp)
             vm2 = fs2.mask_rows(v)
             A2, _d2, _j2, _m2 = fs2.assemble_stencil(
@@ -270,7 +270,7 @@ class GaussNewtonSolver:
 
     # -- one nonlinear iteration -------------------------------------------------
     def _step(self, state, consts, graphs, params, sp):
-        fs = FunctionSet(self.compiled, consts, graphs, params)
+        fs = FunctionSet(self.compiled, consts, graphs, params, mesh=self._mesh())
 
         active = jnp.logical_and(
             ~state["done"], state["n_iter"] < sp["nIterations"]
@@ -818,7 +818,7 @@ class GaussNewtonSolver:
         # over by the loop body, so it enters the while_loop as an invariant
         # input — the per-step assemble probes only the varying slots.
         asm_cache = self._asm_cache(
-            FunctionSet(self.compiled, consts, graphs, params), X
+            FunctionSet(self.compiled, consts, graphs, params, mesh=self._mesh()), X
         )
 
         def cond(carry):
@@ -829,7 +829,7 @@ class GaussNewtonSolver:
 
         def body(carry):
             state, costs = carry
-            fs = FunctionSet(self.compiled, consts, graphs, params)
+            fs = FunctionSet(self.compiled, consts, graphs, params, mesh=self._mesh())
             new_state = (self._lm_step if self.uses_lambda else self._gn_step)(
                 state, fs, sp, asm_cache
             )

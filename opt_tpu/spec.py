@@ -501,6 +501,21 @@ class SpecBuilder:
         key = _gimg_key(decl.name, ref.graph, ref.slot)
         if self.mode == "field":
             arr = self._bound_image(decl)
+            mesh = self.bindings.get("mesh")
+            if mesh is not None:
+                # sharded solves: per-edge vertex reads ride the bind-time
+                # neighbor exchange (boundary-sized all_to_all) instead of
+                # a take that all-gathers the vertex array; its linearize/
+                # transpose give the exchanged JᵀF scatter for free
+                from .parallel.mesh import slot_halo_gather
+
+                got = slot_halo_gather(
+                    mesh, arr,
+                    self.bindings.get("graphs", {}).get(ref.graph, {}),
+                    ref.slot,
+                )
+                if got is not None:
+                    return got
             idx = self._bound_graph_index(ref)
             return edge_gather(arr, idx)
         sid = self.registry.slot_for(

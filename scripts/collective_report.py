@@ -9,10 +9,11 @@ reference counterpart, the reference is single-GPU):
 
 * grid: stencil reads lower to collective-permutes of tile edges; CG
   scalars to all-reduce; no all-gathers at all.
-* graph: the CG-loop cross-endpoint p reads and the per-GN-step
-  assembly/JᵀF gathers ride boundary-sized all_to_alls
-  (parallel/mesh.py halo_gather_parts); the only all-gathers left are
-  vertex-array reads inside residual evaluation (O(N·C)).
+* graph: the CG-loop cross-endpoint p reads, the per-GN-step
+  assembly/JᵀF gathers AND the residual/probe vertex-array reads all
+  ride boundary/alignment-sized all_to_alls (parallel/mesh.py
+  halo_gather_parts / slot_halo_gather) — the compiled graph solve
+  contains no all-gather at all.
 
 Static counts/bytes describe the program text (a while-body collective is
 counted once, executed per iteration). Run on CPU:

@@ -261,22 +261,11 @@ def test_graph_halo_exchange_replaces_cg_loop_all_gather():
     # all-to-alls of its own)
     assert "all-to-all" in h_on
 
-    # per-GN-step assembly + JtF ride the same exchange: NO remaining
-    # all-gather may be edge-sized — the largest allowed collective is a
-    # vertex array (the residual/probe unknown reads, O(N*C)); previously
-    # the stacked block array (m*E rows x n_stack*ct^2) and the per-slot
-    # JtF edge blocks all-gathered every GN step
-    import re
-
-    E = g["G"]["v0"].shape[0]
-    ag_rows = [
-        int(m.group(1))
-        for m in re.finditer(
-            r"=\s*\S+?\[(\d+)(?:,\d+)*\]\S*\s+all-gather\(", h_on
-        )
-    ]
-    assert ag_rows, "expected some vertex-sized all-gathers"
-    assert max(ag_rows) < E, (max(ag_rows), E)
+    # per-GN-step assembly, JᵀF AND the residual/probe vertex reads all
+    # ride the exchange now: the compiled graph solve contains NO
+    # all-gather at all — every remaining collective is boundary-sized
+    # (all_to_all / collective-permute) or scalar (all-reduce)
+    assert "all-gather" not in h_on, h_on.count("all-gather")
 
 
 def test_grid_cg_loop_compiles_to_halo_permutes_only():
