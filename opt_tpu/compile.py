@@ -399,23 +399,42 @@ class CompiledProblem:
         from .ops.graph_ops import edge_gather
         from .ops.shift import in_bounds_mask, shift
 
+        def _resolve(s):
+            decl = self.registry.images[s.image]
+            if decl.alias is not None:
+                return jax.lax.stop_gradient(unknowns[decl.alias])
+            return (unknowns if decl.kind == UNKNOWN else consts)[s.image]
+
+        # sharded graph reads: ONE channel-stacked exchange per
+        # (graph, slot) serves every image read there (collective latency
+        # is per-op on ICI — parallel/mesh.py grouped_slot_halo_gather)
+        halo_reads = {}
+        if mesh is not None and getattr(mesh, "size", 1) > 1:
+            from .parallel.mesh import grouped_slot_halo_gather
+
+            by_gs = {}
+            for s in self.registry.slots:
+                if s.kind == "gimg":
+                    by_gs.setdefault((s.graph, s.key[3]), {})[
+                        s.image
+                    ] = _resolve(s)
+            for (g, slot), imgs in by_gs.items():
+                got = grouped_slot_halo_gather(
+                    mesh, list(imgs.items()), graphs[g], slot
+                )
+                if got is not None:
+                    for name, v in got.items():
+                        halo_reads[(g, slot, name)] = v
+
         bundle = None
         vals = []
         for s in self.registry.slots:
             if s.kind in ("img", "gimg"):
-                decl = self.registry.images[s.image]
-                if decl.alias is not None:
-                    arr = jax.lax.stop_gradient(unknowns[decl.alias])
-                else:
-                    arr = (unknowns if decl.kind == UNKNOWN else consts)[s.image]
+                arr = _resolve(s)
                 if s.kind == "img":
                     vals.append(shift(arr, s.offset))
                 else:
-                    from .parallel.mesh import slot_halo_gather
-
-                    got = slot_halo_gather(
-                        mesh, arr, graphs[s.graph], s.key[3]
-                    )
+                    got = halo_reads.get((s.graph, s.key[3], s.image))
                     if got is None:
                         idx = graphs[s.graph][s.key[3]]
                         got = edge_gather(arr, idx)

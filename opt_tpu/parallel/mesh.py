@@ -356,6 +356,40 @@ def slot_halo_gather(mesh, arr, g_dict, slot):
     return halo_gather(mesh, arr, send, loc)[:, 0, :]
 
 
+def grouped_slot_halo_gather(mesh, items, g_dict, slot):
+    """Serve several [N, C_i] vertex arrays' per-edge reads at ONE
+    (graph, slot) with one exchange by channel-stacking: collective
+    latency on ICI is per-op, and e.g. ARAP reads three arrays (Offset,
+    Angle, UrShape) at each endpoint slot. ``items`` = [(name, arr)].
+    Returns {name: [E, C_i]} or None when the tables are absent / an
+    array is not a plain [N, C] (callers fall back to per-array takes).
+    Arrays of different dtypes stack per dtype group."""
+    if mesh is None or getattr(mesh, "size", 1) <= 1:
+        return None
+    send = g_dict.get("__halo_send____slot_" + slot)
+    loc = g_dict.get("__halo_loc____slot_" + slot)
+    if send is None or loc is None:
+        return None
+    groups = {}
+    for name, arr in items:
+        if arr.ndim != 2:
+            return None
+        groups.setdefault(jnp.dtype(arr.dtype).name, []).append((name, arr))
+    out = {}
+    for grp in groups.values():
+        cat = (
+            grp[0][1]
+            if len(grp) == 1
+            else jnp.concatenate([a for _, a in grp], axis=-1)
+        )
+        got = halo_gather(mesh, cat, send, loc)[:, 0, :]
+        off = 0
+        for name, a in grp:
+            out[name] = got[:, off : off + a.shape[-1]]
+            off += a.shape[-1]
+    return out
+
+
 def slot_halo_scatter_add(mesh, ct, num_rows: int, g_dict, slot):
     """Transpose of :func:`slot_halo_gather`: accumulate per-edge values
     ct [E, C] into a [num_rows, C] vertex array (out[idx[e]] += ct[e])

@@ -500,22 +500,19 @@ class SpecBuilder:
             raise SpecError("graph-accessed images must live on a 1-D index space")
         key = _gimg_key(decl.name, ref.graph, ref.slot)
         if self.mode == "field":
-            arr = self._bound_image(decl)
             mesh = self.bindings.get("mesh")
             if mesh is not None:
                 # sharded solves: per-edge vertex reads ride the bind-time
                 # neighbor exchange (boundary-sized all_to_all) instead of
                 # a take that all-gathers the vertex array; its linearize/
-                # transpose give the exchanged JᵀF scatter for free
-                from .parallel.mesh import slot_halo_gather
-
-                got = slot_halo_gather(
-                    mesh, arr,
-                    self.bindings.get("graphs", {}).get(ref.graph, {}),
-                    ref.slot,
-                )
+                # transpose give the exchanged JᵀF scatter for free. All
+                # images registered at this (graph, slot) share ONE
+                # exchange (collective latency is per-op), memoized for
+                # this builder run.
+                got = self._grouped_halo_read(decl, ref)
                 if got is not None:
                     return got
+            arr = self._bound_image(decl)
             idx = self._bound_graph_index(ref)
             return edge_gather(arr, idx)
         sid = self.registry.slot_for(
@@ -531,6 +528,41 @@ class SpecBuilder:
             return self.slot_values[sid]
         E0 = self.registry.dummy_edge_count
         return jnp.ones((E0, decl.channels), self.dtype)
+
+    def _grouped_halo_read(self, decl, ref):
+        """Exchange-served read for field mode under a mesh: one all_to_all
+        per (graph, slot), channel-stacking every image the registry knows
+        is read there (discovery registered them at compile), memoized per
+        builder run. None when the exchange tables are absent (odd sizes)."""
+        from .parallel.mesh import grouped_slot_halo_gather
+
+        memo = self.__dict__.setdefault("_halo_memo", {})
+        gkey = (ref.graph, ref.slot)
+        if gkey not in memo:
+            items = []
+            seen = set()
+            for s in self.registry.slots:
+                if (
+                    s.kind == "gimg"
+                    and s.graph == ref.graph
+                    and s.key[3] == ref.slot
+                    and s.image not in seen
+                ):
+                    seen.add(s.image)
+                    d = self.registry.images[s.image]
+                    items.append((s.image, self._bound_image(d)))
+            if decl.name not in seen:
+                items.append((decl.name, self._bound_image(decl)))
+            memo[gkey] = grouped_slot_halo_gather(
+                self.bindings.get("mesh"),
+                items,
+                self.bindings.get("graphs", {}).get(ref.graph, {}),
+                ref.slot,
+            )
+        got = memo[gkey]
+        if got is None or decl.name not in got:
+            return None
+        return got[decl.name]
 
     def _access_computed(self, handle: ComputedHandle, off: Tuple[int, ...]):
         if self.mode == "field":
