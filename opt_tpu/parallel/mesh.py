@@ -171,7 +171,7 @@ class ShardingRules:
 # BASELINE.json north_star).
 
 
-def build_halo_tables(cross, num_vertices: int, ndev: int):
+def build_halo_tables(cross, num_vertices: int, ndev: int, m_bucket=None):
     """Precompute the exchange schedule for an id table (host-side, numpy).
 
     cross: int array [R, ...] of global SOURCE-row ids, sentinel =
@@ -216,6 +216,12 @@ def build_halo_tables(cross, num_vertices: int, ndev: int):
     counts = np.bincount(grp, minlength=ndev * ndev)
     M = int(counts.max()) if len(uk) else 0
     Mp = max(1, M)
+    if m_bucket is not None:
+        # dynamic topology: bucket the per-pair exchange width so
+        # topologies in the same bucket share one trace (sentinel rows
+        # send the zero row); M is the ONLY topology-varying shape here —
+        # loc inherits cross's (already bucketed) shape
+        Mp = int(m_bucket(Mp))
 
     starts = np.zeros(ndev * ndev + 1, np.int64)
     np.cumsum(counts, out=starts[1:])

@@ -365,6 +365,12 @@ class Plan:
             graphs = self._reorder_edges(graphs)
         if not hasattr(self, "_inc_cache"):
             self._inc_cache = {}
+        # dynamic topology: bucket the halo tables' per-pair width M too —
+        # with the edge axis, incidence widths and M all bucketed, sharded
+        # per-frame topologies share one trace as well
+        from .ops.graph_ops import bucket_size as _bs_fn
+
+        _mb = _bs_fn if self.dynamic_topology else None
         out = {}
         for gname, slots in graphs.items():
             gdecl = self.compiled.registry.graphs[gname]
@@ -456,7 +462,8 @@ class Plan:
                             if tbl.size == 0:
                                 continue
                             halo = build_halo_tables(
-                                tbl, n, self.rules.mesh.size
+                                tbl, n, self.rules.mesh.size,
+                                m_bucket=_mb,
                             )
                             if halo is not None:
                                 cached["__halo_send__" + tkey] = jnp.asarray(
@@ -480,7 +487,8 @@ class Plan:
                         )
                         if mapped is not None:
                             halo = build_halo_tables(
-                                mapped, len(names) * E_g, ndev
+                                mapped, len(names) * E_g, ndev,
+                                m_bucket=_mb,
                             )
                             if halo is not None:
                                 cached["__halo_send__" + group_key] = (
@@ -514,7 +522,8 @@ class Plan:
                     ndev_s = self.rules.mesh.size
                     for s in all_names:
                         halo = build_halo_tables(
-                            idxs[s][:, None], nvert[s], ndev_s
+                            idxs[s][:, None], nvert[s], ndev_s,
+                            m_bucket=_mb,
                         )
                         if halo is not None:
                             cached["__halo_send____slot_" + s] = jnp.asarray(

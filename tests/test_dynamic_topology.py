@@ -109,6 +109,29 @@ def test_composed_path_and_bucket_crossing():
     np.testing.assert_allclose(r_dyn.final_cost, r_ref.final_cost, rtol=2e-3)
 
 
+def test_dynamic_topology_under_mesh_shares_one_trace():
+    """dynamic_topology composes with owner-block sharding: the halo
+    tables' per-pair width M is bucketed too, so a changed topology in
+    the same buckets hits the jit cache, and the sharded solve matches
+    an exact single-device solve (loose tolerance: psum order drift)."""
+    from opt_tpu.parallel.mesh import make_mesh
+
+    N, pos, v0, v1, con = _arap_edges(16)
+    sp = dict(nIterations=2, lIterations=10)
+    plan = ot.Problem(arap_mesh_deformation).plan(
+        dims={"N": N}, mesh=make_mesh(), dynamic_topology=True
+    )
+    plan.solve(_inputs(pos, con, {"v0": v0, "v1": v1}), **sp)
+    csize = plan.solver._solve_fused._cache_size()
+    va, vb = _subset(v0, v1, 4, 0.2)
+    r_dyn = plan.solve(_inputs(pos, con, {"v0": va, "v1": vb}), **sp)
+    assert plan.solver._solve_fused._cache_size() == csize, "retraced"
+    r_ref = ot.Problem(arap_mesh_deformation).plan(dims={"N": N}).solve(
+        _inputs(pos, con, {"v0": va, "v1": vb}), **sp
+    )
+    np.testing.assert_allclose(r_dyn.final_cost, r_ref.final_cost, rtol=5e-3)
+
+
 def test_table_cache_is_bounded():
     """Per-frame topologies must not grow the host table cache without
     bound (LRU cap)."""
