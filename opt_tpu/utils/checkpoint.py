@@ -121,6 +121,22 @@ def restore(path: str, plan, inputs: Optional[Dict[str, Any]] = None):
             for p in parts[:-1]:
                 d = d.setdefault(p, {})
             d[parts[-1]] = jnp.asarray(arr)
+    if plan.rules is not None and plan.rules.mesh is not None:
+        # mesh plans: place unknown-shaped state with its owner/tile
+        # shardings so resumed solves start sharded instead of paying a
+        # reshard (scalars replicate implicitly)
+        for k in ("X", "SSq"):
+            if isinstance(state.get(k), dict):
+                state[k] = {
+                    name: jax.device_put(
+                        arr,
+                        plan.rules.image_sharding(
+                            plan.compiled.registry.images[name].ispace.ndim,
+                            arr.shape,
+                        ),
+                    )
+                    for name, arr in state[k].items()
+                }
     plan._state = state
     plan.solver_params = dict(plan.solver_params, **meta["solver_params"])
     return state

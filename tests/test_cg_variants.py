@@ -212,6 +212,7 @@ def test_solver_option_combos_on_random_specs(seed):
         cg_variant=["standard", "chronopoulos_gear"][rng.randint(2)],
         preconditioner=["jacobi", "block_jacobi"][rng.randint(2)],
         coefficient_dtype=[None, "bfloat16"][rng.randint(2)],
+        dynamic_topology=bool(rng.randint(2)),
     )
     sp = dict(nIterations=3, lIterations=15)
     base = ot.Problem(spec, kind=kind).plan(dims=dims).solve(

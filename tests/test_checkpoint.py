@@ -52,6 +52,40 @@ def test_checkpoint_resume_matches_uninterrupted(tmp_path, use_orbax):
     assert fresh.current_cost() == ref.current_cost()
 
 
+def test_sharded_checkpoint_resume(tmp_path):
+    """Multi-chip checkpoint/resume: save from a mesh plan mid-solve,
+    restore into a fresh mesh plan, continue — matches the uninterrupted
+    sharded solve, and restored unknowns come back owner/tile-sharded."""
+    from opt_tpu.parallel.mesh import make_mesh
+
+    n = 32
+    rng = np.random.RandomState(0)
+    inputs = {
+        "X": rng.rand(n, n).astype(np.float32),
+        "A": rng.rand(n, n).astype(np.float32),
+    }
+    mk = lambda: ot.Problem(_laplacian, kind="LMGPU").plan(
+        dims={"W": n, "H": n}, mesh=make_mesh(),
+        nIterations=6, lIterations=10,
+    )
+    ref = _run(mk(), dict(inputs), 6)
+    ref_x = np.asarray(ref.unknowns["X"])
+
+    half = _run(mk(), dict(inputs), 3)
+    path = checkpoint.save(str(tmp_path / "ckpt_mesh"), half)
+    fresh = mk()
+    checkpoint.restore(path, fresh, inputs=dict(inputs))
+    shard_shapes = {
+        s.data.shape for s in fresh._state["X"]["X"].addressable_shards
+    }
+    assert len(shard_shapes) == 1 and (n, n, 1) not in shard_shapes, (
+        "restored unknowns are replicated, not sharded"
+    )
+    for _ in range(3):
+        fresh.step()
+    np.testing.assert_array_equal(np.asarray(fresh.unknowns["X"]), ref_x)
+
+
 def test_checkpoint_rejects_mismatched_plan(tmp_path):
     n = 16
     rng = np.random.RandomState(0)
