@@ -412,12 +412,25 @@ class CompiledProblem:
         if mesh is not None and getattr(mesh, "size", 1) > 1:
             from .parallel.mesh import grouped_slot_halo_gather
 
+            import numpy as _np
+
             by_gs = {}
             for s in self.registry.slots:
                 if s.kind == "gimg":
-                    by_gs.setdefault((s.graph, s.key[3]), {})[
-                        s.image
-                    ] = _resolve(s)
+                    arr = _resolve(s)
+                    # tables are built for the slot's vertex count; images
+                    # on a different-sized space keep the plain take
+                    slot_n = int(
+                        _np.prod(
+                            self.registry.graphs[s.graph]
+                            .slots[s.key[3]]
+                            .shape(self.dim_sizes)
+                        )
+                    )
+                    if arr.shape[0] == slot_n:
+                        by_gs.setdefault((s.graph, s.key[3]), {})[
+                            s.image
+                        ] = arr
             for (g, slot), imgs in by_gs.items():
                 got = grouped_slot_halo_gather(
                     mesh, list(imgs.items()), graphs[g], slot

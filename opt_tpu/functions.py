@@ -192,8 +192,11 @@ class FunctionSet:
             for name in c.unknown_names
         }
         zeros = [jnp.zeros_like(v) for v in slot_vals]
+        import numpy as _np
+
         for sid in c.unknown_slot_ids():
             s = c.registry.slots[sid]
+            per_ch = []
             for ch in range(s.channels):
                 tangents = list(zeros)
                 t = jnp.zeros_like(slot_vals[sid])
@@ -206,28 +209,40 @@ class FunctionSet:
                         continue
                     sq = jnp.sum(dt * dt, axis=-1)  # [*sp] or [E]
                     contrib = sq if contrib is None else contrib + sq
-                if contrib is None:
-                    continue
-                if s.kind == "img":
+                per_ch.append(contrib)
+            if all(v is None for v in per_ch):
+                continue  # slot feeds no term (contrib is ch-independent)
+            if s.kind == "img":
+                for ch, contrib in enumerate(per_ch):
                     add = shift_adjoint(contrib[..., None], s.offset)[..., 0]
                     diag[s.image] = diag[s.image].at[..., ch].add(add)
-                else:  # gimg
-                    from .parallel.mesh import slot_halo_scatter_add
+            else:  # gimg: one stacked scatter per slot (not per channel)
+                from .parallel.mesh import slot_halo_scatter_add
 
+                ct = jnp.stack(per_ch, axis=-1)  # [E, C]
+                n_rows = c.unknown_shape(s.image)[0]
+                slot_n = int(
+                    _np.prod(
+                        c.registry.graphs[s.graph]
+                        .slots[s.key[3]]
+                        .shape(c.dim_sizes)
+                    )
+                )
+                add = None
+                if n_rows == slot_n:
+                    # reverse exchange (transpose of the halo read) —
+                    # boundary-sized, ONE all_to_all for all channels.
+                    # Images on a different-sized space than the slot's
+                    # fall through: the tables were built for slot_n rows.
                     add = slot_halo_scatter_add(
-                        self.mesh, contrib[:, None],
-                        c.unknown_shape(s.image)[0],
+                        self.mesh, ct, n_rows,
                         self.graphs[s.graph], s.key[3],
                     )
-                    if add is not None:
-                        # reverse exchange (transpose of the halo read) —
-                        # boundary-sized, not an O(N·C) scatter collective
-                        diag[s.image] = diag[s.image].at[..., ch].add(
-                            add[:, 0]
-                        )
-                    else:
-                        idx = self.graphs[s.graph][s.key[3]]
-                        diag[s.image] = diag[s.image].at[idx, ch].add(contrib)
+                if add is not None:
+                    diag[s.image] = diag[s.image] + add
+                else:
+                    idx = self.graphs[s.graph][s.key[3]]
+                    diag[s.image] = diag[s.image].at[idx].add(ct)
         return _mask_rows(diag, row_masks)
 
     def jtf_and_pre(self, X):

@@ -124,6 +124,12 @@ class Plan:
         self.dynamic_topology = bool(
             getattr(self.solver.ip, "dynamic_topology", False)
         )
+        er = getattr(self.solver.ip, "edge_reorder", False)
+        if er not in (False, None, "owner"):
+            raise ValueError(
+                f"edge_reorder={er!r}: the only implemented mode is "
+                "\"owner\" (or False to disable)"
+            )
         self._state = None
         self._bound = None  # (consts, graphs, params)
         self._fused_validated = False
@@ -406,11 +412,11 @@ class Plan:
                         # zero in the stacked block array); the cross table
                         # below inherits the padded shape and maps the
                         # sentinels to the zero p row (vertex id n)
-                        from .ops.graph_ops import bucket_size, pad_table_width
+                        from .ops.graph_ops import pad_table_width
 
                         inc = pad_table_width(
                             inc,
-                            bucket_size(inc.shape[1]),
+                            _bs_fn(inc.shape[1]),
                             len(names) * int(idxs[names[0]].shape[0]),
                         )
                     suffix = group_key[len("__inc__"):]
@@ -532,12 +538,10 @@ class Plan:
                             cached["__halo_loc____slot_" + s] = jnp.asarray(
                                 halo["loc"]
                             )
-                from .ops.graph_ops import bucket_size as _bs
-
                 inc, ell = ell_tables(
                     idxs,
                     nvert,
-                    width_bucket=_bs if self.dynamic_topology else None,
+                    width_bucket=_mb,
                 )
                 for s, t in inc.items():
                     cached[f"__ell_inc_{s}"] = jnp.asarray(t)

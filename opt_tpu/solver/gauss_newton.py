@@ -139,6 +139,33 @@ class GaussNewtonSolver:
             return num / den
         return jnp.where(den > 0, num / jnp.where(den > 0, den, 1.0), 0.0)
 
+    def _cs_recurrence(
+        self, delta, r, p, s, u, w, gamma, gamma_new, delta_d, alpha_prev,
+        first, stop_now,
+    ):
+        """Shared Chronopoulos–Gear update pipeline (GN and LM CS loops):
+        β from the carried γ, the pipelined step denominator
+        den = uᵀAu − β·γ_new/α_prev (equal to pᵀAp in exact arithmetic),
+        and the p/s/δ/r recurrences. Returns
+        (delta, r, p, s, alpha, used_den)."""
+        beta = jnp.where(
+            first,
+            jnp.zeros_like(gamma_new),
+            self._safe_div(gamma_new, gamma),
+        )
+        den = delta_d - beta * self._safe_div(gamma_new, alpha_prev)
+        used_den = jnp.where(first, delta_d, den)
+        alpha = jnp.where(
+            stop_now,
+            jnp.zeros_like(gamma_new),
+            self._safe_div(gamma_new, used_den),
+        )
+        p = _axpy(beta, p, u)
+        s = _axpy(beta, s, w)
+        delta = _axpy(alpha, p, delta)
+        r = _axpy(-alpha, s, r)
+        return delta, r, p, s, alpha, used_den
+
     # -- state -----------------------------------------------------------------
     def _init_state(self, X, consts, graphs, params, sp):
         X = self._constrain(X)
@@ -407,22 +434,10 @@ class GaussNewtonSolver:
                 # above is already spent — inherent to the single-reduction
                 # pipelining).
                 stop_now = jnp.logical_and(~first, gamma_new <= rz_floor)
-                beta = jnp.where(
-                    first,
-                    jnp.zeros_like(gamma_new),
-                    self._safe_div(gamma_new, gamma),
+                delta, r, p, s, alpha, used_den = self._cs_recurrence(
+                    delta, r, p, s, u, w, gamma, gamma_new, delta_d,
+                    alpha_prev, first, stop_now,
                 )
-                den = delta_d - beta * self._safe_div(gamma_new, alpha_prev)
-                used_den = jnp.where(first, delta_d, den)
-                alpha = jnp.where(
-                    stop_now,
-                    jnp.zeros_like(gamma_new),
-                    self._safe_div(gamma_new, used_den),
-                )
-                p = _axpy(beta, p, u)
-                s = _axpy(beta, s, w)
-                delta = _axpy(alpha, p, delta)
-                r = _axpy(-alpha, s, r)
                 # same exits as the standard loop: rᵀz floor and a
                 # non-positive step denominator (the USED one, not uᵀAu)
                 brk = jnp.logical_or(stop_now, used_den <= 0)
@@ -637,22 +652,10 @@ class GaussNewtonSolver:
                     ~first,
                     jnp.logical_or(gamma_new <= rz_floor, zeta < q_tol),
                 )
-                beta = jnp.where(
-                    first,
-                    jnp.zeros_like(gamma_new),
-                    self._safe_div(gamma_new, gamma),
+                delta, r, p, s, alpha, used_den = self._cs_recurrence(
+                    delta, r, p, s, u, w, gamma, gamma_new, delta_d,
+                    alpha_prev, first, stop_now,
                 )
-                den = delta_d - beta * self._safe_div(gamma_new, alpha_prev)
-                used_den = jnp.where(first, delta_d, den)
-                alpha = jnp.where(
-                    stop_now,
-                    jnp.zeros_like(gamma_new),
-                    self._safe_div(gamma_new, used_den),
-                )
-                p = _axpy(beta, p, u)
-                s = _axpy(beta, s, w)
-                delta = _axpy(alpha, p, delta)
-                r = _axpy(-alpha, s, r)
                 l_new = l + jnp.where(stop_now, 0, 1)
                 use_reset = jnp.logical_and(
                     l_new % reset_period == 0, ~stop_now
@@ -663,7 +666,12 @@ class GaussNewtonSolver:
                     lambda _: r,
                     None,
                 )
-                return (delta, r, p, s, gamma_new, alpha, Qcur, l_new, stop_now)
+                # pipelined-denominator breakdown exit (as in the GN CS
+                # loop): den can round non-positive where the standard
+                # loop's exact pᵀAp cannot — a frozen alpha=0 spin until
+                # lIterations is the alternative
+                brk = jnp.logical_or(stop_now, used_den <= 0)
+                return (delta, r, p, s, gamma_new, alpha, Qcur, l_new, brk)
 
             def cond_cs(carry):
                 return jnp.logical_and(

@@ -536,9 +536,22 @@ class SpecBuilder:
         builder run. None when the exchange tables are absent (odd sizes)."""
         from .parallel.mesh import grouped_slot_halo_gather
 
+        import numpy as _np
+
         memo = self.__dict__.setdefault("_halo_memo", {})
         gkey = (ref.graph, ref.slot)
         if gkey not in memo:
+            # the exchange tables were built for the SLOT's vertex count;
+            # images on a different-sized 1-D space (legal — edge_gather
+            # just takes) must fall back to the take, or the localized ids
+            # would silently read wrong rows
+            slot_n = int(
+                _np.prod(
+                    self.registry.graphs[ref.graph]
+                    .slots[ref.slot]
+                    .shape(self.dim_sizes)
+                )
+            )
             items = []
             seen = set()
             for s in self.registry.slots:
@@ -550,9 +563,13 @@ class SpecBuilder:
                 ):
                     seen.add(s.image)
                     d = self.registry.images[s.image]
-                    items.append((s.image, self._bound_image(d)))
+                    arr = self._bound_image(d)
+                    if arr.shape[0] == slot_n:
+                        items.append((s.image, arr))
             if decl.name not in seen:
-                items.append((decl.name, self._bound_image(decl)))
+                arr = self._bound_image(decl)
+                if arr.shape[0] == slot_n:
+                    items.append((decl.name, arr))
             memo[gkey] = grouped_slot_halo_gather(
                 self.bindings.get("mesh"),
                 items,

@@ -168,6 +168,50 @@ def test_edge_reorder_owner_shrinks_assembly_exchange():
     assert sizes["owner"] < 0.7 * sizes["base"], sizes
 
 
+def test_mismatched_space_read_falls_back_to_take():
+    """An image on a DIFFERENT-sized 1-D space than the slot's (legal —
+    edge_gather just takes) must not ride the slot's exchange tables,
+    whose localized ids assume the slot's vertex count: sharded solve
+    equals single-device."""
+    def spec(S):
+        N, M = S.Dim("N"), S.Dim("M")
+        X = S.Unknown("X", 1, (N,))
+        W = S.Array("W", 1, (M,))
+        G = S.Graph("G", a=(N,), b=(N,))
+        S.Energy(X(G.a) - X(G.b), 0.3 * (X(G.a) - W(G.a)))
+
+    N, M = 64, 128
+    rng = np.random.RandomState(0)
+    inputs = {
+        "X": rng.rand(N, 1).astype(np.float32),
+        "W": rng.rand(M, 1).astype(np.float32),
+        "G": {
+            "a": np.arange(N, dtype=np.int32),
+            "b": ((np.arange(N) + 1) % N).astype(np.int32),
+        },
+    }
+    sp = dict(nIterations=3, lIterations=15)
+    r1 = ot.Problem(spec).plan(dims={"N": N, "M": M}).solve(dict(inputs), **sp)
+    r8 = ot.Problem(spec).plan(dims={"N": N, "M": M}, mesh=make_mesh()).solve(
+        dict(inputs), **sp
+    )
+    np.testing.assert_allclose(r8.final_cost, r1.final_cost, rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(r8.unknowns["X"]), np.asarray(r1.unknowns["X"]), atol=1e-5
+    )
+
+
+def test_unknown_edge_reorder_mode_raises():
+    from opt_tpu.models.specs import arap_mesh_deformation as arap_spec
+
+    with pytest.raises(ValueError, match="edge_reorder"):
+        ot.Problem(arap_spec).plan(
+            dims={"N": 16},
+            mesh=make_mesh(),
+            init_params=ot.InitializationParameters(edge_reorder="hilbert"),
+        )
+
+
 def test_halo_gather_matches_plain_take():
     """Owner-block neighbor exchange (parallel/mesh.py halo_gather): the
     all_to_all + local-gather read must reproduce the plain global take
