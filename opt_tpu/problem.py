@@ -133,6 +133,9 @@ class Plan:
         self._state = None
         self._bound = None  # (consts, graphs, params)
         self._fused_validated = False
+        # None while the assembled operator is in use; "validation" after
+        # _validate_fused dropped this plan to the composed path
+        self.fused_fallback = None
 
     def _validate_fused(self, unknowns, consts, graphs, params) -> None:
         """First-bind safety net for the assembled JᵀJ (ADVICE r1): compare
@@ -153,6 +156,11 @@ class Plan:
                 "coupling?); falling back to the composed operator"
             )
             self.solver._stencil_plan = None
+            # surfaced so harnesses/benches can detect the (much slower)
+            # composed fallback instead of mis-attributing the perf — a
+            # TPU-only bf16 dot demotion once tripped this silently
+            # (scripts/ab_arap.py history: 7.3 vs 0.05 ms per CG iteration)
+            self.fused_fallback = "validation"
 
     def _note_unknown_sentinels(self, inputs) -> None:
         """Record +-inf invalid-markers in unknown inputs so results can
@@ -425,6 +433,35 @@ class Plan:
                     )
                     cached[group_key] = jnp.asarray(inc)
                     cached["__ellx__" + suffix] = jnp.asarray(cross)
+                    # incidence-aligned assembly tables (assembly.py aligned
+                    # branch): edge ids + anchor-slot one-hots per incidence
+                    # row, so the per-GN-step assembly gathers the NARROW raw
+                    # probe columns ([N, D, r·P] elements) instead of wide
+                    # stacked coefficient rows ([m·E, m·Ct²]) — TPU gather
+                    # cost is per element, and this is the dominant per-step
+                    # cost on graph domains (measured 3.7 ms vs 0.45 ms at
+                    # 147k edges). Derived from inc, so sentinel rows map to
+                    # edge id E (a zero row) with all-zero anchors.
+                    if getattr(
+                        self.solver.ip, "aligned_graph_assembly", True
+                    ):
+                        m_g = len(names)
+                        E_g = int(idxs[names[0]].shape[0])
+                        inc_np = np.asarray(inc)
+                        sent = inc_np >= m_g * E_g
+                        edge_t = np.where(sent, E_g, inc_np % E_g)
+                        anchor = np.zeros(inc_np.shape + (m_g,), np.float32)
+                        kk = np.where(sent, 0, inc_np // E_g)
+                        np.put_along_axis(
+                            anchor,
+                            kk[..., None],
+                            (~sent)[..., None].astype(np.float32),
+                            axis=-1,
+                        )
+                        cached["__edge__" + suffix] = jnp.asarray(
+                            edge_t.astype(np.int32)
+                        )
+                        cached["__anchor__" + suffix] = jnp.asarray(anchor)
                     # DIA split: dominant vertex-id offsets become shifted
                     # adds in the CG loop instead of gathers. Skipped under
                     # dynamic topology: the offset VALUES and the remainder

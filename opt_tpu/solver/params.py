@@ -112,6 +112,22 @@ class InitializationParameters:
     # perturbs the per-edge float reduction order (golden-cost drift) and
     # dumpJ's per-edge row order. No effect without a mesh.
     edge_reorder: Any = False
+    # EXPERIMENTAL, default OFF: incidence-aligned graph assembly
+    # (assembly.py aligned branch; no reference counterpart — the reference
+    # scatters per edge with atomics, o.t:2092-2126). The per-GN-step
+    # coefficient accumulation gathers the NARROW raw probe columns into
+    # incidence space ([N, D, r·P] elements) and builds the coupling blocks
+    # post-gather via static placement matmuls, instead of gathering wide
+    # pre-stacked coefficient rows ([m·E, m·Ct²] elements). In isolated
+    # piece timings this cuts the gather cost ~7x, but in the fused
+    # whole-solve program XLA sinks the flat→[N, ct, ct] field reshape into
+    # the CG while body and pays a tile-relayout copy EVERY linear
+    # iteration (interleaved A/B at 147k edges: 7.33 ms vs 0.074 ms per CG
+    # iteration, scripts/ab_arap.py) — so the stacked-row path stays the
+    # default until the apply consumes flat fields reshape-free. Parity is
+    # pinned by tests either way. Single-device path; meshes always use
+    # the stacked-row exchange.
+    aligned_graph_assembly: bool = False
     # EXPERIMENTAL, no reference counterpart: store the assembled JᵀJ
     # coefficient fields in a narrower dtype ("bfloat16") while all CG
     # state, dots and the Jacobi diagonal stay in the solve dtype. The CG

@@ -317,3 +317,59 @@ def test_validate_assembly_catches_false_const_hoist():
         )
     finally:
         sol._stencil_plan = true_plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "arap_mesh_deformation",
+        "robust_nonrigid_alignment",
+        "cotangent_mesh_smoothing",
+        "embedded_mesh_deformation",
+        "curve_fitting",
+    ],
+)
+def test_aligned_assembly_matches_stacked(name):
+    """The EXPERIMENTAL incidence-aligned graph assembly
+    (aligned_graph_assembly=True: narrow probe-column gathers + post-gather
+    placement matmuls) must produce the same operator as the default
+    stacked-row path: identical JᵀJ·p, Jacobi diagonal and JᵀF up to
+    reduction-ordering roundoff."""
+    from opt_tpu.solver.params import InitializationParameters
+
+    dims, inputs = CASES[name]
+    outs = {}
+    for aligned in (True, False):
+        plan = ot.Problem(ALL_SPECS[name]).plan(
+            dims=dims,
+            init_params=InitializationParameters(
+                aligned_graph_assembly=aligned
+            ),
+        )
+        if plan.solver._stencil_plan is None:
+            pytest.skip("no assembled operator for this spec")
+        u, c, g, p = plan._normalize_and_place(dict(inputs))
+        fs = FunctionSet(plan.compiled, c, g, p)
+        sp = plan.solver._stencil_plan
+        A, diag, jtf_fn, _m = fs.assemble_stencil(u, sp)
+        if aligned:
+            # the aligned branch must actually have engaged: bind-time
+            # edge/anchor tables present for at least one graph group
+            assert any(
+                k.startswith("__edge__") for slots in g.values() for k in slots
+            )
+        r_terms = plan.compiled.residual_terms(u, c, g, p)
+        rng = np.random.RandomState(11)
+        probe = {
+            k: jnp.asarray(rng.randn(*v.shape), v.dtype) for k, v in u.items()
+        }
+        outs[aligned] = (A(probe), diag, jtf_fn(r_terms))
+
+    for idx in range(3):
+        for k in outs[True][idx]:
+            np.testing.assert_allclose(
+                np.asarray(outs[True][idx][k]),
+                np.asarray(outs[False][idx][k]),
+                rtol=2e-5,
+                atol=1e-6,
+            )
