@@ -80,6 +80,31 @@ class AssemblyPlan:
         return total
 
 
+def _gauss_jordan_inv(B):
+    """Batched inverse of small regularized-SPD blocks [..., c, c] by
+    pivot-free Gauss-Jordan: c rounds of elementwise row ops, all
+    vectorized over the batch. ``jnp.linalg.inv`` lowers to pivoted LU on
+    TPU, which is catastrophically slow for [N, 6, 6] batches (measured
+    ~130 ms per GN step at N=36864 — it dominated the whole block-Jacobi
+    step); this form costs c fused broadcasts (<1 ms). No pivoting is safe:
+    callers regularize the diagonal, so every pivot is bounded away from
+    zero."""
+    c = B.shape[-1]
+    eye = jnp.broadcast_to(jnp.eye(c, dtype=B.dtype), B.shape)
+    M = jnp.concatenate([B, eye], axis=-1)  # [..., c, 2c]
+    for k in range(c):
+        piv = M[..., k, :] / M[..., k, k : k + 1]
+        M = M - M[..., :, k : k + 1] * piv[..., None, :]
+        M = M.at[..., k, :].set(piv)
+    X = M[..., :, c:]
+    # one Newton refinement X <- X(2I - BX) squares the pivot-free f32
+    # rounding residual (two batched tiny matmuls, once per nonlinear
+    # iteration — matches pivoted-LU accuracy on reference blocks)
+    hp = jax.lax.Precision.HIGHEST
+    BX = jnp.matmul(B, X, precision=hp)
+    return jnp.matmul(X, 2.0 * eye - BX, precision=hp)
+
+
 def _comparison_constants(compiled, X, consts, graphs, params) -> List[float]:
     """Scalar constants appearing as comparison operands in the residual
     jaxpr (gt/lt/ge/le/eq/ne). Data-dependent gates like ``greater(D, 2.0)``
@@ -1696,7 +1721,7 @@ def assemble(compiled, plan: AssemblyPlan, X, consts, graphs, params,
             dvals = jnp.diagonal(B, axis1=-2, axis2=-1)
             reg = 1e-5 * dvals + FLOAT_EPSILON
             Breg = B + reg[..., :, None] * jnp.eye(ctot, dtype=dt)
-            Minv = jnp.linalg.inv(Breg)
+            Minv = _gauss_jordan_inv(Breg)
             inv[isp] = 0.5 * (Minv + jnp.swapaxes(Minv, -1, -2))
 
         def pre_apply(r):
@@ -1720,6 +1745,13 @@ def assemble(compiled, plan: AssemblyPlan, X, consts, graphs, params,
                     out[u] = r[u]
             return out
 
+        # expose the inverted blocks + layouts so the fused Pallas kernel
+        # can run the block-Jacobi apply in-kernel (ops/pallas_cg.py
+        # block_pre; reference: preconditioner application inside
+        # PCGInit1/Step3, solverGPUGaussNewton.t:361-397,537-550)
+        pre_apply.inv = inv
+        pre_apply.layouts = dict(isp_layouts)
+        pre_apply.row_masks = row_masks
         return pre_apply
 
     apply_fn.block_pre = make_block_pre
@@ -1753,12 +1785,21 @@ def assemble(compiled, plan: AssemblyPlan, X, consts, graphs, params,
     # kernel stores the weight fields in coeff_dtype too — there the win is
     # VMEM capacity (bf16 fields let 2x-larger grids stay in the fused
     # path) on top of the read traffic.
-    from .ops.pallas_cg import plan_fused_grid_cg
+    from .ops.pallas_cg import plan_fused_graph_cg, plan_fused_grid_cg
 
     cg_meta = plan_fused_grid_cg(
         compiled, plan, fields, w_layouts, grp_exec, pair_exec, g_unhandled,
         coeff_dtype=coeff_dtype,
     )
+    if cg_meta is None and grp_exec and mesh is None:
+        # graph analogue: DIA-covered meshes fold the vertex axis into a
+        # [R, L] tile and run the whole inner loop as flat-roll triples
+        cg_meta = plan_fused_graph_cg(
+            compiled, plan, fields, w_layouts, grp_exec, pair_exec,
+            g_unhandled, g_layouts,
+            {key: _group_mask(*key) for key in grp_exec},
+            coeff_dtype=coeff_dtype,
+        )
     return apply_fn, diag, jtf_fn, cg_meta
 
 

@@ -65,6 +65,27 @@ def _roll(x, s: int, axis: int, interpret: bool):
     return pltpu.roll(x, s, axis)
 
 
+def _flat_roll(x, s: int, interpret: bool):
+    """Circular roll of a row-major [R, L] array viewed as one flat axis:
+    result.flat[q] = x.flat[q - s]. Graph-domain kernels fold the vertex
+    axis as [R, L] (a bare [1, N] would sublane-pad 8x), so the DIA-offset
+    reads p[q + Δ] become flat rolls. Decomposition: s = a·L + b means the
+    source sits b lanes back on row r-a for lanes >= b and on row r-a-1
+    for lanes < b — two 2-D rolls and a lane-index select."""
+    R, L = x.shape[-2], x.shape[-1]
+    s = s % (R * L)
+    if s == 0:
+        return x
+    a, b = divmod(s, L)
+    if b == 0:
+        return _roll(x, a, x.ndim - 2, interpret)
+    xb_ = _roll(x, b, x.ndim - 1, interpret)
+    xa = _roll(xb_, a, x.ndim - 2, interpret)
+    xb = _roll(xb_, (a + 1) % R, x.ndim - 2, interpret)
+    col = jax.lax.broadcasted_iota(jnp.int32, (R, L), x.ndim - 1)
+    return jnp.where(col >= b, xa, xb)
+
+
 def _kernel(
     *refs,
     triples: Tuple[Tuple[Tuple[int, int], int, int, int], ...],
@@ -72,6 +93,8 @@ def _kernel(
     guard_div: bool,
     interpret: bool,
     lm: bool,
+    flat1d: bool = False,
+    block_pre: bool = False,
 ):
     if lm:
         (
@@ -92,24 +115,50 @@ def _kernel(
         ctc = None
     F = F_ref[...]  # [T, *spatial] masked per-channel-pair weight fields
     b = b_ref[...]  # [C, *spatial] = -JᵀF, packed channels
-    pre = pre_ref[...]  # [C, *spatial] guarded-inverted preconditioner
+    # [C, *spatial] guarded-inverted elementwise preconditioner, or
+    # [C·C, *spatial] per-element block inverse rows when block_pre
+    pre = pre_ref[...]
 
     spatial = b.shape[1:]
 
+    def prec(r):
+        if not block_pre:
+            return pre * r
+        # z[i] = Σ_j M⁻¹[i, j] · r[j] — the per-element block-Jacobi apply
+        # (reference applies its preconditioner inside PCGInit1/Step3,
+        # solverGPUGaussNewton.t:361-397,537-550)
+        return jnp.stack(
+            [
+                sum(
+                    pre[i * n_channels + j] * r[j]
+                    for j in range(n_channels)
+                )
+                for i in range(n_channels)
+            ]
+        )
+
     def apply(p):
         # (JᵀJ p)[q, i] = Σ_t F_t[q] · p[q+Δ_t, j_t]; roll is exact because
-        # the in-bounds masks are folded into F (see module docstring)
+        # the in-bounds masks are folded into F (see module docstring).
+        # flat1d: Δ is a flat vertex-id offset over the row-major [R, L]
+        # fold of the vertex axis (graph DIA fields) — a flat roll.
         rolled = {}
         acc = [None] * n_channels
         for delta, i, j, fid in triples:
-            shifts = tuple((-d) % n for d, n in zip(delta, spatial))
+            if flat1d:
+                shifts = ((-delta[0]) % (spatial[0] * spatial[1]),)
+            else:
+                shifts = tuple((-d) % n for d, n in zip(delta, spatial))
             key = (shifts, j)
             pk = rolled.get(key)
             if pk is None:
                 pk = p[j]
-                for ax, s in enumerate(shifts):
-                    if s:
-                        pk = _roll(pk, s, ax, interpret)
+                if flat1d:
+                    pk = _flat_roll(pk, shifts[0], interpret)
+                else:
+                    for ax, s in enumerate(shifts):
+                        if s:
+                            pk = _roll(pk, s, ax, interpret)
                 rolled[key] = pk
             t = F[fid] * pk
             acc[i] = t if acc[i] is None else acc[i] + t
@@ -125,7 +174,7 @@ def _kernel(
         return jnp.where(den > 0, num / jnp.where(den > 0, den, 1.0), 0.0)
 
     r = b
-    p = pre * r
+    p = prec(r)
     rz0 = jnp.sum(r * p)
     floor = tol_ref[0] * rz0
     lits = lits_ref[0]
@@ -144,7 +193,7 @@ def _kernel(
         alpha = safe_div(rz, den)
         delta = delta + alpha * p
         r = r - alpha * Ap
-        z = pre * r
+        z = prec(r)
         rz_new = jnp.sum(z * r)
         beta = safe_div(rz_new, rz)
         p = z + beta * p
@@ -167,7 +216,7 @@ def _kernel(
             lambda _: r - alpha * Ap,
             None,
         )
-        z = pre * r
+        z = prec(r)
         rz_new = jnp.sum(z * r)
         Q1 = 0.5 * jnp.sum(delta * (b + r))
         beta = safe_div(rz_new, rz)
@@ -266,6 +315,154 @@ def plan_fused_grid_cg(
         "ctot": ctot,
         "triples": tuple(triples),
         "F": F,
+        "isp": isp,
+    }
+
+
+def plan_fused_graph_cg(
+    compiled,
+    plan,
+    fields: Dict,
+    w_layouts: Dict,
+    grp_exec,
+    pair_exec,
+    g_unhandled,
+    g_layouts,
+    group_masks: Dict,
+    coeff_dtype=None,
+    lanes: int = 512,
+) -> Optional[Dict]:
+    """Fused whole-inner-loop CG for DIA-covered GRAPH problems — the graph
+    analogue of the reference's fused per-edge PCG kernels
+    (solverGPUGaussNewton.t:684-760), taken whole-loop like the grid kernel.
+
+    Applicability: one 1-D vertex index space carrying every unknown, every
+    graph group pre-summed into same-vertex blocks + DIA offset fields with
+    NO irregular remainder (ex["C"] is None — RCM/grid-structured meshes),
+    no per-pair ELL or scatter fallback, float32, VMEM-sized. The vertex
+    axis folds row-major into [R, lanes] (a bare [1, N] would sublane-pad
+    8x) and every field becomes a flat-roll triple; the group row masks and
+    flat-index bounds masks are folded into the fields, so the in-kernel
+    circular rolls are exact (module docstring).
+
+    Returns the same meta dict fused_grid_cg consumes, plus fold info.
+    """
+    import numpy as _np
+
+    if pair_exec or g_unhandled:
+        return None
+    if not grp_exec:
+        return None  # pure grid problems take plan_fused_grid_cg
+    if compiled.dtype != jnp.float32:
+        return None
+    if len(w_layouts) != 1:
+        return None
+    ((isp, (u_list, offs, ctot)),) = w_layouts.items()
+    if isp.ndim != 1:
+        return None
+    if sorted(compiled.unknown_names) != sorted(u_list):
+        return None
+    (N,) = isp.shape(compiled.dim_sizes)
+    channels = {u: compiled.unknown_shape(u)[-1] for u in u_list}
+
+    # group layouts may pack the same unknowns in a different channel order
+    # (g_layouts sorts; w_layouts follows declaration order) — remap each
+    # group channel into the kernel packing
+    gmaps = {}
+    for (g, gk), ex in grp_exec.items():
+        if ex["C"] is not None or ex.get("halo", (None, None))[0] is not None:
+            return None
+        _names, gu_list, goffs, gct = g_layouts[(g, gk)]
+        if sorted(gu_list) != sorted(u_list) or gct != ctot:
+            return None  # group does not span the full kernel state
+        if ex["S"].shape[0] != N:
+            return None
+        gmap = [0] * gct
+        for u in gu_list:
+            for cch in range(channels[u]):
+                gmap[goffs[u] + cch] = offs[u] + cch
+        gmaps[(g, gk)] = gmap
+
+    L = min(lanes, max(128, N))
+    R = -(-N // L)
+    n_pad = R * L
+
+    def _pad(col):  # [N] -> [R, L]
+        return jnp.concatenate(
+            [col, jnp.zeros((n_pad - N,), col.dtype)]
+        ).reshape(R, L)
+
+    bounds = {}  # flat offset -> [N] in-bounds 0/1
+
+    def _bounds(d):
+        m = bounds.get(d)
+        if m is None:
+            q = _np.arange(N)
+            m = jnp.asarray(((q + d >= 0) & (q + d < N)).astype(_np.float32))
+            bounds[d] = m
+        return m
+
+    field_list = []
+    triples = []
+
+    def _emit(col, d, i, j):
+        fid = len(field_list)
+        field_list.append(_pad(col))
+        triples.append(((int(d),), i, j, fid))
+
+    # 1-D stencil fields (fit terms etc.) — already row-masked at build
+    for (u_out, u_in, delta, i, j), f in sorted(fields.items()):
+        (d,) = delta
+        fm = f * _bounds(d) if d else f
+        if (u_out, u_in, delta) in plan.scalar_groups:
+            for cch in range(channels[u_out]):
+                _emit(fm, d, offs[u_out] + cch, offs[u_in] + cch)
+        else:
+            _emit(fm, d, offs[u_out] + i, offs[u_in] + j)
+
+    # graph groups: same-vertex block S (Δ=0) + per-offset DIA fields,
+    # with the group row mask folded on both sides (M·A(M·p))
+    for (g, gk), ex in sorted(grp_exec.items()):
+        pm = group_masks.get((g, gk))
+        gmap = gmaps[(g, gk)]
+        S = ex["S"].astype(jnp.float32)
+        for i in range(ctot):
+            for j in range(ctot):
+                col = S[:, i * ctot + j]
+                if pm is not None:
+                    col = col * pm[:, i] * pm[:, j]
+                _emit(col, 0, gmap[i], gmap[j])
+        for off, W_off in ex["dia"]:
+            Wf = W_off.astype(jnp.float32)
+            bm = _bounds(off)
+            pm_s = None
+            if pm is not None:
+                from .shift import shift as _shift
+
+                pm_s = _shift(pm, (off,))
+            for i in range(ctot):
+                for j in range(ctot):
+                    col = Wf[:, i * ctot + j] * bm
+                    if pm is not None:
+                        col = col * pm[:, i] * pm_s[:, j]
+                    _emit(col, off, gmap[i], gmap[j])
+
+    f_bytes = jnp.dtype(coeff_dtype).itemsize if coeff_dtype else 4
+    working = (len(field_list) * f_bytes + 8 * ctot * 4) * n_pad
+    if working > VMEM_BUDGET_BYTES:
+        return None
+    F = jnp.stack(field_list, axis=0)
+    if coeff_dtype is not None:
+        F = F.astype(coeff_dtype)
+    return {
+        "u_list": tuple(u_list),
+        "offs": dict(offs),
+        "channels": channels,
+        "ctot": ctot,
+        "triples": tuple(triples),
+        "F": F,
+        "fold": (R, L, N),
+        "isp": isp,
     }
 
 
@@ -281,17 +478,23 @@ def fused_grid_cg(
     ctc: Optional[Dict[str, jnp.ndarray]] = None,
     reset_period=None,
     q_tolerance=None,
+    pre_blocks: Optional[jnp.ndarray] = None,
 ):
     """Run the fused CG kernel; returns (delta pytree, iterations executed).
 
     Passing ``ctc`` (plus ``reset_period`` and ``q_tolerance``) runs the LM
     inner loop: + CtC·p damping, drift-cancelling residual recomputation and
     the Ceres Q/ζ early exit, all in-kernel.
+
+    ``pre_blocks`` ([*dom, C, C], the already-inverted per-element block
+    preconditioner M⁻¹ over the packed channels) replaces the elementwise
+    ``pre`` with an in-kernel block-Jacobi apply.
     """
     from jax.experimental import pallas as pl
 
     u_list = meta["u_list"]
     lm = ctc is not None
+    fold = meta.get("fold")
 
     def pack(d):
         a = (
@@ -299,10 +502,28 @@ def fused_grid_cg(
             if len(u_list) > 1
             else d[u_list[0]]
         )
-        return jnp.moveaxis(a, -1, 0)  # [C, H, W]
+        a = jnp.moveaxis(a, -1, 0)  # [C, *dom]
+        if fold is not None:
+            R, L, N = fold
+            a = jnp.concatenate(
+                [a, jnp.zeros((a.shape[0], R * L - N), a.dtype)], axis=-1
+            ).reshape(a.shape[0], R, L)
+        return a
 
     b = pack(r0)
-    prem = pack(pre)
+    if pre_blocks is not None:
+        C0 = pre_blocks.shape[-1]
+        pb = jnp.moveaxis(
+            pre_blocks.reshape(pre_blocks.shape[:-2] + (C0 * C0,)), -1, 0
+        )  # [C*C, *dom]
+        if fold is not None:
+            R, L, N = fold
+            pb = jnp.concatenate(
+                [pb, jnp.zeros((pb.shape[0], R * L - N), pb.dtype)], axis=-1
+            ).reshape(pb.shape[0], R, L)
+        prem = pb
+    else:
+        prem = pack(pre)
     F = meta["F"]
     C = b.shape[0]
 
@@ -313,6 +534,8 @@ def fused_grid_cg(
         guard_div=guard_div,
         interpret=interpret,
         lm=lm,
+        flat1d=fold is not None,
+        block_pre=pre_blocks is not None,
     )
     operands = [F, b, prem]
     n_smem = 2
@@ -353,7 +576,10 @@ def fused_grid_cg(
         interpret=interpret,
         **kwargs,
     )(*operands)
-    packed = jnp.moveaxis(delta, 0, -1)  # [H, W, C]
+    if fold is not None:
+        R, L, N = fold
+        delta = delta.reshape(C, R * L)[:, :N]  # unfold + drop padding
+    packed = jnp.moveaxis(delta, 0, -1)  # [*dom, C]
     out = {}
     for u in u_list:
         o = meta["offs"][u]

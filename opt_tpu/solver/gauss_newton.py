@@ -295,6 +295,43 @@ class GaussNewtonSolver:
         tol = 1e-9 if c.dtype == jnp.float64 else 5e-4
         return bool(err <= tol * (1.0 + scale))
 
+    def _kernel_pre_blocks(self, cg_meta, pre_apply):
+        """Pack a block-Jacobi pre_apply's inverted blocks for the fused
+        Pallas kernel ([*dom, C, C] over the kernel's packed channels), or
+        None when the kernel can't host it (multiple index spaces, layout
+        mismatch). Row masks are folded into the output rows, matching
+        pre_apply's `sl * m`."""
+        if cg_meta is None or self._pallas_mode is None:
+            return None
+        inv = getattr(pre_apply, "inv", None)
+        layouts = getattr(pre_apply, "layouts", None)
+        isp = cg_meta.get("isp")
+        if not inv or layouts is None or isp is None:
+            return None
+        if set(inv) != {isp}:
+            return None
+        u_list, offs, ctot = layouts[isp]
+        if (
+            tuple(u_list) != cg_meta["u_list"]
+            or offs != cg_meta["offs"]
+            or ctot != cg_meta["ctot"]
+        ):
+            return None
+        Minv = inv[isp]  # [*dom, C, C]
+        row_masks = getattr(pre_apply, "row_masks", {})
+        parts = []
+        for u in u_list:
+            m = row_masks.get(u)
+            cu = self.compiled.unknown_shape(u)[-1]
+            if m is None:
+                parts.append(
+                    jnp.ones(Minv.shape[:-2] + (cu,), Minv.dtype)
+                )
+            else:
+                parts.append(jnp.broadcast_to(m, m.shape[:-1] + (cu,)))
+        pm = jnp.concatenate(parts, axis=-1) if len(parts) > 1 else parts[0]
+        return Minv * pm[..., :, None]
+
     # -- one nonlinear iteration -------------------------------------------------
     def _step(self, state, consts, graphs, params, sp):
         fs = FunctionSet(self.compiled, consts, graphs, params, mesh=self._mesh())
@@ -366,8 +403,7 @@ class GaussNewtonSolver:
         # block-Jacobi (opt-in, assembled path): invert the per-element
         # Δ=0 coupling block once per nonlinear iteration; z = M⁻¹r is a
         # per-element block matvec instead of the scalar multiply (the
-        # scalar pre above is then dead and DCE'd). Not routed through the
-        # fused Pallas kernel (elementwise-pre only).
+        # scalar pre above is then dead and DCE'd).
         pre_apply = None
         if (
             self.ip.preconditioner == "block_jacobi"
@@ -376,14 +412,21 @@ class GaussNewtonSolver:
         ):
             pre_apply = A.block_pre()
 
+        pre_blocks = (
+            self._kernel_pre_blocks(cg_meta, pre_apply)
+            if pre_apply is not None
+            else None
+        )
         if (
             cg_meta is not None
             and self._pallas_mode is not None
-            and pre_apply is None
+            and (pre_apply is None or pre_blocks is not None)
             and getattr(self.ip, "cg_variant", "standard") == "standard"
         ):
             # whole-inner-loop fused Pallas kernel (ops/pallas_cg.py):
-            # identical algebra and exits to the while_loop below
+            # identical algebra and exits to the while_loop below;
+            # block-Jacobi rides in-kernel via pre_blocks (the reference
+            # applies its preconditioner inside PCGInit1/Step3)
             from ..ops.pallas_cg import fused_grid_cg
 
             delta, l_done = fused_grid_cg(
@@ -394,6 +437,7 @@ class GaussNewtonSolver:
                 sp["cg_rz_tolerance"],
                 guard_div=self.ip.guard_division_by_zero,
                 interpret=self._pallas_mode == "interpret",
+                pre_blocks=pre_blocks,
             )
             X_new = {k: X[k] + delta[k] for k in X}
             new_cost = fs.cost(X_new)
@@ -583,14 +627,20 @@ class GaussNewtonSolver:
         ):
             pre_apply = A_base.block_pre(extra_diag=ctc)
 
+        pre_blocks = (
+            self._kernel_pre_blocks(cg_meta, pre_apply)
+            if pre_apply is not None
+            else None
+        )
         if (
             cg_meta is not None
             and self._pallas_mode is not None
-            and pre_apply is None
+            and (pre_apply is None or pre_blocks is not None)
             and getattr(self.ip, "cg_variant", "standard") == "standard"
         ):
             # whole LM inner loop in the fused Pallas kernel: damping,
-            # residual reset and Q/ζ exit included (ops/pallas_cg.py)
+            # residual reset and Q/ζ exit included (ops/pallas_cg.py);
+            # block-Jacobi (over the DAMPED blocks) rides in-kernel
             from ..ops.pallas_cg import fused_grid_cg
 
             delta, l_done = fused_grid_cg(
@@ -604,6 +654,7 @@ class GaussNewtonSolver:
                 ctc=ctc,
                 reset_period=sp["residual_reset_period"],
                 q_tolerance=sp["q_tolerance"],
+                pre_blocks=pre_blocks,
             )
             return self._lm_finish(
                 state, fs, sp, X, delta, l_done, r_terms, J, SSq

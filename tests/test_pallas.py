@@ -6,6 +6,7 @@ the kernel actually activated (the plan qualifies) where expected.
 """
 
 import numpy as np
+import pytest
 
 import opt_tpu as ot
 from opt_tpu.models.specs import poisson_image_editing
@@ -186,20 +187,24 @@ def test_pallas_auto_mode_stays_off_on_cpu():
     assert plan.solver._pallas_mode is None  # tests force the CPU backend
 
 
-def test_pallas_not_planned_for_graph_problems():
-    """Graph problems must not produce a fused-CG descriptor."""
-    from opt_tpu.models.specs import arap_mesh_deformation
-
-    n_side = 6
+def _make_arap_inputs(n_side):
+    """Grid-structured ARAP mesh: every edge offset is one of four dominant
+    vertex-id offsets, so the DIA split covers 100% of the cross couplings
+    and the fused graph kernel qualifies."""
     N = n_side * n_side
     ii, jj = np.meshgrid(np.arange(n_side), np.arange(n_side), indexing="ij")
-    pos = np.stack([ii.ravel(), jj.ravel(), np.zeros(N)], -1).astype(np.float32)
+    pos = np.stack(
+        [ii.ravel(), jj.ravel(), np.zeros(N)], -1
+    ).astype(np.float32)
     vid = np.arange(N).reshape(n_side, n_side)
     v0 = np.concatenate([vid[:-1].ravel(), vid[:, :-1].ravel()])
     v1 = np.concatenate([vid[1:].ravel(), vid[:, 1:].ravel()])
-    con = -1e6 * np.ones((N, 3), np.float32)
-    con[0] = pos[0]
-    inputs = {
+    con = -np.ones((N, 3), np.float32)
+    con[vid[0, 0]] = pos[vid[0, 0]]
+    con[vid[-1, -1]] = pos[vid[-1, -1]] + np.array(
+        [4.0, 0, 2.0], np.float32
+    )
+    return N, {
         "Offset": pos.copy(),
         "Angle": np.zeros((N, 3), np.float32),
         "UrShape": pos,
@@ -211,12 +216,148 @@ def test_pallas_not_planned_for_graph_problems():
         "w_fitSqrt": np.float32(1.0),
         "w_regSqrt": np.float32(0.7),
     }
+
+
+def test_fused_pallas_graph_cg_matches_xla():
+    """DIA-covered graph problems (grid-structured ARAP mesh) run the whole
+    CG inner loop in the fused kernel: the vertex axis folds to [R, L] and
+    the DIA offsets become flat rolls (the graph analogue of the
+    reference's fused per-edge PCG kernels,
+    solverGPUGaussNewton.t:684-760)."""
+    from opt_tpu.models.specs import arap_mesh_deformation
+
+    N, inputs = _make_arap_inputs(24)
+    base = ot.Problem(arap_mesh_deformation).plan(dims={"N": N})
+    plan_p = ot.Problem(arap_mesh_deformation).plan(
+        dims={"N": N},
+        init_params=InitializationParameters(use_pallas_cg="interpret"),
+    )
+    # the qualifying check: the fused-CG descriptor must exist and be the
+    # folded graph form
+    u, c, g, pa = plan_p._normalize_and_place(dict(inputs))
+    from opt_tpu.functions import FunctionSet
+
+    fs = FunctionSet(plan_p.compiled, c, g, pa)
+    _A, _d, _j, meta = fs.assemble_stencil(u, plan_p.solver._stencil_plan)
+    assert meta is not None and meta.get("fold") is not None
+
+    rx = base.solve(dict(inputs), nIterations=1, lIterations=25)
+    rp = plan_p.solve(dict(inputs), nIterations=1, lIterations=25)
+    assert rx.num_linear_iterations == rp.num_linear_iterations
+    np.testing.assert_allclose(rx.final_cost, rp.final_cost, rtol=1e-5)
+    for k in rx.unknowns:
+        np.testing.assert_allclose(
+            np.asarray(rx.unknowns[k]),
+            np.asarray(rp.unknowns[k]),
+            atol=5e-5,
+        )
+
+
+def test_fused_pallas_graph_cg_rejects_irregular_mesh():
+    """A random mesh's edge offsets are spread over many values, leaving a
+    DIA remainder (ex["C"] is not None), so the graph kernel must NOT
+    plan; the solve falls back to the XLA loop and still works."""
+    from opt_tpu.models.specs import arap_mesh_deformation
+
+    N = 40
+    rng = np.random.RandomState(0)
+    pos = rng.rand(N, 3).astype(np.float32)
+    con = -np.ones((N, 3), np.float32)
+    con[0] = [0.5, 0.5, 0.5]
+    v0 = np.arange(N, dtype=np.int32)
+    v1 = rng.permutation(N).astype(np.int32)
+    clash = v1 == v0
+    v1[clash] = (v1[clash] + 1) % N
+    inputs = {
+        "Offset": pos.copy(),
+        "Angle": np.zeros((N, 3), np.float32),
+        "UrShape": pos,
+        "Constraints": con,
+        "G": {"v0": v0, "v1": v1},
+        "w_fitSqrt": np.float32(3.0),
+        "w_regSqrt": np.float32(1.0),
+    }
     plan = ot.Problem(arap_mesh_deformation).plan(
         dims={"N": N},
         init_params=InitializationParameters(use_pallas_cg="interpret"),
     )
+    u, c, g, pa = plan._normalize_and_place(dict(inputs))
+    from opt_tpu.functions import FunctionSet
+
+    fs = FunctionSet(plan.compiled, c, g, pa)
+    _A, _d, _j, meta = fs.assemble_stencil(u, plan.solver._stencil_plan)
+    assert meta is None
     res = plan.solve(dict(inputs), nIterations=2, lIterations=10)
     assert np.isfinite(res.final_cost)
+
+
+@pytest.mark.parametrize("kind", ["gaussNewtonGPU", "LMGPU"])
+def test_fused_pallas_graph_cg_block_jacobi(kind):
+    """block_jacobi composes with the fused kernel: the per-element block
+    inverse is applied IN-KERNEL (reference: preconditioner application
+    inside PCGInit1/Step3, solverGPUGaussNewton.t:361-397,537-550), and the
+    trajectory matches the XLA block-Jacobi loop."""
+    from opt_tpu.models.specs import arap_mesh_deformation
+
+    N, inputs = _make_arap_inputs(24)
+    rs = {}
+    for mode in ("interpret", "off"):
+        p = ot.Problem(arap_mesh_deformation, kind=kind).plan(
+            dims={"N": N},
+            init_params=InitializationParameters(
+                use_pallas_cg=mode, preconditioner="block_jacobi"
+            ),
+        )
+        rs[mode] = p.solve(dict(inputs), nIterations=1, lIterations=25)
+    a, b = rs["interpret"], rs["off"]
+    assert a.num_linear_iterations == b.num_linear_iterations
+    np.testing.assert_allclose(a.final_cost, b.final_cost, rtol=1e-5)
+    for k in a.unknowns:
+        np.testing.assert_allclose(
+            np.asarray(a.unknowns[k]), np.asarray(b.unknowns[k]), atol=5e-5
+        )
+    # the block preconditioner must actually help on ARAP (the scalar-pre
+    # run needs more CG iterations to the same floor)
+    p_scalar = ot.Problem(arap_mesh_deformation, kind=kind).plan(
+        dims={"N": N},
+        init_params=InitializationParameters(use_pallas_cg="interpret"),
+    )
+    r_scalar = p_scalar.solve(dict(inputs), nIterations=1, lIterations=25)
+    assert a.num_linear_iterations <= r_scalar.num_linear_iterations
+
+
+def test_fused_pallas_grid_cg_block_jacobi():
+    """Grid problems route block_jacobi through the fused kernel too."""
+    from opt_tpu.models.specs import image_warping
+
+    n = 24
+    ur = np.stack(
+        np.meshgrid(np.arange(n), np.arange(n), indexing="ij"), -1
+    ).astype(np.float32)
+    con = -np.ones((n, n, 2), np.float32)
+    con[2, 2] = [3.0, 1.5]
+    con[n - 3, n - 3] = [n - 5.0, n - 2.0]
+    inputs = {
+        "Offset": ur.copy(),
+        "Angle": np.zeros((n, n), np.float32),
+        "UrShape": ur,
+        "Constraints": con,
+        "Mask": np.zeros((n, n), np.float32),
+        "w_fitSqrt": np.float32(10.0),
+        "w_regSqrt": np.float32(0.1),
+    }
+    rs = {}
+    for mode in ("interpret", "off"):
+        p = ot.Problem(image_warping).plan(
+            dims={"W": n, "H": n},
+            init_params=InitializationParameters(
+                use_pallas_cg=mode, preconditioner="block_jacobi"
+            ),
+        )
+        rs[mode] = p.solve(dict(inputs), nIterations=1, lIterations=25)
+    a, b = rs["interpret"], rs["off"]
+    assert a.num_linear_iterations == b.num_linear_iterations
+    np.testing.assert_allclose(a.final_cost, b.final_cost, rtol=1e-5)
 
 
 def test_fused_pallas_cg_computed_array_spec():
