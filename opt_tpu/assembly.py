@@ -149,6 +149,71 @@ def _comparison_constants(compiled, X, consts, graphs, params) -> List[float]:
     return sorted(vals)
 
 
+def _terms_with_traced_gates(compiled, X, consts, graphs, params):
+    """Residual-term indices whose computation contains a comparison with
+    NO literal operand (array-vs-array gates like ``less(X(0,0), A(0,0) -
+    5.0)``). ``_comparison_constants`` can only harvest literal thresholds,
+    so the probe distribution has nothing to straddle for these gates: a
+    branch that never flips under the draws would be (unsoundly) pruned as
+    structurally zero. The planner refuses structural pruning, constant
+    hoisting and scalar-group collapsing for tainted terms instead — the
+    safe fallback the reference never needs (its polysimplify is exact,
+    ad.t:803-926). Taint propagates forward through the jaxpr, and any
+    literal-free comparison inside an equation's sub-jaxprs taints that
+    equation's outputs (conservative)."""
+    import jax.extend.core as jec
+
+    f = lambda sv: compiled.local_residual_terms(sv, params, consts)
+    sv = compiled.gather_slot_values(X, consts, graphs, params)
+    try:
+        jaxpr = jax.make_jaxpr(f)(sv).jaxpr
+    except Exception:  # pragma: no cover - spec already traced upstream
+        return frozenset(range(len(compiled.terms)))
+    prims = {"gt", "lt", "ge", "le", "eq", "ne"}
+
+    def _gate_in(jx) -> bool:
+        for eqn in jx.eqns:
+            if eqn.primitive.name in prims and not any(
+                isinstance(v, jec.Literal) for v in eqn.invars
+            ):
+                return True
+            for p in eqn.params.values():
+                for sub in p if isinstance(p, (tuple, list)) else (p,):
+                    if isinstance(sub, jec.ClosedJaxpr) and _gate_in(sub.jaxpr):
+                        return True
+                    if isinstance(sub, jec.Jaxpr) and _gate_in(sub):
+                        return True
+        return False
+
+    taint = set()
+    for eqn in jaxpr.eqns:
+        dirty = any(
+            not isinstance(v, jec.Literal) and id(v) in taint
+            for v in eqn.invars
+        )
+        if not dirty and eqn.primitive.name in prims and not any(
+            isinstance(v, jec.Literal) for v in eqn.invars
+        ):
+            dirty = True
+        if not dirty:
+            for p in eqn.params.values():
+                for sub in p if isinstance(p, (tuple, list)) else (p,):
+                    if (
+                        isinstance(sub, jec.ClosedJaxpr) and _gate_in(sub.jaxpr)
+                    ) or (isinstance(sub, jec.Jaxpr) and _gate_in(sub)):
+                        dirty = True
+                        break
+                if dirty:
+                    break
+        if dirty:
+            taint.update(id(o) for o in eqn.outvars)
+    return frozenset(
+        t
+        for t, v in enumerate(jaxpr.outvars)
+        if not isinstance(v, jec.Literal) and id(v) in taint
+    )
+
+
 def _probe_inputs(compiled, rng, probe_edges: int, extra_vals=()):
     """Randomized inputs exercising both branches of mask-style selects:
     constants mix exact {0, 1, -1} — plus every traced comparison threshold
@@ -383,6 +448,22 @@ def _plan_assembly_uncached(
                             )
         probe_fields.append(pf)
 
+    # terms with array-vs-array comparison gates: the probes can't certify
+    # structure there (no literal threshold to straddle), so keep EVERY
+    # channel pair of those terms — no structural pruning (safe fallback;
+    # VERDICT r2 #6)
+    tainted_terms = _terms_with_traced_gates(
+        probe, Xp0, constsp0, graphsp0, paramsp0
+    )
+    for t_idx in tainted_terms:
+        term = probe.terms[t_idx]
+        t_sids = [sid for sid in unknown_sids if sid in term.slot_ids]
+        for so in t_sids:
+            for si in t_sids:
+                for i in range(slots[so].channels):
+                    for j in range(slots[si].channels):
+                        nonzero[(t_idx, so, si, i, j)] = True
+
     w_spec: Dict[WKey, List[Tuple[int, int, int]]] = {}
     g_spec: Dict[GKey, List[Tuple[int, int, int]]] = {}
     group_pairs: Dict[Tuple, set] = {}
@@ -419,6 +500,16 @@ def _plan_assembly_uncached(
                 break
         if same:
             scalar.add(gk)
+    if tainted_terms:
+        # value-based detections are as unsound as zero-pruning for tainted
+        # terms: drop their groups from the channel-identical collapse
+        dirty_gks = {
+            key[:-2]
+            for spec_d in (w_spec, g_spec)
+            for key, contribs in spec_d.items()
+            if any(t in tainted_terms for (t, _so, _si) in contribs)
+        }
+        scalar -= dirty_gks
 
     needed = set()
     for contribs in list(w_spec.values()) + list(g_spec.values()):
@@ -440,6 +531,8 @@ def _plan_assembly_uncached(
     )
     const_tsids = set()
     for key in D:
+        if key[0] in tainted_terms:
+            continue  # gate may freeze under probes; never hoist (see above)
         a, b = np.asarray(D[key]), np.asarray(D_alt[key])
         if np.all(np.isfinite(a)) and np.array_equal(a, b):
             const_tsids.add(key)

@@ -192,11 +192,18 @@ class CombinedSolverBase:
         print(text)
         return text
 
-    def save_results_csv(self, directory="results", double_precision=False) -> str:
-        """SolverIteration.h:28-67 saveSolverResults."""
+    def save_results_csv(
+        self, directory="results", double_precision=False, name=None
+    ) -> str:
+        """SolverIteration.h:28-67 saveSolverResults. ``name`` (defaulting
+        to the spec function's name) keys the file per example — the
+        reference writes one results CSV per example directory; a shared
+        unnamed file would be overwritten by whichever example ran last."""
         os.makedirs(directory, exist_ok=True)
         suffix = "double" if double_precision else "float"
-        path = os.path.join(directory, f"results_{suffix}.csv")
+        name = name or getattr(self.spec_fn, "__name__", None)
+        stem = f"{name}_results_{suffix}" if name else f"results_{suffix}"
+        path = os.path.join(directory, f"{stem}.csv")
         n = max((len(r.iterations) for r in self.runs), default=0)
         with open(path, "w") as f:
             header = []

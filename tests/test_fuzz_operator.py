@@ -275,3 +275,67 @@ def test_fuzz_sampled_image_assembled_jtj(seed):
     rng = np.random.RandomState(4000 + seed)
     spec, dims, inputs = _sampled_image_spec(rng)
     _dense_check(spec, dims, inputs)
+
+
+def _random_traced_gate_spec(rng):
+    """Adversarial class (VERDICT r2 #6): array-vs-array comparison gates
+    whose threshold sits far outside every probe value, so the gate is
+    FROZEN under the probe distribution (nothing literal to straddle —
+    ``_comparison_constants`` cannot harvest it) but ACTIVE at the real
+    inputs. Without the traced-gate taint (assembly._terms_with_traced_gates)
+    the gated smoothness coupling probes structurally zero and the
+    assembled operator drops it — the dense oracle below catches that."""
+    big = float(rng.uniform(30.0, 80.0))
+    sgn = 1.0 if rng.randint(0, 2) else -1.0
+    off = [(1, 0), (0, 1), (-1, 0)][rng.randint(0, 3)]
+
+    def spec(S):
+        W, H = S.Dim("W"), S.Dim("H")
+        X = S.Unknown("X", 1, (W, H))
+        A = S.Array("A", 1, (W, H))
+        S.Energy(
+            0.1 * (X(0, 0) - A(0, 0)),
+            ot.Select(
+                ot.less(A(0, 0), sgn * X(0, 0) - big),
+                X(0, 0) - X(*off),
+                0.0,
+            ),
+        )
+
+    rng2 = np.random.RandomState(rng.randint(1 << 30))
+    x0 = (sgn * (big + 5.0) + rng2.rand(N, N, 1)).astype(np.float32)
+    inputs = {"X": x0, "A": rng2.rand(N, N, 1).astype(np.float32)}
+    return spec, {"W": N, "H": N}, inputs
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_traced_gate_not_pruned(seed):
+    rng = np.random.RandomState(5000 + seed)
+    spec, dims, inputs = _random_traced_gate_spec(rng)
+    _dense_check(spec, dims, inputs)
+
+
+def test_traced_gate_detector_flags_and_keeps_coupling():
+    """The detector itself: a frozen array-vs-array gate taints its term,
+    which keeps every channel pair (no pruning), disables constant hoisting
+    for the term and blocks scalar-group collapsing."""
+    from opt_tpu.assembly import plan_assembly
+    from opt_tpu.compile import compile_spec
+
+    def gated(S):
+        W, H = S.Dim("W"), S.Dim("H")
+        X = S.Unknown("X", 1, (W, H))
+        A = S.Array("A", 1, (W, H))
+        S.Energy(
+            0.1 * (X(0, 0) - A(0, 0)),
+            ot.Select(
+                ot.less(A(0, 0), X(0, 0) - 50.0), X(0, 0) - X(1, 0), 0.0
+            ),
+        )
+
+    c = compile_spec(gated, {"W": 16, "H": 16}, np.float32)
+    sp = plan_assembly(gated, c)
+    deltas = sorted({k[2] for k in sp.w_spec})
+    assert (1, 0) in deltas and (-1, 0) in deltas, deltas
+    # the tainted term's slot Jacobians must not be hoisted as constant
+    assert all(t != 1 for (t, _sid) in sp.const_tsids), sp.const_tsids
