@@ -38,34 +38,44 @@ def _ensure_live_backend(probe_timeout_s: float = 300.0) -> None:
     by main()."""
     if os.environ.get("OPT_TPU_BENCH_NO_PROBE"):
         return
-    try:
-        # the probe must EXECUTE a computation, not just enumerate devices:
-        # a half-dead tunnel can accept connections (jax.devices() returns)
-        # while every execution blocks forever in the client's retry loop —
-        # observed 2026-08-18; an enumeration-only probe passed and the
-        # bench then hung with zero CPU progress.
-        subprocess.run(
-            [
-                sys.executable,
-                "-c",
-                "import jax, jax.numpy as jnp; "
-                "print(float(jnp.arange(64.0).sum()))",
-            ],
-            timeout=probe_timeout_s,
-            check=True,
-            capture_output=True,
-        )
-        os.environ["BENCH_BACKEND"] = "default"
-    except Exception:
-        import jax
+    # the probe must EXECUTE a computation, not just enumerate devices:
+    # a half-dead tunnel can accept connections (jax.devices() returns)
+    # while every execution blocks forever in the client's retry loop —
+    # observed 2026-08-18; an enumeration-only probe passed and the
+    # bench then hung with zero CPU progress. The tunnel also FLAPS on a
+    # minutes timescale (observed 2026-08-19: alive probes bracketing a
+    # failed one), so retry a few times before writing off the round's
+    # accelerator numbers.
+    for attempt in range(4):
+        try:
+            subprocess.run(
+                [
+                    sys.executable,
+                    "-c",
+                    "import jax, jax.numpy as jnp; "
+                    "print(float(jnp.arange(64.0).sum()))",
+                ],
+                timeout=probe_timeout_s / 2 if attempt else probe_timeout_s,
+                check=True,
+                capture_output=True,
+            )
+            os.environ["BENCH_BACKEND"] = "default"
+            return
+        except Exception:
+            print(
+                f"bench: backend probe attempt {attempt + 1} failed",
+                file=sys.stderr,
+            )
+            time.sleep(60.0 * min(2, attempt + 1))
+    import jax
 
-        jax.config.update("jax_platforms", "cpu")
-        os.environ["BENCH_BACKEND"] = "cpu-fallback"
-        print(
-            "bench: default backend unreachable; falling back to CPU "
-            "(numbers NOT comparable to accelerator runs)",
-            file=sys.stderr,
-        )
+    jax.config.update("jax_platforms", "cpu")
+    os.environ["BENCH_BACKEND"] = "cpu-fallback"
+    print(
+        "bench: default backend unreachable; falling back to CPU "
+        "(numbers NOT comparable to accelerator runs)",
+        file=sys.stderr,
+    )
 
 
 _ensure_live_backend()
