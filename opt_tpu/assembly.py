@@ -120,7 +120,10 @@ def _comparison_constants(compiled, X, consts, graphs, params) -> List[float]:
         jaxpr = jax.make_jaxpr(f)(sv)
     except Exception:  # pragma: no cover - tracing of spec already succeeded
         return []
-    prims = {"gt", "lt", "ge", "le", "eq", "ne"}
+    # max/min (jnp.maximum/minimum) gate the Jacobian exactly like
+    # comparisons: d/dx max(x, t) is a select on x > t. A literal operand t
+    # is a harvestable threshold for the probes to straddle (ADVICE r3).
+    prims = {"gt", "lt", "ge", "le", "eq", "ne", "max", "min"}
     out = set()
 
     def walk(jx):
@@ -169,7 +172,11 @@ def _terms_with_traced_gates(compiled, X, consts, graphs, params):
         jaxpr = jax.make_jaxpr(f)(sv).jaxpr
     except Exception:  # pragma: no cover - spec already traced upstream
         return frozenset(range(len(compiled.terms)))
-    prims = {"gt", "lt", "ge", "le", "eq", "ne"}
+    # max/min with two non-literal operands are array-vs-array gates too:
+    # their derivative is a select with no literal threshold for the probes
+    # to straddle, so treat them exactly like literal-free comparisons
+    # (ADVICE r3).
+    prims = {"gt", "lt", "ge", "le", "eq", "ne", "max", "min"}
 
     def _gate_in(jx) -> bool:
         for eqn in jx.eqns:

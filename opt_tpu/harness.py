@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import shutil
 import time
 from typing import Any, Callable, Dict, List, Optional
 
@@ -218,4 +219,12 @@ class CombinedSolverBase:
                     else:
                         row += ["", ""]
                 f.write(",".join(row) + "\n")
+        # legacy compatibility: prior rounds (and external consumers) read
+        # the fixed results_<suffix>.csv path; mirror the per-example file
+        # there for one release so the rename doesn't silently 404 them
+        # (ADVICE r3). The mirror holds whichever example saved last, as
+        # the old shared file did.
+        if name:
+            legacy = os.path.join(directory, f"results_{suffix}.csv")
+            shutil.copyfile(path, legacy)
         return path

@@ -415,8 +415,15 @@ def plan_fused_graph_cg(
         (d,) = delta
         fm = f * _bounds(d) if d else f
         if (u_out, u_in, delta) in plan.scalar_groups:
+            # channel-identical diagonal: ONE field, C triples sharing the
+            # fid (as the grid planner does) — C copies would inflate the
+            # real and estimated VMEM working set (ADVICE r3)
+            fid = len(field_list)
+            field_list.append(_pad(fm))
             for cch in range(channels[u_out]):
-                _emit(fm, d, offs[u_out] + cch, offs[u_in] + cch)
+                triples.append(
+                    ((int(d),), offs[u_out] + cch, offs[u_in] + cch, fid)
+                )
         else:
             _emit(fm, d, offs[u_out] + i, offs[u_in] + j)
 

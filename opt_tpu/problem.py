@@ -443,7 +443,7 @@ class Plan:
                     # 147k edges). Derived from inc, so sentinel rows map to
                     # edge id E (a zero row) with all-zero anchors.
                     if getattr(
-                        self.solver.ip, "aligned_graph_assembly", True
+                        self.solver.ip, "aligned_graph_assembly", False
                     ):
                         m_g = len(names)
                         E_g = int(idxs[names[0]].shape[0])

@@ -317,6 +317,23 @@ class GaussNewtonSolver:
             or ctot != cg_meta["ctot"]
         ):
             return None
+        # Re-check the VMEM budget with the ctot² preconditioner planes
+        # included: the planner's working-set estimate assumed an
+        # elementwise pre (ctot planes), so near the budget a plan it
+        # accepted could fail kernel VMEM allocation once pre_blocks adds
+        # ctot² extra fields. Returning None here falls back to the XLA
+        # loop with the block pre applied outside the kernel (ADVICE r3).
+        import numpy as _np
+
+        from ..ops.pallas_cg import VMEM_BUDGET_BYTES
+
+        F = cg_meta["F"]
+        spatial = int(_np.prod(F.shape[1:]))
+        working = F.size * F.dtype.itemsize + (
+            8 * ctot + ctot * ctot
+        ) * 4 * spatial
+        if working > VMEM_BUDGET_BYTES:
+            return None
         Minv = inv[isp]  # [*dom, C, C]
         row_masks = getattr(pre_apply, "row_masks", {})
         parts = []

@@ -315,6 +315,93 @@ def test_fuzz_traced_gate_not_pruned(seed):
     _dense_check(spec, dims, inputs)
 
 
+def _random_maxmin_gate_spec(rng):
+    """Adversarial class (ADVICE r3): jnp.maximum/minimum with two traced
+    operands gate the Jacobian exactly like array-vs-array comparisons —
+    their derivative is a select with no literal threshold for the probes
+    to straddle. Build a min() whose coupling branch is frozen OFF under
+    the probe distribution (the other operand is ~ -big there) but taken
+    at the real inputs; without treating max/min as gates the coupling
+    probes structurally zero and is unsoundly pruned."""
+    big = float(rng.uniform(30.0, 80.0))
+    off = [(1, 0), (0, 1), (-1, 0)][rng.randint(0, 3)]
+    use_max = bool(rng.randint(0, 2))
+
+    def spec(S):
+        W, H = S.Dim("W"), S.Dim("H")
+        X = S.Unknown("X", 1, (W, H))
+        A = S.Array("A", 1, (W, H))
+        smooth = X(0, 0) - X(*off)
+        other = X(0, 0) - A(0, 0) - big
+        gated = (
+            jnp.maximum(-smooth, -other) if use_max
+            else jnp.minimum(smooth, other)
+        )
+        S.Energy(0.1 * (X(0, 0) - A(0, 0)), gated)
+
+    rng2 = np.random.RandomState(rng.randint(1 << 30))
+    # real inputs: A << -big so the coupling operand wins the min/max
+    inputs = {
+        "X": (0.3 * rng2.randn(N, N, 1)).astype(np.float32),
+        "A": (-(big + 5.0) + rng2.rand(N, N, 1)).astype(np.float32),
+    }
+    return spec, {"W": N, "H": N}, inputs
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_maxmin_gate_not_pruned(seed):
+    rng = np.random.RandomState(6000 + seed)
+    spec, dims, inputs = _random_maxmin_gate_spec(rng)
+    _dense_check(spec, dims, inputs)
+
+
+def test_maxmin_literal_threshold_harvested_not_tainted():
+    """max/min with a LITERAL operand keeps the escape hatch: the literal
+    is a harvestable threshold (probes straddle it), so the term is NOT
+    tainted and structural pruning stays available."""
+    from opt_tpu.assembly import (
+        _comparison_constants,
+        _terms_with_traced_gates,
+    )
+    from opt_tpu.compile import compile_spec
+
+    def clamped(S):
+        W, H = S.Dim("W"), S.Dim("H")
+        X = S.Unknown("X", 1, (W, H))
+        S.Energy(jnp.maximum(X(0, 0), 5.0) - X(1, 0))
+
+    c = compile_spec(clamped, {"W": 8, "H": 8}, np.float32)
+    X = {"X": jnp.zeros((8, 8, 1), jnp.float32)}
+    consts, graphs, params = {}, {}, {}
+    vals = _comparison_constants(c, X, consts, graphs, params)
+    assert any(abs(v - 5.0) < 1e-6 for v in vals), vals
+    tainted = _terms_with_traced_gates(c, X, consts, graphs, params)
+    assert not tainted, tainted
+
+
+def test_maxmin_detector_flags_traced_gate():
+    """The detector treats a two-traced-operand minimum as a gate: the
+    tainted term keeps its coupling (both stencil offsets assembled) and
+    its slot Jacobians are not constant-hoisted."""
+    from opt_tpu.assembly import plan_assembly
+    from opt_tpu.compile import compile_spec
+
+    def gated(S):
+        W, H = S.Dim("W"), S.Dim("H")
+        X = S.Unknown("X", 1, (W, H))
+        A = S.Array("A", 1, (W, H))
+        S.Energy(
+            0.1 * (X(0, 0) - A(0, 0)),
+            jnp.minimum(X(0, 0) - X(1, 0), X(0, 0) - A(0, 0) - 50.0),
+        )
+
+    c = compile_spec(gated, {"W": 16, "H": 16}, np.float32)
+    sp = plan_assembly(gated, c)
+    deltas = sorted({k[2] for k in sp.w_spec})
+    assert (1, 0) in deltas and (-1, 0) in deltas, deltas
+    assert all(t != 1 for (t, _sid) in sp.const_tsids), sp.const_tsids
+
+
 def test_traced_gate_detector_flags_and_keeps_coupling():
     """The detector itself: a frozen array-vs-array gate taints its term,
     which keeps every channel pair (no pruning), disables constant hoisting
