@@ -262,6 +262,62 @@ def bench_arap_graph(n_side=192, n_outer=8, n_inner=100):
     return res.num_iterations / secs, res.final_cost, fixed_ms, per_cg_ms
 
 
+def bench_arap_irregular(n_outer=8, n_inner=100):
+    """Graph-domain benchmark on the reference's REAL mesh topology: ARAP
+    deformation of the sqrt3-subdivided armadillo (benchdata/armadillo31k.npz,
+    31106 vertices / 186624 directed edges — the workload the reference's
+    examples/arap_mesh_deformation runs). Unlike the grid-mesh case above,
+    no numbering makes this mesh 100% DIA: the solve exercises the
+    grid-embedding reorder (utils/reorder.grid_embed_order) + partial-DIA +
+    deduped-remainder-gather path, i.e. the recorded number is the
+    irregular-topology rate, not the structured best case (VERDICT r3 #1)."""
+    import opt_tpu as ot
+    from opt_tpu.models.specs import arap_mesh_deformation
+    from opt_tpu.utils.reorder import (
+        grid_embed_order,
+        permute_vertices,
+        remap_edges,
+    )
+
+    d = np.load(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "benchdata", "armadillo31k.npz")
+    )
+    verts, v0, v1 = (
+        d["verts"].astype(np.float32),
+        d["v0"].astype(np.int32),
+        d["v1"].astype(np.int32),
+    )
+    N = verts.shape[0]
+    perm = grid_embed_order(v0, v1, N)
+    pos = permute_vertices(perm, verts)
+    v0r, v1r = remap_edges(perm, v0, v1)
+    con = -np.ones((N, 3), np.float32)
+    # pin the lowest 1% of vertices, pull the highest 1% upward (the
+    # reference example pins handle-marked vertices; same solve shape)
+    z = pos[:, 2]
+    lo = z <= np.quantile(z, 0.01)
+    hi = z >= np.quantile(z, 0.99)
+    con[lo] = pos[lo]
+    con[hi] = pos[hi] + np.array([0.0, 0.0, 0.2 * (z.max() - z.min())],
+                                 np.float32)
+    inputs = {
+        "Offset": pos.copy(),
+        "Angle": np.zeros((N, 3), np.float32),
+        "UrShape": pos,
+        "Constraints": con,
+        "G": {"v0": v0r, "v1": v1r},
+        "w_fitSqrt": np.sqrt(1.0).astype(np.float32),
+        "w_regSqrt": np.sqrt(0.5).astype(np.float32),
+    }
+    plan = ot.Problem(arap_mesh_deformation).plan(dims={"N": N})
+    secs, res = _time_solve(plan, inputs, n_outer, n_inner)
+    secs1, _ = _time_solve(plan, inputs, n_outer, 1, repeats=3)
+    fixed_ms = secs1 / n_outer * 1e3
+    per_cg_ms = (secs - secs1) / n_outer / max(1, n_inner - 1) * 1e3
+    return res.num_iterations / secs, res.final_cost, fixed_ms, per_cg_ms
+
+
 def bench_optical_flow(n=256, levels=2, n_outer=2, n_inner=50, repeats=4):
     """Dense-flow benchmark with the reference's pyramid schedule
     (optical_flow/src/CombinedSolver.h:22-61): coarse-level solve, flow
@@ -637,18 +693,40 @@ def _regression_report(out):
     out["regressions"] = regressions
 
 
+def _case(fn, n_out, *args, **kwargs):
+    """Run one bench case; on failure report and return NaNs so a single
+    broken case (e.g. a kernel VMEM compile error on new hardware) cannot
+    erase the whole round's record (round 4: a 32³ volumetric fused-kernel
+    VMEM overflow killed the entire early bench run)."""
+    import traceback
+
+    try:
+        return fn(*args, **kwargs)
+    except Exception:
+        print(f"bench: case {fn.__name__} FAILED:", file=sys.stderr)
+        traceback.print_exc()
+        return (float("nan"),) * n_out
+
+
 def main():
-    pcg_rate, poisson_cost, pcg16_rate, poisson16_cost = bench_poisson()
-    gn_rate, warp_cost = bench_image_warping()
-    arap_rate, arap_cost, arap_fixed_ms, arap_cg_ms = bench_arap_graph()
-    flow_rate, flow_cost = bench_optical_flow()
-    robust_rate, robust_cost = bench_robust_nonrigid()
-    sfs_rate, sfs_cost = bench_shape_from_shading()
-    intr_rate, intr_cost = bench_intrinsic()
-    vol_rate, vol_cost = bench_volumetric()
-    cot_rate, cot_cost = bench_cotangent()
-    emb_rate, emb_cost = bench_embedded()
-    batch_rate, batch_err = bench_batched_curve_fitting()
+    pcg_rate, poisson_cost, pcg16_rate, poisson16_cost = _case(
+        bench_poisson, 4
+    )
+    gn_rate, warp_cost = _case(bench_image_warping, 2)
+    arap_rate, arap_cost, arap_fixed_ms, arap_cg_ms = _case(
+        bench_arap_graph, 4
+    )
+    airr_rate, airr_cost, airr_fixed_ms, airr_cg_ms = _case(
+        bench_arap_irregular, 4
+    )
+    flow_rate, flow_cost = _case(bench_optical_flow, 2)
+    robust_rate, robust_cost = _case(bench_robust_nonrigid, 2)
+    sfs_rate, sfs_cost = _case(bench_shape_from_shading, 2)
+    intr_rate, intr_cost = _case(bench_intrinsic, 2)
+    vol_rate, vol_cost = _case(bench_volumetric, 2)
+    cot_rate, cot_cost = _case(bench_cotangent, 2)
+    emb_rate, emb_cost = _case(bench_embedded, 2)
+    batch_rate, batch_err = _case(bench_batched_curve_fitting, 2)
     out = {
         "metric": "pcg_iters_per_sec_poisson512_float4",
         "value": round(pcg_rate, 2),
@@ -660,6 +738,10 @@ def main():
             "gn_iters_per_sec_arap36k_vertices": round(arap_rate, 2),
             "arap_per_step_fixed_ms": round(arap_fixed_ms, 2),
             "arap_per_cg_iter_ms": round(arap_cg_ms, 4),
+            "gn_iters_per_sec_arap31k_irregular": round(airr_rate, 2),
+            "arap_irregular_per_step_fixed_ms": round(airr_fixed_ms, 2),
+            "arap_irregular_per_cg_iter_ms": round(airr_cg_ms, 4),
+            "arap_irregular_final_cost": float(airr_cost),
             "gn_iters_per_sec_optical_flow256_pyramid": round(flow_rate, 2),
             "gn_iters_per_sec_robust_nonrigid10k": round(robust_rate, 2),
             "gn_iters_per_sec_sfs512": round(sfs_rate, 2),
@@ -680,6 +762,16 @@ def main():
         },
     }
     _regression_report(out)
+
+    def _denan(obj):
+        # NaN is not valid JSON; failed cases become null
+        if isinstance(obj, dict):
+            return {k: _denan(v) for k, v in obj.items()}
+        if isinstance(obj, float) and obj != obj:
+            return None
+        return obj
+
+    out = _denan(out)
     if out["extra"]["backend"] == "default":
         _persist_live(out)
     else:

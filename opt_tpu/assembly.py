@@ -1090,7 +1090,9 @@ def assemble(compiled, plan: AssemblyPlan, X, consts, graphs, params,
                 Cb_flat = _place(
                     jnp.concatenate(c_parts, -1), jnp.asarray(M_c, dt)
                 )  # [N, D, (m-1)*ct*ct]
-                if dia_masks:
+                if rem_pos is not None:
+                    # [N, Dm, K] merged duplicate reads (dedup_reads): the
+                    # K blocks of one merged endpoint pre-sum per GN step
                     d_rem = rem_pos.shape[1]
                     C_flat = Cb_flat.reshape(
                         n_out, d_tot * (m - 1), ct * ct
@@ -1098,9 +1100,12 @@ def assemble(compiled, plan: AssemblyPlan, X, consts, graphs, params,
                     C_ext = jnp.concatenate(
                         [C_flat, jnp.zeros((n_out, 1, ct * ct), dt)], axis=1
                     )
-                    C_r = jnp.take_along_axis(
-                        C_ext, rem_pos[..., None], axis=1
-                    )
+                    C_r = None
+                    for k_d in range(rem_pos.shape[2]):
+                        part = jnp.take_along_axis(
+                            C_ext, rem_pos[:, :, k_d][..., None], axis=1
+                        )
+                        C_r = part if C_r is None else C_r + part
                     exec_entry["C"] = jnp.transpose(
                         C_r.reshape(n_out, d_rem, ct, ct), (0, 2, 1, 3)
                     ).reshape(n_out, ct, d_rem * ct)
@@ -1286,6 +1291,7 @@ def assemble(compiled, plan: AssemblyPlan, X, consts, graphs, params,
             for key in graphs[g]:
                 if key.startswith(pref):
                     dia_masks[int(key[len(pref):])] = graphs[g][key]
+            rem_pos = graphs[g].get(f"__diarem__{suffix}")
             if dia_masks:
                 # DIA split (ops/graph_ops.dia_split): incidences at the
                 # dominant vertex-id offsets pre-sum into per-offset blocks
@@ -1297,16 +1303,24 @@ def assemble(compiled, plan: AssemblyPlan, X, consts, graphs, params,
                         Cb * mask[..., None, None], axis=(1, 2)
                     ).reshape(n_out, ct * ct)  # flat, see S above
                     exec_entry["dia"].append((int(off), W_off))
-                rem_pos = graphs[g].get(f"__diarem__{suffix}")
-                if rem_pos is not None and rem_pos.shape[1] > 0:
+            if rem_pos is not None:
+                # rem_pos [N, Dm, K]: duplicate (v, u) reads merged — the K
+                # coupling blocks of a merged read pre-sum HERE (per GN
+                # step), so the CG loop gathers one p row per DISTINCT
+                # endpoint (ops/graph_ops.dedup_reads; ~2x fewer
+                # latency-bound gather rows on 2-slot meshes)
+                if rem_pos.shape[1] > 0:
                     d_rem = rem_pos.shape[1]
                     C_flat = Cb.reshape(n_out, d_tot * (m - 1), ct * ct)
                     C_ext = jnp.concatenate(
                         [C_flat, jnp.zeros((n_out, 1, ct * ct), dt)], axis=1
                     )
-                    C_r = jnp.take_along_axis(
-                        C_ext, rem_pos[..., None], axis=1
-                    )  # [N, D_rem, ct*ct]
+                    C_r = None
+                    for k_d in range(rem_pos.shape[2]):
+                        part = jnp.take_along_axis(
+                            C_ext, rem_pos[:, :, k_d][..., None], axis=1
+                        )  # [N, D_rem, ct*ct]
+                        C_r = part if C_r is None else C_r + part
                     exec_entry["C"] = jnp.transpose(
                         C_r.reshape(n_out, d_rem, ct, ct), (0, 2, 1, 3)
                     ).reshape(n_out, ct, d_rem * ct)
@@ -1321,7 +1335,7 @@ def assemble(compiled, plan: AssemblyPlan, X, consts, graphs, params,
                             "__halo_loc__" + f"__diaremcross__{suffix}"
                         ),
                     )
-            else:
+            elif not dia_masks:
                 # output-channel-major layout [N, i, D*(m-1)*k]: the CG-loop
                 # cross apply becomes ONE broadcast-multiply with a single
                 # minor-axis (lane) reduction — reductions over scattered

@@ -213,6 +213,54 @@ def dia_split(
     return offsets, np.stack(masks), rem_pos, rem_cross
 
 
+def dedup_reads(pos, cross, num_vertices: int, pos_sentinel: int):
+    """Merge duplicate (vertex, cross-endpoint) reads of a remainder table.
+
+    The CG-loop cross apply gathers one packed-p row per (v, d) entry of
+    ``cross`` — a latency-bound per-row cost. Multi-slot graphs read the
+    same endpoint several times per vertex (an ARAP mesh's combined table
+    holds every neighbor u of v TWICE: once from the (v,u) edge where v is
+    the center slot and once from the (u,v) edge where v is the neighbor
+    slot — reference kernels scatter per edge instead and pay atomics,
+    solverGPUGaussNewton.t:684-706). Merging those reads halves the gather
+    rows; the coupling blocks of merged entries pre-sum at assembly time
+    through the returned position table.
+
+    ``pos``: [N, D] int32 flat positions (sentinel ``pos_sentinel``).
+    ``cross``: [N, D] int32 endpoint ids (sentinel ``num_vertices``).
+    Returns ``(pos_k [N, Dm, K], cross2 [N, Dm])`` with position sentinel
+    preserved, or ``None`` when no row contains duplicates (the merged
+    table would be the input with a trailing K=1 axis).
+    """
+    import numpy as np
+
+    pos = np.asarray(pos)
+    cross = np.asarray(cross)
+    n, d = cross.shape
+    if d == 0 or n == 0:
+        return None
+    order = np.argsort(cross, axis=1, kind="stable")  # sentinels sort last
+    sc = np.take_along_axis(cross, order, 1)
+    sp = np.take_along_axis(pos, order, 1)
+    valid = sc < num_vertices
+    new_grp = np.ones((n, d), bool)
+    new_grp[:, 1:] = sc[:, 1:] != sc[:, :-1]
+    i_idx = np.broadcast_to(np.arange(d), (n, d))
+    run_start = np.maximum.accumulate(np.where(new_grp, i_idx, 0), axis=1)
+    k_idx = i_idx - run_start
+    if not (valid & (k_idx > 0)).any():
+        return None
+    grp = np.cumsum(new_grp & valid, axis=1) - 1  # group index within row
+    d_m = int((new_grp & valid).sum(1).max())
+    k_max = int(k_idx[valid].max()) + 1
+    pos_k = np.full((n, d_m, k_max), pos_sentinel, np.int32)
+    cross2 = np.full((n, d_m), num_vertices, np.int32)
+    rr, cc = np.nonzero(valid)
+    pos_k[rr, grp[valid], k_idx[valid]] = sp[valid]
+    cross2[rr, grp[valid]] = sc[valid]
+    return pos_k, cross2
+
+
 def ell_tables(idx_by_slot, num_vertices_by_slot, width_bucket=None):
     """ELL-format tables for gather-only JᵀJ application.
 

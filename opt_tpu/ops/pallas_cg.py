@@ -50,6 +50,25 @@ import jax.numpy as jnp
 VMEM_BUDGET_BYTES = 80 * 1024 * 1024
 
 
+def padded_spatial_elems(spatial, dtype=None) -> int:
+    """VMEM-resident element count of one [*spatial] plane AFTER tiling.
+
+    Mosaic tiles the two minor dims to (sublane, 128); a 3-D grid's 32-wide
+    minor dim pads 4x in lanes, so estimating with the logical product
+    under-counts real VMEM by that factor (observed live: a 32³ volumetric
+    plan passed the 80 MB budget at 18 MB logical, then failed TPU compile
+    at 160.75 MB scoped VMEM). bf16 doubles the minimum sublane tile."""
+    import numpy as _np
+
+    dims = [int(d) for d in spatial]
+    if len(dims) == 1:
+        dims = [1] + dims
+    sub_tile = 16 if (dtype is not None and jnp.dtype(dtype).itemsize == 2) else 8
+    sub = -(-dims[-2] // sub_tile) * sub_tile
+    lane = -(-dims[-1] // 128) * 128
+    return int(_np.prod(dims[:-2], dtype=_np.int64)) * sub * lane
+
+
 def _roll(x, s: int, axis: int, interpret: bool):
     """Circular roll by s >= 0 (result[i] = x[i - s] along axis)."""
     n = x.shape[axis]
@@ -294,15 +313,20 @@ def plan_fused_grid_cg(
         else:
             triples.append((d, offs[u_out] + i, offs[u_in] + j, fid))
 
-    import numpy as _np
-
     # coeff_dtype (e.g. bf16) halves the weight-field share of the working
     # set — the fields usually dominate it, so narrower storage roughly
     # doubles the grid size that stays in the fused path
     f_bytes = jnp.dtype(coeff_dtype).itemsize if coeff_dtype else 4
-    working = (
-        len(field_list) * f_bytes + 7 * ctot * 4
-    ) * int(_np.prod(dom))
+    # tile-padded plane sizes (see padded_spatial_elems) + one plane per
+    # distinct rolled copy of p the kernel materializes per iteration
+    pe_f = padded_spatial_elems(dom, coeff_dtype)
+    pe = padded_spatial_elems(dom)
+    n_rolled = len(
+        {(d, j) for (d, _i, j, _f) in triples if any(d)}
+    )
+    working = len(field_list) * f_bytes * pe_f + (
+        7 * ctot + n_rolled
+    ) * 4 * pe
     if working > VMEM_BUDGET_BYTES:
         return None
     F = jnp.stack(field_list, axis=0)
@@ -455,7 +479,13 @@ def plan_fused_graph_cg(
                     _emit(col, off, gmap[i], gmap[j])
 
     f_bytes = jnp.dtype(coeff_dtype).itemsize if coeff_dtype else 4
-    working = (len(field_list) * f_bytes + 8 * ctot * 4) * n_pad
+    pe_f = padded_spatial_elems((R, L), coeff_dtype)
+    pe = padded_spatial_elems((R, L))
+    # a flat roll materializes ~3 intermediates (two 2-D rolls + select)
+    n_rolled = len({(d, j) for ((d,), _i, j, _f) in triples if d})
+    working = len(field_list) * f_bytes * pe_f + (
+        8 * ctot + 3 * n_rolled
+    ) * 4 * pe
     if working > VMEM_BUDGET_BYTES:
         return None
     F = jnp.stack(field_list, axis=0)

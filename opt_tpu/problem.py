@@ -470,16 +470,50 @@ class Plan:
                     dia = (
                         None if self.dynamic_topology else dia_split(cross, n)
                     )
+                    rem_store = None  # (pos [N,Dm,K], cross2 [N,Dm])
                     if dia is not None:
                         offsets, masks, rem_pos, rem_cross = dia
                         for k, off in enumerate(offsets):
                             cached[f"__diamask__{suffix}__{off}"] = (
                                 jnp.asarray(masks[k])
                             )
-                        cached[f"__diarem__{suffix}"] = jnp.asarray(rem_pos)
-                        cached[f"__diaremcross__{suffix}"] = jnp.asarray(
-                            rem_cross
+                        rem_store = (rem_pos[..., None], rem_cross)
+                    elif not self.dynamic_topology and cross.shape[1]:
+                        # no DIA offsets: the whole cross table is the
+                        # "remainder" — stored only when dedup shrinks it
+                        nn, dd, mm1 = np.asarray(cross).shape
+                        flat_c = np.asarray(cross).reshape(nn, dd * mm1)
+                        flat_p = np.where(
+                            flat_c < n,
+                            np.broadcast_to(
+                                np.arange(dd * mm1, dtype=np.int32),
+                                (nn, dd * mm1),
+                            ),
+                            dd * mm1,
+                        ).astype(np.int32)
+                        rem_store = (flat_p[..., None], flat_c)
+                    rem_tables = None
+                    if rem_store is not None:
+                        rem_pos_k, rem_cross = rem_store
+                        # merge duplicate (v, u) reads: the merged entries'
+                        # coupling blocks pre-sum at assembly through the
+                        # K-position table (ops/graph_ops.dedup_reads)
+                        from .ops.graph_ops import dedup_reads
+
+                        _, dd, mm1 = np.asarray(cross).shape
+                        ded = dedup_reads(
+                            rem_pos_k[:, :, 0], rem_cross, n, dd * mm1
                         )
+                        if ded is not None:
+                            rem_pos_k, rem_cross = ded
+                        if dia is not None or ded is not None:
+                            rem_tables = (rem_pos_k, rem_cross)
+                            cached[f"__diarem__{suffix}"] = jnp.asarray(
+                                rem_pos_k
+                            )
+                            cached[f"__diaremcross__{suffix}"] = jnp.asarray(
+                                rem_cross
+                            )
                     # owner-block neighbor exchange: precompute the
                     # all_to_all schedule + localized id tables for the
                     # irregular cross-endpoint p reads, so the CG loop's
@@ -496,9 +530,9 @@ class Plan:
                         )
 
                         halo_targets = [("__ellx__" + suffix, cross)]
-                        if dia is not None:
+                        if rem_tables is not None:
                             halo_targets.append(
-                                (f"__diaremcross__{suffix}", dia[3])
+                                (f"__diaremcross__{suffix}", rem_tables[1])
                             )
                         for tkey, tbl in halo_targets:
                             tbl = np.asarray(tbl)

@@ -323,15 +323,14 @@ class GaussNewtonSolver:
         # accepted could fail kernel VMEM allocation once pre_blocks adds
         # ctot² extra fields. Returning None here falls back to the XLA
         # loop with the block pre applied outside the kernel (ADVICE r3).
-        import numpy as _np
-
-        from ..ops.pallas_cg import VMEM_BUDGET_BYTES
+        from ..ops.pallas_cg import VMEM_BUDGET_BYTES, padded_spatial_elems
 
         F = cg_meta["F"]
-        spatial = int(_np.prod(F.shape[1:]))
-        working = F.size * F.dtype.itemsize + (
+        pe_f = padded_spatial_elems(F.shape[1:], F.dtype)
+        pe = padded_spatial_elems(F.shape[1:])
+        working = F.shape[0] * F.dtype.itemsize * pe_f + (
             8 * ctot + ctot * ctot
-        ) * 4 * spatial
+        ) * 4 * pe
         if working > VMEM_BUDGET_BYTES:
             return None
         Minv = inv[isp]  # [*dom, C, C]

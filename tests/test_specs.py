@@ -214,3 +214,139 @@ def test_rcm_reorder_improves_dia_coverage_and_preserves_solution():
         np.asarray(res_r.unknowns["Offset"]),
         atol=1e-4,
     )
+
+
+def test_grid_embed_order_beats_rcm_on_irregular_mesh():
+    """utils/reorder.grid_embed_order: on an IRREGULAR (Delaunay) mesh the
+    2-D embedding ordering reaches substantially higher DIA coverage than
+    1-D RCM, and the renumbered solve matches the original. This is the
+    armadillo-class workload the reference handles with topology-agnostic
+    atomics (solverGPUGaussNewton.t:684-760); here locality is recovered in
+    the numbering instead."""
+    import numpy as np
+    from scipy.spatial import Delaunay
+
+    import opt_tpu as ot
+    from opt_tpu.models.specs import arap_mesh_deformation
+    from opt_tpu.utils.reorder import (
+        dia_coverage,
+        grid_embed_order,
+        permute_vertices,
+        rcm_order,
+        remap_edges,
+    )
+
+    rng = np.random.RandomState(0)
+    N = 500
+    pts = rng.rand(N, 2).astype(np.float32)
+    tri = Delaunay(pts)
+    e = set()
+    for s in tri.simplices:
+        for a in range(3):
+            for b in range(3):
+                if a != b:
+                    e.add((int(s[a]), int(s[b])))
+    e = np.array(sorted(e))
+    v0, v1 = e[:, 0].astype(np.int32), e[:, 1].astype(np.int32)
+    shuf = rng.permutation(N)
+    v0s, v1s = remap_edges(np.argsort(shuf), v0, v1)
+
+    cov_rcm = dia_coverage(*remap_edges(rcm_order(v0s, v1s, N), v0s, v1s), N, 16)
+    perm = grid_embed_order(v0s, v1s, N, width=32)
+    assert sorted(perm.tolist()) == list(range(N))
+    v0g, v1g = remap_edges(perm, v0s, v1s)
+    cov_grid = dia_coverage(v0g, v1g, N, 16)
+    assert cov_grid > cov_rcm + 0.15, (cov_rcm, cov_grid)
+    assert cov_grid > 0.6, cov_grid
+
+    pos = np.concatenate([pts, np.zeros((N, 1), np.float32)], -1)
+    con = -1e6 * np.ones((N, 3), np.float32)
+    con[0] = pos[0]
+    con[N - 1] = pos[N - 1] + np.array([0.5, 0, 0.3], np.float32)
+    pos_s, con_s = permute_vertices(np.argsort(shuf), pos, con)
+    base = {
+        "Angle": np.zeros((N, 3), np.float32),
+        "w_fitSqrt": np.float32(1.0),
+        "w_regSqrt": np.float32(0.7),
+    }
+    res_s = ot.Problem(arap_mesh_deformation).plan(dims={"N": N}).solve(
+        {
+            **base,
+            "Offset": pos_s.copy(),
+            "UrShape": pos_s,
+            "Constraints": con_s,
+            "G": {"v0": v0s, "v1": v1s},
+        },
+        nIterations=3,
+        lIterations=25,
+    )
+    pos_g, con_g = permute_vertices(perm, pos_s, con_s)
+    res_g = ot.Problem(arap_mesh_deformation).plan(dims={"N": N}).solve(
+        {
+            **base,
+            "Offset": pos_g.copy(),
+            "UrShape": pos_g,
+            "Constraints": con_g,
+            "G": {"v0": v0g, "v1": v1g},
+        },
+        nIterations=3,
+        lIterations=25,
+    )
+    assert np.allclose(res_s.final_cost, res_g.final_cost, rtol=1e-4), (
+        res_s.final_cost,
+        res_g.final_cost,
+    )
+    assert np.allclose(
+        np.asarray(res_s.unknowns["Offset"])[np.asarray(perm)],
+        np.asarray(res_g.unknowns["Offset"]),
+        atol=1e-4,
+    )
+
+
+def test_dedup_reads_merges_duplicate_endpoints():
+    """ops/graph_ops.dedup_reads: the merged (pos, cross) table reproduces
+    the input's (position, endpoint) multiset per vertex, and halves the
+    width of a 2-slot mesh's combined cross table (every neighbor read
+    twice: center- and neighbor-slot incidences)."""
+    import numpy as np
+
+    from opt_tpu.ops.graph_ops import (
+        combined_cross_table,
+        dedup_reads,
+    )
+
+    # grid mesh, both edge directions -> every (v, u) read exactly twice
+    n_side = 8
+    N = n_side * n_side
+    vid = np.arange(N).reshape(n_side, n_side)
+    a = np.concatenate([vid[:-1].ravel(), vid[:, :-1].ravel()])
+    b = np.concatenate([vid[1:].ravel(), vid[:, 1:].ravel()])
+    v0 = np.concatenate([a, b]).astype(np.int32)
+    v1 = np.concatenate([b, a]).astype(np.int32)
+    cross = combined_cross_table([v0, v1], N)  # [N, D, 1]
+    n, d, mm1 = cross.shape
+    flat_c = cross.reshape(n, d * mm1)
+    flat_p = np.where(
+        flat_c < N,
+        np.broadcast_to(np.arange(d * mm1, dtype=np.int32), (n, d * mm1)),
+        d * mm1,
+    ).astype(np.int32)
+    out = dedup_reads(flat_p, flat_c, N, d * mm1)
+    assert out is not None
+    pos_k, cross2 = out
+    assert pos_k.shape[2] == 2  # exactly two reads merge per endpoint
+    assert cross2.shape[1] <= (d * mm1 + 1) // 2
+    for v in range(N):
+        orig = sorted(
+            (int(p), int(c))
+            for p, c in zip(flat_p[v], flat_c[v])
+            if c < N
+        )
+        merged = sorted(
+            (int(p), int(cross2[v, dm]))
+            for dm in range(cross2.shape[1])
+            if cross2[v, dm] < N
+            for p in pos_k[v, dm]
+            if p < d * mm1
+        )
+        assert orig == merged, v
