@@ -114,6 +114,7 @@ def _kernel(
     lm: bool,
     flat1d: bool = False,
     block_pre: bool = False,
+    cs: bool = False,
 ):
     if lm:
         (
@@ -245,14 +246,93 @@ def _kernel(
         brk = jnp.logical_or(brk, rz_new <= floor)
         return (delta, r, p, rz_new, Q1, l + 1, brk)
 
+    # Chronopoulos–Gear single-reduction bodies: same recurrences as
+    # GaussNewtonSolver._cs_recurrence / body_cs, so the fused kernel and
+    # the headline communication-reduced variant compose (VERDICT r3 #5).
+    # γ=rᵀu and δ=uᵀAu (plus Q under LM) are independent reductions; the
+    # exits fire one iteration later by construction, with identical
+    # counted lin_iters to the XLA CS loops.
+    def cs_pipeline(delta, r, p, s, u, w, gamma, gamma_new, delta_d,
+                    alpha_prev, first, stop_now):
+        beta = jnp.where(
+            first, jnp.zeros_like(gamma_new), safe_div(gamma_new, gamma)
+        )
+        den = delta_d - beta * safe_div(gamma_new, alpha_prev)
+        used_den = jnp.where(first, delta_d, den)
+        alpha = jnp.where(
+            stop_now, jnp.zeros_like(gamma_new), safe_div(gamma_new, used_den)
+        )
+        p = u + beta * p
+        s = w + beta * s
+        delta = delta + alpha * p
+        r = r - alpha * s
+        return delta, r, p, s, alpha, used_den
+
+    def gn_cs_body(c):
+        delta, r, p, s, gamma, alpha_prev, l, brk = c
+        u = prec(r)
+        w = apply(u)
+        gamma_new = jnp.sum(r * u)
+        delta_d = jnp.sum(u * w)
+        first = l == 0
+        stop_now = jnp.logical_and(
+            jnp.logical_not(first), gamma_new <= floor
+        )
+        delta, r, p, s, alpha, used_den = cs_pipeline(
+            delta, r, p, s, u, w, gamma, gamma_new, delta_d,
+            alpha_prev, first, stop_now,
+        )
+        brk = jnp.logical_or(stop_now, used_den <= 0)
+        l = l + jnp.where(stop_now, 0, 1)
+        return (delta, r, p, s, gamma_new, alpha, l, brk)
+
+    def lm_cs_body(c):
+        delta, r, p, s, gamma, alpha_prev, Q0c, l, brk = c
+        u = prec(r)
+        w = apply(u)  # includes + CtC·p
+        gamma_new = jnp.sum(r * u)
+        delta_d = jnp.sum(u * w)
+        Qcur = 0.5 * jnp.sum(delta * (b + r))
+        first = l == 0
+        zeta = l.astype(b.dtype) * (Qcur - Q0c) / Qcur
+        stop_now = jnp.logical_and(
+            jnp.logical_not(first),
+            jnp.logical_or(gamma_new <= floor, zeta < q_tol),
+        )
+        delta, r, p, s, alpha, used_den = cs_pipeline(
+            delta, r, p, s, u, w, gamma, gamma_new, delta_d,
+            alpha_prev, first, stop_now,
+        )
+        l_new = l + jnp.where(stop_now, 0, 1)
+        use_reset = jnp.logical_and(
+            l_new % reset_period == 0, jnp.logical_not(stop_now)
+        )
+        r = jax.lax.cond(
+            use_reset, lambda _: b - apply(delta), lambda _: r, None
+        )
+        brk = jnp.logical_or(stop_now, used_den <= 0)
+        return (delta, r, p, s, gamma_new, alpha, Qcur, l_new, brk)
+
     zero_l = jnp.zeros((), jnp.int32)
     false_ = jnp.zeros((), jnp.bool_)
-    if lm:
-        init = (jnp.zeros_like(b), r, p, rz0, jnp.zeros((), b.dtype), zero_l, false_)
+    one = jnp.ones((), b.dtype)
+    zeros_b = jnp.zeros_like(b)
+    if cs and lm:
+        q_tol = qtol_ref[0]
+        init = (zeros_b, r, zeros_b, zeros_b, one, one,
+                jnp.zeros((), b.dtype), zero_l, false_)
+        out = jax.lax.while_loop(cond, lm_cs_body, init)
+        delta, l = out[0], out[7]
+    elif cs:
+        init = (zeros_b, r, zeros_b, zeros_b, one, one, zero_l, false_)
+        out = jax.lax.while_loop(cond, gn_cs_body, init)
+        delta, l = out[0], out[6]
+    elif lm:
+        init = (zeros_b, r, p, rz0, jnp.zeros((), b.dtype), zero_l, false_)
         out = jax.lax.while_loop(cond, lm_body, init)
         delta, l = out[0], out[5]
     else:
-        init = (jnp.zeros_like(b), r, p, rz0, zero_l, false_)
+        init = (zeros_b, r, p, rz0, zero_l, false_)
         out = jax.lax.while_loop(cond, gn_body, init)
         delta, l = out[0], out[4]
     delta_ref[...] = delta
@@ -516,6 +596,7 @@ def fused_grid_cg(
     reset_period=None,
     q_tolerance=None,
     pre_blocks: Optional[jnp.ndarray] = None,
+    cg_variant: str = "standard",
 ):
     """Run the fused CG kernel; returns (delta pytree, iterations executed).
 
@@ -573,6 +654,7 @@ def fused_grid_cg(
         lm=lm,
         flat1d=fold is not None,
         block_pre=pre_blocks is not None,
+        cs=cg_variant == "chronopoulos_gear",
     )
     operands = [F, b, prem]
     n_smem = 2

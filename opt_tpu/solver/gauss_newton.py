@@ -437,12 +437,13 @@ class GaussNewtonSolver:
             cg_meta is not None
             and self._pallas_mode is not None
             and (pre_apply is None or pre_blocks is not None)
-            and getattr(self.ip, "cg_variant", "standard") == "standard"
         ):
             # whole-inner-loop fused Pallas kernel (ops/pallas_cg.py):
             # identical algebra and exits to the while_loop below;
             # block-Jacobi rides in-kernel via pre_blocks (the reference
-            # applies its preconditioner inside PCGInit1/Step3)
+            # applies its preconditioner inside PCGInit1/Step3), and
+            # cg_variant="chronopoulos_gear" runs its single-reduction
+            # recurrence in-kernel (same pipeline as _cs_recurrence)
             from ..ops.pallas_cg import fused_grid_cg
 
             delta, l_done = fused_grid_cg(
@@ -454,6 +455,7 @@ class GaussNewtonSolver:
                 guard_div=self.ip.guard_division_by_zero,
                 interpret=self._pallas_mode == "interpret",
                 pre_blocks=pre_blocks,
+                cg_variant=getattr(self.ip, "cg_variant", "standard"),
             )
             X_new = {k: X[k] + delta[k] for k in X}
             new_cost = fs.cost(X_new)
@@ -652,11 +654,12 @@ class GaussNewtonSolver:
             cg_meta is not None
             and self._pallas_mode is not None
             and (pre_apply is None or pre_blocks is not None)
-            and getattr(self.ip, "cg_variant", "standard") == "standard"
         ):
             # whole LM inner loop in the fused Pallas kernel: damping,
             # residual reset and Q/ζ exit included (ops/pallas_cg.py);
-            # block-Jacobi (over the DAMPED blocks) rides in-kernel
+            # block-Jacobi (over the DAMPED blocks) rides in-kernel, and
+            # cg_variant="chronopoulos_gear" runs its single-reduction
+            # recurrence in-kernel (same pipeline as _cs_recurrence)
             from ..ops.pallas_cg import fused_grid_cg
 
             delta, l_done = fused_grid_cg(
@@ -671,6 +674,7 @@ class GaussNewtonSolver:
                 reset_period=sp["residual_reset_period"],
                 q_tolerance=sp["q_tolerance"],
                 pre_blocks=pre_blocks,
+                cg_variant=getattr(self.ip, "cg_variant", "standard"),
             )
             return self._lm_finish(
                 state, fs, sp, X, delta, l_done, r_terms, J, SSq

