@@ -399,7 +399,60 @@ def bench_optical_flow(n=256, levels=2, n_outer=2, n_inner=50, repeats=4):
         t0 = time.perf_counter()
         iters, cost = run_pyramid()
         best = min(best, time.perf_counter() - t0)
-    return iters / best, cost
+
+    # fixed/marginal decomposition (VERDICT r3 #7, as bench_arap_graph does):
+    # an lIterations=1 pyramid isolates the per-GN fixed cost (assembly +
+    # JtF + dispatch); the delta to the full run is pure CG-loop time
+    pplan1 = ot.PyramidPlan(
+        ot.Problem(optical_flow),
+        level_dims,
+        prolong,
+        nIterations=n_outer,
+        lIterations=1,
+    )
+    pplan1.solve(level_inputs)  # warmup
+    best1 = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        res1 = pplan1.solve(level_inputs)
+        jax.block_until_ready(res1.unknowns)
+        best1 = min(best1, time.perf_counter() - t0)
+    n_gn = levels * n_outer
+    fixed_ms = best1 / n_gn * 1e3
+    per_cg_ms = (best - best1) / max(1, iters - n_gn) * 1e3
+
+    # host-driven level loop (the reference's schedule,
+    # CombinedSolver.h:22-61: one dispatch per level + host prolongation) —
+    # quantifies the fused one-dispatch PyramidPlan against it honestly
+    level_plans = [
+        ot.Problem(optical_flow).plan(dims=d) for d in level_dims
+    ]
+
+    def run_host_loop():
+        X = level_inputs[0]["X"]
+        total = 0
+        for li, (plan, inp) in enumerate(zip(level_plans, level_inputs)):
+            r = plan.solve(
+                {**inp, "X": X}, nIterations=n_outer, lIterations=n_inner
+            )
+            total += r.num_iterations
+            if li + 1 < len(level_plans):
+                X = np.asarray(
+                    prolong(
+                        {"X": r.unknowns["X"]}, li, level_dims[li + 1]
+                    )["X"]
+                )
+        jax.block_until_ready(r.unknowns)
+        return total
+
+    run_host_loop()  # warmup
+    besth = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        h_iters = run_host_loop()
+        besth = min(besth, time.perf_counter() - t0)
+    host_rate = h_iters / besth
+    return iters / best, cost, fixed_ms, per_cg_ms, host_rate
 
 
 def bench_robust_nonrigid(n_side=100, n_outer=8, n_inner=50, repeats=4):
@@ -719,7 +772,9 @@ def main():
     airr_rate, airr_cost, airr_fixed_ms, airr_cg_ms = _case(
         bench_arap_irregular, 4
     )
-    flow_rate, flow_cost = _case(bench_optical_flow, 2)
+    flow_rate, flow_cost, flow_fixed_ms, flow_cg_ms, flow_host_rate = _case(
+        bench_optical_flow, 5
+    )
     robust_rate, robust_cost = _case(bench_robust_nonrigid, 2)
     sfs_rate, sfs_cost = _case(bench_shape_from_shading, 2)
     intr_rate, intr_cost = _case(bench_intrinsic, 2)
@@ -743,6 +798,11 @@ def main():
             "arap_irregular_per_cg_iter_ms": round(airr_cg_ms, 4),
             "arap_irregular_final_cost": float(airr_cost),
             "gn_iters_per_sec_optical_flow256_pyramid": round(flow_rate, 2),
+            "optical_flow_fixed_ms": round(flow_fixed_ms, 3),
+            "optical_flow_per_cg_iter_ms": round(flow_cg_ms, 4),
+            "gn_iters_per_sec_optical_flow256_hostloop": round(
+                flow_host_rate, 2
+            ),
             "gn_iters_per_sec_robust_nonrigid10k": round(robust_rate, 2),
             "gn_iters_per_sec_sfs512": round(sfs_rate, 2),
             "gn_iters_per_sec_intrinsic512": round(intr_rate, 2),
