@@ -79,6 +79,19 @@ class GaussNewtonSolver:
         self.uses_lambda = bool(uses_lambda)
         self.ip = init_params or InitializationParameters()
         self.rules = sharding_rules
+        # resolve "auto" variant flags from the execution regime (device
+        # count, domain kind) — explicit values pass through untouched
+        from .params import resolve_auto_policy
+
+        ndev = (
+            sharding_rules.mesh.size
+            if sharding_rules is not None
+            and getattr(sharding_rules, "mesh", None) is not None
+            else 1
+        )
+        self.ip = resolve_auto_policy(
+            self.ip, ndev, bool(getattr(compiled.registry, "graphs", None))
+        )
         self._stencil_plan = None
         if self.ip.use_fused_jtj and not getattr(
             self.ip, "use_explicit_jtj", False

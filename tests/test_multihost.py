@@ -40,7 +40,14 @@ mask = np.ones((n, n), np.float32); mask[8:-8, 8:-8] = 0
 inputs = {{"X": rng.rand(n, n, 4).astype(np.float32),
            "T": rng.rand(n, n, 4).astype(np.float32), "M": mask}}
 mesh = make_mesh()
-plan = ot.Problem(poisson_image_editing).plan(dims={{"W": n, "H": n}}, mesh=mesh)
+# pin the single-device-default variant config: this test isolates the
+# two-process sharding math against the unsharded reference solve (the
+# mesh auto policy would otherwise pick a different CG trajectory --
+# tests/test_auto_policy.py covers that)
+pinned = ot.InitializationParameters(
+    cg_variant="standard", preconditioner="jacobi", edge_reorder=False)
+plan = ot.Problem(poisson_image_editing).plan(
+    dims={{"W": n, "H": n}}, mesh=mesh, init_params=pinned)
 res = plan.solve(dict(inputs), nIterations=1, lIterations=50)
 print("MHCOST", pid, repr(float(res.final_cost)), flush=True)
 
@@ -50,7 +57,8 @@ print("MHCOST", pid, repr(float(res.final_cost)), flush=True)
 from opt_tpu.models.specs import arap_mesh_deformation
 ga = __import__("importlib").import_module("_arap_shared")
 N, ginputs = ga.shuffled_arap_inputs()
-gplan = ot.Problem(arap_mesh_deformation).plan(dims={{"N": N}}, mesh=mesh)
+gplan = ot.Problem(arap_mesh_deformation).plan(
+    dims={{"N": N}}, mesh=mesh, init_params=pinned)
 u, c, g, p = gplan._normalize_and_place(dict(ginputs))
 assert any(k.startswith("__halo") for k in g["G"]), "halo tables missing"
 gres = gplan.solve(dict(ginputs), nIterations=3, lIterations=20)

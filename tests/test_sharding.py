@@ -10,6 +10,19 @@ import jax.numpy as jnp
 import opt_tpu as ot
 from opt_tpu.parallel.mesh import make_mesh
 
+# Sharded-vs-single-device EQUIVALENCE tests pin the solver variant: under
+# a mesh the auto policy (params.resolve_auto_policy) picks
+# chronopoulos_gear + block_jacobi + owner reorder, a deliberately
+# DIFFERENT trajectory from the single-device standard/jacobi defaults.
+# These tests isolate the sharding math, so both sides run the same
+# algorithm; tests/test_auto_policy.py covers the auto configuration.
+def pinned_ip(**kw):
+    base = dict(
+        cg_variant="standard", preconditioner="jacobi", edge_reorder=False
+    )
+    base.update(kw)
+    return ot.InitializationParameters(**base)
+
 
 def poisson_spec(S):
     W, H = S.Dim("W"), S.Dim("H")
@@ -112,7 +125,9 @@ def test_owner_block_graph_sharding_matches_single_device():
         dict(inputs), nIterations=3, lIterations=20
     )
     mesh = make_mesh()
-    plan8 = ot.Problem(arap_spec).plan(dims={"N": N}, mesh=mesh)
+    plan8 = ot.Problem(arap_spec).plan(
+        dims={"N": N}, mesh=mesh, init_params=pinned_ip()
+    )
     res8 = plan8.solve(dict(inputs), nIterations=3, lIterations=20)
     assert np.allclose(res1.final_cost, res8.final_cost, rtol=1e-4), (
         res1.final_cost,
@@ -155,8 +170,8 @@ def test_edge_reorder_owner_shrinks_assembly_exchange():
     sizes = {}
     costs = {}
     for tag, ip in [
-        ("base", None),
-        ("owner", ot.InitializationParameters(edge_reorder="owner")),
+        ("base", pinned_ip()),
+        ("owner", pinned_ip(edge_reorder="owner")),
     ]:
         plan = ot.Problem(arap_spec).plan(
             dims={"N": N}, mesh=mesh, init_params=ip
@@ -268,7 +283,9 @@ def test_graph_halo_exchange_replaces_cg_loop_all_gather():
         dict(sh), nIterations=3, lIterations=20
     )
     mesh = make_mesh()
-    plan8 = ot.Problem(arap_spec).plan(dims={"N": N}, mesh=mesh)
+    plan8 = ot.Problem(arap_spec).plan(
+        dims={"N": N}, mesh=mesh, init_params=pinned_ip()
+    )
     res8 = plan8.solve(dict(sh), nIterations=3, lIterations=20)
     assert np.allclose(res1.final_cost, res8.final_cost, rtol=1e-4)
 
@@ -411,7 +428,7 @@ def test_sharded_four_slot_hypergraph_matches_single_device():
         dict(inputs), **sp
     )
     plan8 = ot.Problem(cotangent_mesh_smoothing).plan(
-        dims={"N": N}, mesh=make_mesh()
+        dims={"N": N}, mesh=make_mesh(), init_params=pinned_ip()
     )
     res8 = plan8.solve(dict(inputs), **sp)
     u, c, g, p = plan8._normalize_and_place(dict(inputs))
