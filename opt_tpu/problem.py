@@ -720,6 +720,43 @@ class Plan:
         self.__dict__.pop("_sentinel_memo", None)
         self._unk_sentinels = {}
 
+    def _run_with_pallas_fallback(self, thunk):
+        """Execute a (possibly compiling) solve; if the TPU compiler
+        rejects the fused Pallas kernel for scoped VMEM — the planner's
+        working-set estimate is calibrated, not exact
+        (ops/pallas_cg.fused_variant_fits) — drop THIS plan to the XLA CG
+        loop and re-run once, instead of surfacing a compile error to a
+        production solve (observed live r4: full-size image_warping LM).
+        The retried program re-traces with ``_pallas_mode=None``."""
+        try:
+            return thunk()
+        except Exception as e:
+            msg = str(e)
+            vmem_oom = (
+                "memory space vmem" in msg
+                or "scoped vmem" in msg.lower()
+                or ("vmem" in msg.lower() and "Ran out of memory" in msg)
+            )
+            if self.solver._pallas_mode != "compiled" or not vmem_oom:
+                raise
+            from .utils.logging import log_solver
+
+            log_solver(
+                "fused Pallas CG kernel exceeded device VMEM at compile "
+                f"({msg.splitlines()[0][:120]}); falling back to the XLA "
+                "CG loop for this plan"
+            )
+            sv = self.solver
+            sv._pallas_mode = None
+            self.fused_fallback = self.fused_fallback or "kernel_vmem"
+            # invalidate every traced program that baked the kernel in
+            type(sv)._solve_fused.clear_cache()
+            type(sv)._solve_fused_batched.clear_cache()
+            sv._step_jit = jax.jit(sv._step, donate_argnums=(0,))
+            sv._init_jit = jax.jit(sv._init_state)
+            self.__dict__.pop("_sched_cache", None)
+            return thunk()
+
     def solve_scheduled(
         self,
         inputs: Dict[str, Any],
@@ -752,38 +789,51 @@ class Plan:
         self._validate_fused(unknowns, consts, graphs, params)
         max_iters = int(sp["nIterations"])
         dtype = self.compiled.dtype
-        # cache holds a strong reference to the schedule object: identity
-        # comparison is only safe while the object is alive (a dead object's
-        # id() can be reused by a different closure)
-        cache = self.__dict__.setdefault("_sched_cache", {})
-        entry = cache.get((num_outer, max_iters))
-        fn = entry[1] if entry is not None and entry[0] is schedule else None
-        if fn is None:
+        def get_fn():
+            # cache holds a strong reference to the schedule object:
+            # identity comparison is only safe while the object is alive (a
+            # dead object's id() can be reused by a different closure)
+            cache = self.__dict__.setdefault("_sched_cache", {})
+            entry = cache.get((num_outer, max_iters))
+            fn = (
+                entry[1]
+                if entry is not None and entry[0] is schedule
+                else None
+            )
+            if fn is None:
 
-            def run(X0, consts, graphs_a, params, sp_t):
-                finals0 = jnp.full((num_outer,), jnp.nan, dtype)
+                def run(X0, consts, graphs_a, params, sp_t):
+                    finals0 = jnp.full((num_outer,), jnp.nan, dtype)
 
-                def body(i, carry):
-                    X, lin_tot, finals = carry
-                    c_i = schedule(consts, i)
-                    state, _ = self.solver._solve_core(
-                        X, c_i, graphs_a, params, sp_t, max_iters
+                    def body(i, carry):
+                        X, lin_tot, finals = carry
+                        c_i = schedule(consts, i)
+                        state, _ = self.solver._solve_core(
+                            X, c_i, graphs_a, params, sp_t, max_iters
+                        )
+                        finals = finals.at[i].set(state["prev_cost"])
+                        return (
+                            state["X"],
+                            lin_tot + state["lin_iters"],
+                            finals,
+                        )
+
+                    return jax.lax.fori_loop(
+                        0,
+                        num_outer,
+                        body,
+                        (X0, jnp.zeros((), jnp.int32), finals0),
                     )
-                    finals = finals.at[i].set(state["prev_cost"])
-                    return state["X"], lin_tot + state["lin_iters"], finals
 
-                return jax.lax.fori_loop(
-                    0,
-                    num_outer,
-                    body,
-                    (X0, jnp.zeros((), jnp.int32), finals0),
-                )
+                fn = jax.jit(run)
+                cache[(num_outer, max_iters)] = (schedule, fn)
+            return fn
 
-            fn = jax.jit(run)
-            cache[(num_outer, max_iters)] = (schedule, fn)
         t0 = time.perf_counter()
-        X, lin_tot, finals = fn(
-            unknowns, consts, graphs, params, self.solver._traced_sp(sp)
+        X, lin_tot, finals = self._run_with_pallas_fallback(
+            lambda: get_fn()(
+                unknowns, consts, graphs, params, self.solver._traced_sp(sp)
+            )
         )
         finals_h = jax.device_get(finals)
         wall = time.perf_counter() - t0
@@ -909,10 +959,12 @@ class Plan:
             self._validate_fused(u0, c0, graphs, p0)
 
         t0 = time.perf_counter()
-        state, costs = self.solver._solve_fused_batched(
-            unknowns, consts, graphs, params,
-            self.solver._traced_sp(sp), int(sp["nIterations"]),
-            tuple(sorted(c_axes.items())), tuple(sorted(p_axes.items())),
+        state, costs = self._run_with_pallas_fallback(
+            lambda: self.solver._solve_fused_batched(
+                unknowns, consts, graphs, params,
+                self.solver._traced_sp(sp), int(sp["nIterations"]),
+                tuple(sorted(c_axes.items())), tuple(sorted(p_axes.items())),
+            )
         )
         n, lin, final, costs_h = jax.device_get(
             (state["n_iter"], state["lin_iters"], state["prev_cost"], costs)
@@ -957,30 +1009,48 @@ class Plan:
         self._validate_fused(unknowns, consts, graphs, params)
         t0 = time.perf_counter()
         if stepwise:
-            self._bound = (consts, graphs, params)
-            self._state = self.solver.init(unknowns, consts, graphs, params, sp)
-            costs = []
-            while True:
-                before = int(self._state["n_iter"])
-                self._state = self.solver.step(
-                    self._state, consts, graphs, params, sp
+
+            def run_stepwise():
+                self._bound = (consts, graphs, params)
+                self._state = self.solver.init(
+                    unknowns, consts, graphs, params, sp
                 )
-                if int(self._state["n_iter"]) == before:
-                    break
-                costs.append(float(self._state["prev_cost"]))
-                if bool(self._state["done"]):
-                    break
-            state = self._state
-            cost_arr = costs
+                costs = []
+                while True:
+                    before = int(self._state["n_iter"])
+                    self._state = self.solver.step(
+                        self._state, consts, graphs, params, sp
+                    )
+                    if int(self._state["n_iter"]) == before:
+                        break
+                    costs.append(float(self._state["prev_cost"]))
+                    if bool(self._state["done"]):
+                        break
+                return self._state, costs
+
+            state, cost_arr = self._run_with_pallas_fallback(run_stepwise)
         else:
-            state, costs = self.solver.solve(unknowns, consts, graphs, params, sp)
-            # single host round-trip for all scalar results (the reference
-            # pays one D2H per outer iteration — OptUtils.h:47-64; we pay one
-            # per solve)
-            n, lin, final, costs_h = jax.device_get(
-                (state["n_iter"], state["lin_iters"], state["prev_cost"], costs)
+
+            def run_full():
+                state, costs = self.solver.solve(
+                    unknowns, consts, graphs, params, sp
+                )
+                # single host round-trip for all scalar results (the
+                # reference pays one D2H per outer iteration —
+                # OptUtils.h:47-64; we pay one per solve)
+                n, lin, final, costs_h = jax.device_get(
+                    (
+                        state["n_iter"],
+                        state["lin_iters"],
+                        state["prev_cost"],
+                        costs,
+                    )
+                )
+                return state, [float(c) for c in costs_h[: int(n)]], n, lin, final
+
+            state, cost_arr, n, lin, final = self._run_with_pallas_fallback(
+                run_full
             )
-            cost_arr = [float(c) for c in costs_h[: int(n)]]
         wall = time.perf_counter() - t0
         self._state = state
         self._bound = (consts, graphs, params)

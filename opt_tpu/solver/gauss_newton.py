@@ -446,10 +446,18 @@ class GaussNewtonSolver:
             if pre_apply is not None
             else None
         )
+        from ..ops.pallas_cg import fused_variant_fits
+
         if (
             cg_meta is not None
             and self._pallas_mode is not None
             and (pre_apply is None or pre_blocks is not None)
+            and fused_variant_fits(
+                cg_meta,
+                cs=getattr(self.ip, "cg_variant", "standard")
+                == "chronopoulos_gear",
+                block_pre=pre_blocks is not None,
+            )
         ):
             # whole-inner-loop fused Pallas kernel (ops/pallas_cg.py):
             # identical algebra and exits to the while_loop below;
@@ -663,10 +671,19 @@ class GaussNewtonSolver:
             if pre_apply is not None
             else None
         )
+        from ..ops.pallas_cg import fused_variant_fits
+
         if (
             cg_meta is not None
             and self._pallas_mode is not None
             and (pre_apply is None or pre_blocks is not None)
+            and fused_variant_fits(
+                cg_meta,
+                lm=True,
+                cs=getattr(self.ip, "cg_variant", "standard")
+                == "chronopoulos_gear",
+                block_pre=pre_blocks is not None,
+            )
         ):
             # whole LM inner loop in the fused Pallas kernel: damping,
             # residual reset and Q/ζ exit included (ops/pallas_cg.py);

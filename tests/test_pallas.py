@@ -464,3 +464,72 @@ def test_fused_pallas_cg_bf16_coefficients():
         res_pal.final_cost,
         res_f32.final_cost,
     )
+
+
+def test_fused_variant_fits_accounts_for_lm_cs_blockpre():
+    """Launch-time VMEM recheck (observed live r4: full-size image_warping
+    LM passed the assembly-time planner then failed TPU compile at 107.85M
+    scoped): LM adds ~2*ctot planes, CS ~3*ctot, block-Jacobi widens the
+    preconditioner operand to ctot^2 planes."""
+    from opt_tpu.ops.pallas_cg import (
+        VMEM_BUDGET_BYTES,
+        fused_variant_fits,
+    )
+
+    pe = 512 * 512  # one 512^2 f32 plane = 1 MiB
+    plane = 4 * pe
+    ctot = 3
+    # sits 5 planes under budget: GN fits, LM (+6) does not
+    meta = {
+        "ctot": ctot,
+        "pe": pe,
+        "working_bytes": VMEM_BUDGET_BYTES - 5 * plane,
+    }
+    assert fused_variant_fits(meta)
+    assert not fused_variant_fits(meta, lm=True)
+    assert not fused_variant_fits(meta, cs=True)  # +9 planes
+    assert not fused_variant_fits(meta, block_pre=True)  # +6 planes
+    # 12 planes under budget: LM (+6) and LM+block-pre (+12, exactly at
+    # budget) fit; LM+CS (+15) does not
+    meta["working_bytes"] = VMEM_BUDGET_BYTES - 12 * plane
+    assert fused_variant_fits(meta, lm=True)
+    assert fused_variant_fits(meta, lm=True, block_pre=True)
+    assert not fused_variant_fits(meta, lm=True, cs=True)
+
+
+def test_vmem_compile_error_falls_back_to_xla_loop():
+    """If the TPU compiler rejects the fused kernel for scoped VMEM
+    anyway (the estimate is calibrated, not exact), the plan must drop to
+    the XLA CG loop and re-run instead of surfacing the compile error
+    (observed live r4: regression_tests --converged died on it)."""
+    n = 16
+    inputs = _poisson_inputs(n)
+    plan = ot.Problem(poisson_image_editing).plan(dims={"W": n, "H": n})
+    plan.solver._pallas_mode = "compiled"  # pretend we're on a TPU backend
+
+    calls = {"n": 0}
+
+    def thunk():
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError(
+                "INTERNAL: Mosaic failed to compile TPU kernel: Ran out "
+                "of memory in memory space vmem. Scoped allocation with "
+                "size 107.85M exceeded scoped vmem limit"
+            )
+        assert plan.solver._pallas_mode is None
+        return "ok"
+
+    assert plan._run_with_pallas_fallback(thunk) == "ok"
+    assert calls["n"] == 2
+    assert plan.fused_fallback == "kernel_vmem"
+    # a genuine non-VMEM error still surfaces
+    plan2 = ot.Problem(poisson_image_editing).plan(dims={"W": n, "H": n})
+    plan2.solver._pallas_mode = "compiled"
+    with pytest.raises(ValueError, match="unrelated"):
+        plan2._run_with_pallas_fallback(
+            lambda: (_ for _ in ()).throw(ValueError("unrelated"))
+        )
+    # after the drop, a real solve still works end to end on the XLA loop
+    res = plan.solve(dict(inputs), nIterations=2, lIterations=20)
+    assert np.isfinite(res.final_cost)
