@@ -103,6 +103,9 @@ def main():
     solver.solve_all()
     solver.report_final_costs()
     solver.save_results_csv(args.results)
+    # the reference SFS app is the one ConvergenceAnalysis.h user
+    # (CUDAImageSolver.cpp:97): per-nonlinear-iteration cost graphs
+    solver.save_convergence_graphs(args.results)
     # reference output step (main.cpp:43-49): refined depth as imagedump,
     # a scaled PNG, and a camera-grid PLY mesh (SimpleBuffer::savePLYMesh:
     # z = depth*1000, invalid pixels parked at 0, faces on valid quads)

@@ -40,6 +40,31 @@ class SolverRun:
         return self.iterations[-1].cost if self.iterations else float("nan")
 
 
+class ConvergenceAnalysis:
+    """Timestamped nonlinear-cost samples -> graph file (the reference's
+    examples/shape_from_shading/src/ConvergenceAnalysis.h, used by the SFS
+    app): ``save_graph`` writes two tab-separated rows — timestamps then
+    costs — and resets, byte-compatible with the reference's saveGraph
+    output format."""
+
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self._t = 0
+        self.samples: List[tuple] = []  # (timestamp, cost)
+
+    def add_sample(self, cost: float):
+        self.samples.append((self._t, float(cost)))
+        self._t += 1
+
+    def save_graph(self, filename: str):
+        with open(filename, "w") as f:
+            f.write("\t".join(str(t) for t, _ in self.samples) + "\n")
+            f.write("\t".join(repr(c) for _, c in self.samples) + "\n")
+        self.reset()
+
+
 class CombinedSolverBase:
     """Subclass per example; override the hooks you need.
 
@@ -228,3 +253,24 @@ class CombinedSolverBase:
             legacy = os.path.join(directory, f"results_{suffix}.csv")
             shutil.copyfile(path, legacy)
         return path
+
+    def save_convergence_graphs(self, directory="results", name=None):
+        """One ConvergenceAnalysis graph file per solver run (the
+        reference's SFS app records a FunctionValue per nonlinear
+        iteration and saves via saveGraph; here every run's
+        SolverIteration costs already hold that series). Returns the
+        written paths."""
+        os.makedirs(directory, exist_ok=True)
+        name = name or getattr(self.spec_fn, "__name__", "problem")
+        paths = []
+        for run in self.runs:
+            ca = ConvergenceAnalysis()
+            for it in run.iterations:
+                ca.add_sample(it.cost)
+            safe = run.name.replace("(", "_").replace(")", "").replace(
+                " ", ""
+            )
+            p = os.path.join(directory, f"{name}_{safe}_convergence.graph")
+            ca.save_graph(p)
+            paths.append(p)
+        return paths
