@@ -1366,6 +1366,37 @@ def assemble(compiled, plan: AssemblyPlan, X, consts, graphs, params,
                     exec_entry["cross"] = graphs[g][
                         f"__diaremcross__{suffix}"
                     ][:, :, None]
+                    # one-hot tile plan present (problem.py bind): reorder
+                    # the dedup-pre-summed remainder blocks into tile
+                    # layout [TT, ct, ct, T] for the in-kernel
+                    # one-hot-matmul remainder apply (ops/pallas_cg.py).
+                    # The static (rv, ru, nt) pair list is parsed from the
+                    # key NAME (topology-hashed pytree structure).
+                    ohpref = f"__ohplan__{suffix}__"
+                    for key in graphs[g]:
+                        if key.startswith(ohpref):
+                            pairs = tuple(
+                                tuple(int(x) for x in part.split("_"))
+                                for part in key[len(ohpref):].split("-")
+                            )
+                            table = graphs[g][key]  # [TT, 3, T]
+                            blk_idx = table[:, 2, :]  # [TT, T]
+                            flat = C_r.reshape(n_out * d_rem, ct * ct)
+                            flat = jnp.concatenate(
+                                [flat, jnp.zeros((1, ct * ct), dt)], 0
+                            )
+                            TT, T = blk_idx.shape
+                            tiles = jnp.take(
+                                flat, blk_idx.reshape(-1), axis=0
+                            ).reshape(TT, T, ct, ct)
+                            # [TT, ct, ct, T]: T in lanes for the
+                            # in-kernel per-channel-pair multiply
+                            exec_entry["Ctiles"] = jnp.transpose(
+                                tiles, (0, 2, 3, 1)
+                            )
+                            exec_entry["oh_pairs"] = pairs
+                            exec_entry["oh_table"] = table[:, :2, :]
+                            break
                     exec_entry["halo"] = (
                         graphs[g].get(
                             "__halo_send__" + f"__diaremcross__{suffix}"

@@ -332,3 +332,68 @@ def incidence_table(idx, num_vertices: int):
     pos = np.arange(E) - starts[sorted_v]
     table[sorted_v, pos] = order
     return table
+
+
+def fold_lanes(n: int, lanes: int = 512) -> int:
+    """Lane width of the fused graph kernel's [R, L] vertex fold — must
+    match pallas_cg.plan_fused_graph_cg so bind-time window plans align
+    with the in-kernel layout."""
+    return min(lanes, max(128, n))
+
+
+def onehot_tile_plan(rem_cross, num_vertices: int, lanes: int, tile: int = 128):
+    """Bucket the irregular DIA remainder into (dst-window, src-window)
+    pairs of ``lanes``-wide vertex-id windows, padded to ``tile``-entry
+    tiles — the host-side plan for the in-kernel one-hot-matmul remainder
+    apply (ops/pallas_cg.py).
+
+    The TPU has no hardware gather: per-row gathers cost ~4 ns/row and
+    dominate an irregular-mesh CG iteration (measured: 1.10 ms/iter at 31k
+    vertices vs 0.004 on a grid mesh). After a locality reorder
+    (utils/reorder.grid_embed_order), the remainder's (v//L, u//L) window
+    pairs are few and dense (armadillo31k: 331 pairs for 79k reads at
+    L=512) — so the gather becomes, per pair, a lane-selection ONE-HOT
+    MATMUL against the source window row of the kernel's VMEM-resident
+    [R, L] fold, and the scatter-add back is the transposed one-hot
+    matmul. Both ride the MXU; the reference's equivalent is per-edge
+    atomics (solverGPUGaussNewton.t:684-760).
+
+    ``rem_cross``: [N, Dm] int32 dedup'd cross ids (sentinel
+    ``num_vertices``). Returns ``(pairs, table)`` where ``pairs`` is a
+    tuple of (rv, ru, n_tiles) in row-major (rv, ru) order and ``table``
+    is [total_tiles, 3, tile] int32 with rows (src_local, dst_local,
+    flat block index v·Dm + d); padding entries carry (-1, -1, N·Dm) —
+    the -1 never matches the in-kernel iota and N·Dm reads the appended
+    zero block row. Returns None when there is no remainder.
+    """
+    import numpy as np
+
+    rc = np.asarray(rem_cross)
+    n, dm = rc.shape
+    if dm == 0 or n == 0:
+        return None
+    vv, dd = np.nonzero(rc < num_vertices)
+    if vv.size == 0:
+        return None
+    src = rc[vv, dd].astype(np.int64)
+    rv = vv // lanes
+    ru = src // lanes
+    order = np.lexsort((src, vv, ru, rv))
+    vv, dd, src, rv, ru = vv[order], dd[order], src[order], rv[order], ru[order]
+    pair_key = rv * (num_vertices // lanes + 2) + ru
+    starts = np.flatnonzero(np.r_[True, pair_key[1:] != pair_key[:-1]])
+    ends = np.r_[starts[1:], pair_key.size]
+    pairs = []
+    blobs = []
+    for s, e in zip(starts, ends):
+        cnt = e - s
+        nt = -(-cnt // tile)
+        arr = np.full((nt * tile, 3), -1, np.int64)
+        arr[:, 2] = n * dm  # sentinel block row
+        arr[:cnt, 0] = src[s:e] % lanes
+        arr[:cnt, 1] = vv[s:e] % lanes
+        arr[:cnt, 2] = vv[s:e] * dm + dd[s:e]
+        pairs.append((int(rv[s]), int(ru[s]), int(nt)))
+        blobs.append(arr.reshape(nt, tile, 3).transpose(0, 2, 1))
+    table = np.concatenate(blobs, axis=0).astype(np.int32)
+    return tuple(pairs), table

@@ -149,24 +149,24 @@ def _kernel(
     flat1d: bool = False,
     block_pre: bool = False,
     cs: bool = False,
+    rem_pairs: Tuple[Tuple[int, int, int], ...] = (),
 ):
+    rest = list(refs)
+    F_ref = rest.pop(0)
+    b_ref = rest.pop(0)
+    pre_ref = rest.pop(0)
+    ctc = rest.pop(0)[...] if lm else None  # [C, *spatial] LM damping
+    if rem_pairs:
+        # one-hot remainder operands: [TT, 2, T] int32 (src/dst window-
+        # local lane ids, -1 padding) + [TT, C, C, T] coupling blocks
+        oh_ref = rest.pop(0)
+        rblk_ref = rest.pop(0)
+    lits_ref = rest.pop(0)
+    tol_ref = rest.pop(0)
     if lm:
-        (
-            F_ref,
-            b_ref,
-            pre_ref,
-            ctc_ref,
-            lits_ref,
-            tol_ref,
-            reset_ref,
-            qtol_ref,
-            delta_ref,
-            iters_ref,
-        ) = refs
-        ctc = ctc_ref[...]  # [C, *spatial] LM damping diagonal (masked)
-    else:
-        F_ref, b_ref, pre_ref, lits_ref, tol_ref, delta_ref, iters_ref = refs
-        ctc = None
+        reset_ref = rest.pop(0)
+        qtol_ref = rest.pop(0)
+    delta_ref, iters_ref = rest
     F = F_ref[...]  # [T, *spatial] masked per-channel-pair weight fields
     b = b_ref[...]  # [C, *spatial] = -JᵀF, packed channels
     # [C, *spatial] guarded-inverted elementwise preconditioner, or
@@ -218,6 +218,70 @@ def _kernel(
             acc[i] = t if acc[i] is None else acc[i] + t
         zeros = jnp.zeros(spatial, b.dtype)
         out = jnp.stack([a if a is not None else zeros for a in acc])
+        if rem_pairs:
+            # irregular remainder via one-hot matmuls (MXU): for each
+            # static (dst-row, src-row) window pair of the [R, L] fold,
+            # gather T cross-endpoint values per tile as p_row[C, L] @
+            # onehot[L, T], apply the per-entry C×C coupling blocks on the
+            # VPU, and scatter-add back with the transposed one-hot. The
+            # -1 padding lanes never match the iota, and their blocks are
+            # the appended zero row — zero contribution by construction.
+            # This replaces the latency-bound per-row gather that kept
+            # irregular meshes off the fused path (VERDICT r3 #1); the
+            # reference's equivalent is per-edge atomics
+            # (solverGPUGaussNewton.t:684-760).
+            L = spatial[1]
+            oh = oh_ref[...]  # [TT, 2, T]
+            rblk = rblk_ref[...].astype(b.dtype)  # [TT, C, C, T]
+            T = oh.shape[-1]
+            iota_lt = jax.lax.broadcasted_iota(jnp.int32, (L, T), 0)
+            iota_tl = jax.lax.broadcasted_iota(jnp.int32, (T, L), 1)
+            C = n_channels
+            t0 = 0
+            row_acc = {}  # dst fold row -> [C, L] accumulated contribution
+            for rv, ru, nt in rem_pairs:
+                prow = p[:, ru, :]  # [C, L] static row slice
+                accv = None
+                for t in range(t0, t0 + nt):
+                    src = oh[t, 0, :]
+                    dst = oh[t, 1, :]
+                    ohs = (iota_lt == src[None, :]).astype(b.dtype)
+                    g = jax.lax.dot_general(
+                        prow,
+                        ohs,
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=b.dtype,
+                    )  # [C, T]
+                    blk = rblk[t]  # [C, C, T]
+                    prod = jnp.stack(
+                        [
+                            sum(blk[i, j] * g[j] for j in range(C))
+                            for i in range(C)
+                        ]
+                    )  # [C, T]
+                    ohd = (iota_tl == dst[:, None]).astype(b.dtype)
+                    contrib = jax.lax.dot_general(
+                        prod,
+                        ohd,
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=b.dtype,
+                    )  # [C, L]
+                    accv = contrib if accv is None else accv + contrib
+                t0 += nt
+                # accumulate host-side per dst row: Mosaic has no
+                # scatter-add, and .at[].add on a value lowers to one —
+                # the per-row stack below is pure vector code instead
+                row_acc[rv] = (
+                    accv if rv not in row_acc else row_acc[rv] + accv
+                )
+            zeros_cl = jnp.zeros((C, L), b.dtype)
+            out = out + jnp.stack(
+                [
+                    row_acc.get(r_, zeros_cl)
+                    for r_ in range(spatial[0])
+                ],
+                axis=1,
+            )
         if ctc is not None:
             out = out + ctc * p  # + CtC·p (o.t:2076-2082)
         return out
@@ -510,7 +574,9 @@ def plan_fused_graph_cg(
     # group channel into the kernel packing
     gmaps = {}
     for (g, gk), ex in grp_exec.items():
-        if ex["C"] is not None or ex.get("halo", (None, None))[0] is not None:
+        if ex["C"] is not None and "Ctiles" not in ex:
+            return None  # irregular remainder without a one-hot tile plan
+        if ex.get("halo", (None, None))[0] is not None:
             return None
         _names, gu_list, goffs, gct = g_layouts[(g, gk)]
         if sorted(gu_list) != sorted(u_list) or gct != ctot:
@@ -594,6 +660,35 @@ def plan_fused_graph_cg(
                         col = col * pm[:, i] * pm_s[:, j]
                     _emit(col, off, gmap[i], gmap[j])
 
+    # irregular remainder as one-hot-matmul tiles (graph_ops.
+    # onehot_tile_plan): the gather of cross-endpoint p rows — the op that
+    # keeps real meshes off every fast path (VERDICT r3 #1) — becomes, per
+    # (dst-window, src-window) pair, a lane-selection one-hot matmul
+    # against one STATIC row of the [R, L] fold, and the scatter-add back
+    # is the transposed one-hot matmul; both ride the MXU inside the
+    # kernel. Blocks arrive tile-ordered from assembly ("Ctiles"); their
+    # channel axes are remapped group->kernel packing here.
+    rem_pairs = []
+    rem_tables = []
+    rem_blocks = []
+    for (g, gk), ex in sorted(grp_exec.items()):
+        if ex["C"] is None:
+            continue
+        gmap = gmaps[(g, gk)]
+        inv = [0] * ctot
+        for gi, a in enumerate(gmap):
+            inv[a] = gi
+        blk = ex["Ctiles"].astype(jnp.float32)  # [TT, ct, ct, T]
+        if gmap != list(range(ctot)):
+            inv_a = jnp.asarray(inv)
+            blk = jnp.take(jnp.take(blk, inv_a, axis=1), inv_a, axis=2)
+        for rv, ru, nt in ex["oh_pairs"]:
+            if rv >= R or ru >= R:
+                return None  # plan built for a different fold width
+        rem_pairs.extend(ex["oh_pairs"])
+        rem_tables.append(ex["oh_table"])
+        rem_blocks.append(blk)
+
     f_bytes = jnp.dtype(coeff_dtype).itemsize if coeff_dtype else 4
     pe_f = padded_spatial_elems((R, L), coeff_dtype)
     pe = padded_spatial_elems((R, L))
@@ -602,12 +697,18 @@ def plan_fused_graph_cg(
     working = len(field_list) * f_bytes * pe_f + (
         8 * ctot + 3 * n_rolled
     ) * 4 * pe
+    if rem_blocks:
+        tile_t = rem_blocks[0].shape[-1]
+        tt = sum(int(b.shape[0]) for b in rem_blocks)
+        working += tt * ctot * ctot * tile_t * f_bytes  # block tiles
+        working += tt * 2 * tile_t * 4  # int32 one-hot index table
+        working += 4 * L * tile_t * 4  # live one-hot / product scratch
     if working > VMEM_BUDGET_BYTES:
         return None
     F = jnp.stack(field_list, axis=0)
     if coeff_dtype is not None:
         F = F.astype(coeff_dtype)
-    return {
+    meta = {
         "u_list": tuple(u_list),
         "offs": dict(offs),
         "channels": channels,
@@ -619,6 +720,24 @@ def plan_fused_graph_cg(
         "working_bytes": int(working),
         "pe": int(pe),
     }
+    if rem_blocks:
+        blocks = (
+            rem_blocks[0]
+            if len(rem_blocks) == 1
+            else jnp.concatenate(rem_blocks, axis=0)
+        )
+        if coeff_dtype is not None:
+            blocks = blocks.astype(coeff_dtype)
+        meta["rem"] = {
+            "pairs": tuple(rem_pairs),
+            "table": (
+                rem_tables[0]
+                if len(rem_tables) == 1
+                else jnp.concatenate(rem_tables, axis=0)
+            ),
+            "blocks": blocks,
+        }
+    return meta
 
 
 def fused_grid_cg(
@@ -683,6 +802,7 @@ def fused_grid_cg(
     F = meta["F"]
     C = b.shape[0]
 
+    rem = meta.get("rem")
     kernel = functools.partial(
         _kernel,
         triples=meta["triples"],
@@ -693,11 +813,14 @@ def fused_grid_cg(
         flat1d=fold is not None,
         block_pre=pre_blocks is not None,
         cs=cg_variant == "chronopoulos_gear",
+        rem_pairs=rem["pairs"] if rem else (),
     )
     operands = [F, b, prem]
     n_smem = 2
     if lm:
         operands.append(pack(ctc))
+    if rem:
+        operands += [rem["table"], rem["blocks"]]
     operands += [
         jnp.asarray(l_iterations, jnp.int32).reshape(1),
         jnp.asarray(rz_tolerance, b.dtype).reshape(1),

@@ -467,9 +467,87 @@ class Plan:
                     # dynamic topology: the offset VALUES and the remainder
                     # widths are topology-specialized (they name input keys
                     # and fix shapes), so they would retrace per frame.
-                    dia = (
-                        None if self.dynamic_topology else dia_split(cross, n)
+                    from .ops.graph_ops import (
+                        dedup_reads,
+                        fold_lanes,
+                        onehot_tile_plan,
                     )
+
+                    nn_c, dd, mm1 = np.asarray(cross).shape
+
+                    def _full_rem():
+                        # the whole cross table as the "remainder"
+                        flat_c = np.asarray(cross).reshape(nn_c, dd * mm1)
+                        flat_p = np.where(
+                            flat_c < n,
+                            np.broadcast_to(
+                                np.arange(dd * mm1, dtype=np.int32),
+                                (nn_c, dd * mm1),
+                            ),
+                            dd * mm1,
+                        ).astype(np.int32)
+                        return (flat_p[..., None], flat_c)
+
+                    # Irregular meshes on a single TPU chip: if the FULL
+                    # adjacency fits the fused kernel as one-hot-matmul
+                    # tiles (S blocks + per-pair MXU gather/scatter — see
+                    # ops/pallas_cg.py), skip the DIA split entirely: no
+                    # measured offset on armadillo-class meshes exceeds
+                    # ~45% fill, so dense per-offset planes cost more VMEM
+                    # than per-entry tiles. Grid-class meshes (DIA coverage
+                    # ~100%) keep the cheaper in-kernel flat rolls. The
+                    # XLA path (fallback, mesh, non-TPU) keeps the DIA
+                    # hybrid either way.
+                    use_onehot = False
+                    ohp = None
+                    rem_pre = None
+                    dia_probe = (
+                        None
+                        if self.dynamic_topology
+                        else dia_split(cross, n, max_offsets=32)
+                    )
+                    total_reads = int(np.asarray(cross < n).sum())
+                    dia_cov = 0.0
+                    if dia_probe is not None and total_reads:
+                        dia_cov = 1.0 - int(
+                            np.asarray(dia_probe[3] < n).sum()
+                        ) / total_reads
+                    if (
+                        not self.dynamic_topology
+                        and self.solver._pallas_mode is not None
+                        and cross.shape[1]
+                        and dia_cov < 0.98
+                    ):
+                        rp_k, rc = _full_rem()
+                        ded0 = dedup_reads(rp_k[:, :, 0], rc, n, dd * mm1)
+                        if ded0 is not None:
+                            rp_k, rc = ded0
+                        ohp = onehot_tile_plan(rc, n, fold_lanes(n))
+                        if ohp is not None:
+                            from .ops.pallas_cg import VMEM_BUDGET_BYTES
+
+                            ct_est = sum(
+                                int(self.compiled.unknown_shape(u)[-1])
+                                for u in self.compiled.unknown_names
+                            )
+                            L = fold_lanes(n)
+                            R = -(-n // L)
+                            tt = int(ohp[1].shape[0])
+                            est = (
+                                # S + state + rolls-free scratch
+                                (1 + 12 * ct_est) * R * L * 4
+                                + n * ct_est * ct_est * 4  # S blocks
+                                + tt * 128 * (ct_est * ct_est + 2) * 4
+                            )
+                            use_onehot = est <= VMEM_BUDGET_BYTES
+                        if use_onehot:
+                            rem_pre = (rp_k, rc)
+
+                    # 32 offsets: on the armadillo-class meshes the
+                    # coverage curve saturates ~57% around 20 offsets
+                    # (each extra offset is one cheap shifted add; the
+                    # remainder shrinks 90k -> 79k reads)
+                    dia = None if use_onehot else dia_probe
                     rem_store = None  # (pos [N,Dm,K], cross2 [N,Dm])
                     if dia is not None:
                         offsets, masks, rem_pos, rem_cross = dia
@@ -478,35 +556,28 @@ class Plan:
                                 jnp.asarray(masks[k])
                             )
                         rem_store = (rem_pos[..., None], rem_cross)
+                    elif use_onehot:
+                        rem_store = rem_pre  # already dedup'd
                     elif not self.dynamic_topology and cross.shape[1]:
                         # no DIA offsets: the whole cross table is the
                         # "remainder" — stored only when dedup shrinks it
-                        nn, dd, mm1 = np.asarray(cross).shape
-                        flat_c = np.asarray(cross).reshape(nn, dd * mm1)
-                        flat_p = np.where(
-                            flat_c < n,
-                            np.broadcast_to(
-                                np.arange(dd * mm1, dtype=np.int32),
-                                (nn, dd * mm1),
-                            ),
-                            dd * mm1,
-                        ).astype(np.int32)
-                        rem_store = (flat_p[..., None], flat_c)
+                        rem_store = _full_rem()
                     rem_tables = None
                     if rem_store is not None:
                         rem_pos_k, rem_cross = rem_store
                         # merge duplicate (v, u) reads: the merged entries'
                         # coupling blocks pre-sum at assembly through the
                         # K-position table (ops/graph_ops.dedup_reads)
-                        from .ops.graph_ops import dedup_reads
-
-                        _, dd, mm1 = np.asarray(cross).shape
-                        ded = dedup_reads(
-                            rem_pos_k[:, :, 0], rem_cross, n, dd * mm1
+                        ded = (
+                            None
+                            if use_onehot  # dedup already applied above
+                            else dedup_reads(
+                                rem_pos_k[:, :, 0], rem_cross, n, dd * mm1
+                            )
                         )
                         if ded is not None:
                             rem_pos_k, rem_cross = ded
-                        if dia is not None or ded is not None:
+                        if dia is not None or ded is not None or use_onehot:
                             rem_tables = (rem_pos_k, rem_cross)
                             cached[f"__diarem__{suffix}"] = jnp.asarray(
                                 rem_pos_k
@@ -514,6 +585,19 @@ class Plan:
                             cached[f"__diaremcross__{suffix}"] = jnp.asarray(
                                 rem_cross
                             )
+                            # one-hot tile plan for the in-kernel remainder
+                            # apply: the static (rv, ru, nt) pair list
+                            # rides in the KEY NAME so a changed topology
+                            # changes the pytree structure and re-traces
+                            # (same mechanism as the __diamask__ keys)
+                            if use_onehot and ohp is not None:
+                                pairs, table = ohp
+                                tag = "-".join(
+                                    f"{a}_{b}_{c}" for a, b, c in pairs
+                                )
+                                cached[
+                                    f"__ohplan__{suffix}__{tag}"
+                                ] = jnp.asarray(table)
                     # owner-block neighbor exchange: precompute the
                     # all_to_all schedule + localized id tables for the
                     # irregular cross-endpoint p reads, so the CG loop's

@@ -533,3 +533,130 @@ def test_vmem_compile_error_falls_back_to_xla_loop():
     # after the drop, a real solve still works end to end on the XLA loop
     res = plan.solve(dict(inputs), nIterations=2, lIterations=20)
     assert np.isfinite(res.final_cost)
+
+
+def _shuffled_arap_inputs(n_side, seed=5):
+    """Grid-mesh ARAP with randomly permuted vertex ids — an irregular
+    vertex numbering no DIA offset set covers (the armadillo-class case,
+    VERDICT r3 #1)."""
+    N = n_side * n_side
+    ii, jj = np.meshgrid(np.arange(n_side), np.arange(n_side), indexing="ij")
+    pos = np.stack([ii.ravel(), jj.ravel(), np.zeros(N)], -1).astype(
+        np.float32
+    )
+    vid = np.arange(N).reshape(n_side, n_side)
+    v0 = np.concatenate([vid[:-1].ravel(), vid[:, :-1].ravel()])
+    v1 = np.concatenate([vid[1:].ravel(), vid[:, 1:].ravel()])
+    v0b = np.concatenate([v0, v1]).astype(np.int32)
+    v1b = np.concatenate([v1, v0]).astype(np.int32)
+    con = -np.ones((N, 3), np.float32)
+    con[vid[0, 0]] = pos[vid[0, 0]]
+    con[vid[-1, -1]] = pos[vid[-1, -1]] + np.array(
+        [2.0, 0, 1.0], np.float32
+    )
+    inputs = {
+        "Offset": pos.copy(),
+        "Angle": np.zeros((N, 3), np.float32),
+        "UrShape": pos,
+        "Constraints": con,
+        "G": {"v0": v0b, "v1": v1b},
+        "w_fitSqrt": np.float32(1.0),
+        "w_regSqrt": np.float32(np.sqrt(0.5)),
+    }
+    rng = np.random.RandomState(seed)
+    perm = rng.permutation(N).astype(np.int32)
+    inv = np.argsort(perm).astype(np.int32)
+    for k in ("Offset", "Angle", "UrShape", "Constraints"):
+        inputs[k] = np.asarray(inputs[k])[inv]
+    inputs["G"] = {"v0": perm[v0b], "v1": perm[v1b]}
+    return N, inputs
+
+
+@pytest.mark.parametrize(
+    "kind,ipkw",
+    [
+        ("gaussNewtonGPU", {}),
+        ("LMGPU", {}),
+        ("gaussNewtonGPU", {"cg_variant": "chronopoulos_gear"}),
+        ("LMGPU", {"preconditioner": "block_jacobi"}),
+    ],
+)
+def test_fused_graph_onehot_remainder_matches_xla(kind, ipkw):
+    """Irregular-topology graph solves run the fused kernel with the
+    one-hot-matmul remainder (VERDICT r3 #1): permuted vertex ids defeat
+    every DIA offset, the bind builds the __ohplan__ tiles, and the
+    interpret-mode fused solve matches the XLA loop — for GN, LM, the CS
+    variant and in-kernel block-Jacobi."""
+    from opt_tpu.models.specs import arap_mesh_deformation
+    from opt_tpu.functions import FunctionSet
+
+    N, inputs = _shuffled_arap_inputs(16)
+    sp = dict(nIterations=3, lIterations=20)
+    rs = {}
+    for mode in ("interpret", "off"):
+        plan = ot.Problem(arap_mesh_deformation, kind=kind).plan(
+            dims={"N": N},
+            init_params=InitializationParameters(
+                use_pallas_cg=mode, **ipkw
+            ),
+        )
+        if mode == "interpret":
+            u, c, g, p = plan._normalize_and_place(dict(inputs))
+            assert any(
+                k.startswith("__ohplan__") for k in g["G"]
+            ), "one-hot tile plan missing at bind"
+            fs = FunctionSet(plan.compiled, c, g, p)
+            fs.masks(u)
+            cc = fs.assemble_const(u, plan.solver._stencil_plan)
+            _A, _d, _j, cg_meta = fs.assemble_stencil(
+                u, plan.solver._stencil_plan, cc
+            )
+            assert cg_meta is not None and "rem" in cg_meta, (
+                "fused kernel did not take the one-hot remainder path"
+            )
+        rs[mode] = plan.solve(dict(inputs), **sp)
+    a, b = rs["interpret"], rs["off"]
+    assert np.allclose(a.final_cost, b.final_cost, rtol=1e-4), (
+        a.final_cost,
+        b.final_cost,
+    )
+    assert np.allclose(
+        np.asarray(a.unknowns["Offset"]),
+        np.asarray(b.unknowns["Offset"]),
+        atol=2e-3,
+    )
+
+
+def test_grid_mesh_keeps_dia_roll_path():
+    """Row-major grid meshes (DIA coverage ~100%) must keep the cheaper
+    in-kernel flat-roll path — no one-hot plan is built for them."""
+    from opt_tpu.models.specs import arap_mesh_deformation
+
+    n_side = 16
+    N = n_side * n_side
+    ii, jj = np.meshgrid(np.arange(n_side), np.arange(n_side), indexing="ij")
+    pos = np.stack([ii.ravel(), jj.ravel(), np.zeros(N)], -1).astype(
+        np.float32
+    )
+    vid = np.arange(N).reshape(n_side, n_side)
+    v0 = np.concatenate([vid[:-1].ravel(), vid[:, :-1].ravel()])
+    v1 = np.concatenate([vid[1:].ravel(), vid[:, 1:].ravel()])
+    inputs = {
+        "Offset": pos.copy(),
+        "Angle": np.zeros((N, 3), np.float32),
+        "UrShape": pos,
+        "Constraints": -np.ones((N, 3), np.float32),
+        "G": {
+            "v0": np.concatenate([v0, v1]).astype(np.int32),
+            "v1": np.concatenate([v1, v0]).astype(np.int32),
+        },
+        "w_fitSqrt": np.float32(1.0),
+        "w_regSqrt": np.float32(np.sqrt(0.5)),
+    }
+    plan = ot.Problem(arap_mesh_deformation).plan(
+        dims={"N": N},
+        init_params=InitializationParameters(use_pallas_cg="interpret"),
+    )
+    u, c, g, p = plan._normalize_and_place(dict(inputs))
+    assert any(k.startswith("__diamask__") for k in g["G"])
+    assert not any(k.startswith("__ohplan__") for k in g["G"])
