@@ -74,6 +74,10 @@ def fused_variant_fits(
     pe = meta.get("pe")
     if pe is None:  # legacy meta without the cached plane size
         return True
+    if meta.get("chan_grid"):
+        if block_pre:
+            return False  # block preconditioner couples channels
+        ctot = 1  # per-channel working set (sequential grid reuses it)
     extras = 0
     if lm:
         extras += 2 * ctot
@@ -505,8 +509,38 @@ def plan_fused_grid_cg(
     working = len(field_list) * f_bytes * pe_f + (
         7 * ctot + n_rolled
     ) * 4 * pe
+    chan_grid = False
     if working > VMEM_BUDGET_BYTES:
-        return None
+        # Channel-split retry (VERDICT r3 #4, the flagship >VMEM case:
+        # poisson 1024²×float4): when every coupling is channel-diagonal
+        # with channel-identical fields, the C channels are INDEPENDENT
+        # linear systems — run them as a Pallas grid=(C,) over the SAME
+        # kernel, so VMEM holds one channel's working set at a time (the
+        # sequential TPU grid reuses it). Exits then fire per channel
+        # (slightly different from the reference's channel-summed dots —
+        # only engaged beyond the monolithic VMEM budget, so the pinned
+        # small/medium behavior is untouched).
+        diag_only = all(i == j for (_d, i, j, _f) in triples)
+        by_chan = {}
+        for d, i, _j, fid in triples:
+            by_chan.setdefault(i, set()).add((d, fid))
+        identical = (
+            len(by_chan) == ctot
+            and len({frozenset(s) for s in by_chan.values()}) == 1
+        )
+        if diag_only and identical and ctot > 1:
+            n_rolled_1 = len({d for (d, _i, _j, _f) in triples if any(d)})
+            working_1 = len(field_list) * f_bytes * pe_f + (
+                7 + n_rolled_1
+            ) * 4 * pe
+            if working_1 <= VMEM_BUDGET_BYTES:
+                chan_grid = True
+                working = working_1
+                triples = sorted(
+                    {(d, 0, 0, fid) for (d, _i, _j, fid) in triples}
+                )
+        if not chan_grid:
+            return None
     F = jnp.stack(field_list, axis=0)
     if coeff_dtype is not None:
         F = F.astype(coeff_dtype)
@@ -515,6 +549,7 @@ def plan_fused_grid_cg(
         "offs": dict(offs),
         "channels": channels,
         "ctot": ctot,
+        "chan_grid": chan_grid,
         "triples": tuple(triples),
         "F": F,
         "isp": isp,
@@ -803,10 +838,11 @@ def fused_grid_cg(
     C = b.shape[0]
 
     rem = meta.get("rem")
+    chan_grid = bool(meta.get("chan_grid"))
     kernel = functools.partial(
         _kernel,
         triples=meta["triples"],
-        n_channels=C,
+        n_channels=1 if chan_grid else C,
         guard_div=guard_div,
         interpret=interpret,
         lm=lm,
@@ -832,7 +868,37 @@ def fused_grid_cg(
         ]
         n_smem = 4
     kwargs = {}
-    if not interpret:
+    if chan_grid:
+        # grid=(C,) over INDEPENDENT channels (channel-diagonal operator,
+        # channel-identical fields — see plan_fused_grid_cg): each
+        # sequential grid step solves one channel with the one-channel
+        # working set, so >VMEM monolithic problems (poisson 1024²×4)
+        # keep a fused path. F and the smem scalars are shared (constant
+        # index map); b/pre/ctc and the outputs slice per channel.
+        nd = len(b.shape) - 1
+        shared = pl.BlockSpec(F.shape, lambda c: (0,) * (nd + 1))
+        per_ch = pl.BlockSpec(
+            (1,) + b.shape[1:], lambda c: (c,) + (0,) * nd
+        )
+        sm = pl.BlockSpec((1,), lambda c: (0,))
+        in_specs = [shared, per_ch, per_ch]
+        if lm:
+            in_specs.append(per_ch)
+        in_specs += [sm] * n_smem
+        out_specs = [per_ch, pl.BlockSpec((1,), lambda c: (c,))]
+        kwargs = {
+            "grid": (C,),
+            "in_specs": in_specs,
+            "out_specs": out_specs,
+        }
+        if not interpret:
+            from jax.experimental.pallas import tpu as pltpu
+
+            kwargs["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=KERNEL_VMEM_LIMIT_BYTES
+            )
+        iters_shape = (C,)
+    elif not interpret:
         from jax.experimental.pallas import tpu as pltpu
 
         vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -847,15 +913,21 @@ def fused_grid_cg(
                 vmem_limit_bytes=KERNEL_VMEM_LIMIT_BYTES
             ),
         }
+        iters_shape = (1,)
+    else:
+        iters_shape = (1,)
     delta, iters = pl.pallas_call(
         kernel,
         out_shape=[
             jax.ShapeDtypeStruct(b.shape, b.dtype),
-            jax.ShapeDtypeStruct((1,), jnp.int32),
+            jax.ShapeDtypeStruct(iters_shape, jnp.int32),
         ],
         interpret=interpret,
         **kwargs,
     )(*operands)
+    if chan_grid:
+        # per-channel iteration counts: report the executed total
+        iters = jnp.sum(iters, keepdims=True)
     if fold is not None:
         R, L, N = fold
         delta = delta.reshape(C, R * L)[:, :N]  # unfold + drop padding

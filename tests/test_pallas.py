@@ -289,10 +289,12 @@ def test_fused_pallas_graph_cg_matches_xla():
         )
 
 
-def test_fused_pallas_graph_cg_rejects_irregular_mesh():
-    """A random mesh's edge offsets are spread over many values, leaving a
-    DIA remainder (ex["C"] is not None), so the graph kernel must NOT
-    plan; the solve falls back to the XLA loop and still works."""
+def test_fused_pallas_graph_cg_accepts_irregular_mesh():
+    """A random-permutation mesh spreads edge offsets over many values —
+    until r4 this left a DIA remainder the kernel rejected; the one-hot
+    tile path now plans it (meta carries "rem") and the fused solve
+    matches the XLA loop. (The old behavior this test pinned — meta is
+    None — was VERDICT r3 missing #1.)"""
     from opt_tpu.models.specs import arap_mesh_deformation
 
     N = 40
@@ -321,10 +323,22 @@ def test_fused_pallas_graph_cg_rejects_irregular_mesh():
     from opt_tpu.functions import FunctionSet
 
     fs = FunctionSet(plan.compiled, c, g, pa)
-    _A, _d, _j, meta = fs.assemble_stencil(u, plan.solver._stencil_plan)
-    assert meta is None
+    fs.masks(u)
+    cc = fs.assemble_const(u, plan.solver._stencil_plan)
+    _A, _d, _j, meta = fs.assemble_stencil(
+        u, plan.solver._stencil_plan, cc
+    )
+    assert meta is not None and "rem" in meta
     res = plan.solve(dict(inputs), nIterations=2, lIterations=10)
-    assert np.isfinite(res.final_cost)
+    plan2 = ot.Problem(arap_mesh_deformation).plan(
+        dims={"N": N},
+        init_params=InitializationParameters(use_pallas_cg="off"),
+    )
+    res2 = plan2.solve(dict(inputs), nIterations=2, lIterations=10)
+    assert np.allclose(res.final_cost, res2.final_cost, rtol=1e-4), (
+        res.final_cost,
+        res2.final_cost,
+    )
 
 
 @pytest.mark.parametrize("kind", ["gaussNewtonGPU", "LMGPU"])
@@ -660,3 +674,78 @@ def test_grid_mesh_keeps_dia_roll_path():
     u, c, g, p = plan._normalize_and_place(dict(inputs))
     assert any(k.startswith("__diamask__") for k in g["G"])
     assert not any(k.startswith("__ohplan__") for k in g["G"])
+
+
+@pytest.mark.parametrize("kind", ["gaussNewtonGPU", "LMGPU"])
+def test_chan_grid_splits_beyond_vmem_budget(kind, monkeypatch):
+    """>VMEM grids with channel-diagonal, channel-identical couplings
+    (poisson float4 class — VERDICT r3 #4) split into a Pallas grid=(C,)
+    of independent per-channel solves reusing one channel's working set:
+    shrink the budget so the monolithic plan is rejected, assert the
+    chan_grid plan engages and matches the XLA loop. Per-channel exits
+    mean the iteration count is ~C times the joint loop's."""
+    import opt_tpu.ops.pallas_cg as pc
+    from opt_tpu.functions import FunctionSet
+
+    n = 48
+    rng = np.random.RandomState(0)
+    mask = np.ones((n, n), np.float32)
+    mask[12:-12, 12:-12] = 0
+    inputs = {
+        "X": rng.rand(n, n, 4).astype(np.float32),
+        "T": rng.rand(n, n, 4).astype(np.float32),
+        "M": mask,
+    }
+    plane = pc.padded_spatial_elems((n, n)) * 4
+    monkeypatch.setattr(pc, "VMEM_BUDGET_BYTES", 30 * plane)
+    plan = ot.Problem(poisson_image_editing, kind=kind).plan(
+        dims={"W": n, "H": n},
+        init_params=InitializationParameters(use_pallas_cg="interpret"),
+    )
+    u, c, g, p = plan._normalize_and_place(dict(inputs))
+    fs = FunctionSet(plan.compiled, c, g, p)
+    fs.masks(u)
+    cc = fs.assemble_const(u, plan.solver._stencil_plan)
+    _a, _d, _j, meta = fs.assemble_stencil(
+        u, plan.solver._stencil_plan, cc
+    )
+    assert meta is not None and meta.get("chan_grid"), meta and sorted(meta)
+    res = plan.solve(dict(inputs), nIterations=2, lIterations=40)
+    plan2 = ot.Problem(poisson_image_editing, kind=kind).plan(
+        dims={"W": n, "H": n},
+        init_params=InitializationParameters(use_pallas_cg="off"),
+    )
+    res2 = plan2.solve(dict(inputs), nIterations=2, lIterations=40)
+    assert np.allclose(res.final_cost, res2.final_cost, rtol=1e-3), (
+        res.final_cost,
+        res2.final_cost,
+    )
+    assert np.allclose(
+        np.asarray(res.unknowns["X"]),
+        np.asarray(res2.unknowns["X"]),
+        atol=2e-3,
+    )
+    # channel-coupled problems (image_warping class) must NOT split
+    from opt_tpu.models.specs import image_warping
+
+    planw = ot.Problem(image_warping).plan(
+        dims={"W": n, "H": n},
+        init_params=InitializationParameters(use_pallas_cg="interpret"),
+    )
+    uw = {
+        "Offset": np.zeros((n, n, 2), np.float32),
+        "Angle": np.zeros((n, n), np.float32),
+        "UrShape": np.zeros((n, n, 2), np.float32),
+        "Constraints": -np.ones((n, n, 2), np.float32),
+        "Mask": np.zeros((n, n), np.float32),
+        "w_fitSqrt": np.float32(1.0),
+        "w_regSqrt": np.float32(1.0),
+    }
+    uu, cw, gw, pw = planw._normalize_and_place(uw)
+    fsw = FunctionSet(planw.compiled, cw, gw, pw)
+    fsw.masks(uu)
+    ccw = fsw.assemble_const(uu, planw.solver._stencil_plan)
+    _a2, _d2, _j2, metaw = fsw.assemble_stencil(
+        uu, planw.solver._stencil_plan, ccw
+    )
+    assert metaw is None or not metaw.get("chan_grid")
