@@ -312,6 +312,10 @@ def bench_arap_irregular(n_outer=8, n_inner=100):
     }
     plan = ot.Problem(arap_mesh_deformation).plan(dims={"N": N})
     secs, res = _time_solve(plan, inputs, n_outer, n_inner)
+    # r4: the one-hot-matmul remainder keeps even this mesh on the fused
+    # kernel — a silent fallback to the composed/XLA path must not pass
+    # through the bench record
+    assert plan.fused_fallback is None, plan.fused_fallback
     secs1, _ = _time_solve(plan, inputs, n_outer, 1, repeats=3)
     fixed_ms = secs1 / n_outer * 1e3
     per_cg_ms = (secs - secs1) / n_outer / max(1, n_inner - 1) * 1e3

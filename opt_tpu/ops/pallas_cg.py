@@ -154,6 +154,7 @@ def _kernel(
     block_pre: bool = False,
     cs: bool = False,
     rem_pairs: Tuple[Tuple[int, int, int], ...] = (),
+    chan_grid: bool = False,
 ):
     rest = list(refs)
     F_ref = rest.pop(0)
@@ -438,7 +439,14 @@ def _kernel(
         out = jax.lax.while_loop(cond, gn_body, init)
         delta, l = out[0], out[4]
     delta_ref[...] = delta
-    iters_ref[0] = l
+    if chan_grid:
+        # grid=(C,) over independent channels: each sequential step owns
+        # one slot of the shared (C,) iters block
+        from jax.experimental import pallas as pl
+
+        iters_ref[pl.program_id(0)] = l
+    else:
+        iters_ref[0] = l
 
 
 def plan_fused_grid_cg(
@@ -850,6 +858,7 @@ def fused_grid_cg(
         block_pre=pre_blocks is not None,
         cs=cg_variant == "chronopoulos_gear",
         rem_pairs=rem["pairs"] if rem else (),
+        chan_grid=chan_grid,
     )
     operands = [F, b, prem]
     n_smem = 2
@@ -876,24 +885,36 @@ def fused_grid_cg(
         # keep a fused path. F and the smem scalars are shared (constant
         # index map); b/pre/ctc and the outputs slice per channel.
         nd = len(b.shape) - 1
-        shared = pl.BlockSpec(F.shape, lambda c: (0,) * (nd + 1))
-        per_ch = pl.BlockSpec(
-            (1,) + b.shape[1:], lambda c: (c,) + (0,) * nd
+        spec_kw = {}
+        sm_kw = {}
+        if not interpret:
+            from jax.experimental.pallas import tpu as pltpu
+
+            spec_kw = {"memory_space": pltpu.VMEM}
+            # rank-1 (1,)-blocked outputs must live in SMEM on TPU (VMEM
+            # rank-1 blocks are lane-tiled to multiples of 128)
+            sm_kw = {"memory_space": pltpu.SMEM}
+        shared = pl.BlockSpec(
+            F.shape, lambda c: (0,) * (nd + 1), **spec_kw
         )
-        sm = pl.BlockSpec((1,), lambda c: (0,))
+        per_ch = pl.BlockSpec(
+            (1,) + b.shape[1:], lambda c: (c,) + (0,) * nd, **spec_kw
+        )
+        sm = pl.BlockSpec((1,), lambda c: (0,), **sm_kw)
         in_specs = [shared, per_ch, per_ch]
         if lm:
             in_specs.append(per_ch)
         in_specs += [sm] * n_smem
-        out_specs = [per_ch, pl.BlockSpec((1,), lambda c: (c,))]
+        # iters: ONE full (C,) block revisited by every grid step (rank-1
+        # sub-array blocks are rejected by the TPU lowering); the kernel
+        # writes its own program_id slot
+        out_specs = [per_ch, pl.BlockSpec((C,), lambda c: (0,), **sm_kw)]
         kwargs = {
             "grid": (C,),
             "in_specs": in_specs,
             "out_specs": out_specs,
         }
         if not interpret:
-            from jax.experimental.pallas import tpu as pltpu
-
             kwargs["compiler_params"] = pltpu.CompilerParams(
                 vmem_limit_bytes=KERNEL_VMEM_LIMIT_BYTES
             )
