@@ -196,7 +196,14 @@ def resolve_auto_policy(
     if ip.preconditioner == "auto":
         upd["preconditioner"] = "block_jacobi" if multi else "jacobi"
     if ip.edge_reorder == "auto":
-        upd["edge_reorder"] = "owner" if (multi and has_graphs) else False
+        # owner reorder is a per-topology bind-time renumbering; under
+        # dynamic_topology it would re-derive tables per frame and defeat
+        # the shared-trace guarantee, so it stays off there
+        upd["edge_reorder"] = (
+            "owner"
+            if (multi and has_graphs and not ip.dynamic_topology)
+            else False
+        )
     return dataclasses.replace(ip, **upd) if upd else ip
 
 

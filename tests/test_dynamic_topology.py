@@ -118,8 +118,19 @@ def test_dynamic_topology_under_mesh_shares_one_trace():
 
     N, pos, v0, v1, con = _arap_edges(16)
     sp = dict(nIterations=2, lIterations=10)
+    # pin the single-device variant config: this test compares the sharded
+    # solve against an exact single-device solve (the mesh auto policy
+    # would otherwise pick a different CG trajectory — see
+    # tests/test_auto_policy.py)
     plan = ot.Problem(arap_mesh_deformation).plan(
-        dims={"N": N}, mesh=make_mesh(), dynamic_topology=True
+        dims={"N": N},
+        mesh=make_mesh(),
+        dynamic_topology=True,
+        init_params=ot.InitializationParameters(
+            cg_variant="standard",
+            preconditioner="jacobi",
+            edge_reorder=False,
+        ),
     )
     plan.solve(_inputs(pos, con, {"v0": v0, "v1": v1}), **sp)
     csize = plan.solver._solve_fused._cache_size()
