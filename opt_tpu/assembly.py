@@ -163,7 +163,22 @@ def _terms_with_traced_gates(compiled, X, consts, graphs, params):
     safe fallback the reference never needs (its polysimplify is exact,
     ad.t:803-926). Taint propagates forward through the jaxpr, and any
     literal-free comparison inside an equation's sub-jaxprs taints that
-    equation's outputs (conservative)."""
+    equation's outputs (conservative).
+
+    A literal operand is only an escape hatch when the OTHER operand is a
+    directly-drawn input: the probes place harvested threshold values into
+    the raw slot draws, so ``eq(Mask, 0)`` takes both truth values across
+    the probe grid. A ComputedArray slot's value is NOT drawn — it is
+    recomputed from the probe unknowns (gather_slot_values materializes
+    the bundle, compile.py) — so a gate on it compares a FUNCTION of the
+    draws against the literal, and no input-space value set can straddle
+    that threshold in general (SFS round-4 case: ``eq(valid, 1)`` where
+    ``valid`` requires four |ΔX|<0.01 neighbor coincidences that no O(1)
+    draw produces — the shading-smoothness couplings probed identically
+    zero and were unsoundly pruned, caught at solve time by
+    validate_assembly and silently costing the fused path since round 2).
+    Gates whose non-literal operand derives from a cimg/cgrad slot
+    therefore taint regardless of literal operands."""
     import jax.extend.core as jec
 
     f = lambda sv: compiled.local_residual_terms(sv, params, consts)
@@ -172,6 +187,20 @@ def _terms_with_traced_gates(compiled, X, consts, graphs, params):
         jaxpr = jax.make_jaxpr(f)(sv).jaxpr
     except Exception:  # pragma: no cover - spec already traced upstream
         return frozenset(range(len(compiled.terms)))
+    # forward dataflow: which vars derive from a ComputedArray slot value
+    # (sv is the gather_slot_values list, so invars align with
+    # registry.slots one-to-one)
+    derived = {
+        id(v)
+        for v, s in zip(jaxpr.invars, compiled.registry.slots)
+        if s.kind in ("cimg", "cgrad")
+    }
+    for eqn in jaxpr.eqns:
+        if any(
+            not isinstance(v, jec.Literal) and id(v) in derived
+            for v in eqn.invars
+        ):
+            derived.update(id(o) for o in eqn.outvars)
     # max/min with two non-literal operands are array-vs-array gates too:
     # their derivative is a select with no literal threshold for the probes
     # to straddle, so treat them exactly like literal-free comparisons
@@ -188,14 +217,29 @@ def _terms_with_traced_gates(compiled, X, consts, graphs, params):
     custom_calls = {"custom_jvp_call", "custom_vjp_call",
                     "custom_jvp_call_jaxpr", "custom_vjp_call_jaxpr"}
 
+    def _on_derived(eqn) -> bool:
+        # a literal threshold is no escape when the compared value is a
+        # recomputed ComputedArray (see docstring): probes can't straddle
+        # a threshold through the computed function
+        return any(
+            not isinstance(v, jec.Literal) and id(v) in derived
+            for v in eqn.invars
+        )
+
     def _is_gate(eqn, include_pw) -> bool:
         name = eqn.primitive.name
         if name in prims:
-            return not any(isinstance(v, jec.Literal) for v in eqn.invars)
+            return (
+                not any(isinstance(v, jec.Literal) for v in eqn.invars)
+                or _on_derived(eqn)
+            )
         if not include_pw:
             return False
         if name in pw_prims:
-            return not any(isinstance(v, jec.Literal) for v in eqn.invars)
+            return (
+                not any(isinstance(v, jec.Literal) for v in eqn.invars)
+                or _on_derived(eqn)
+            )
         if name == "convert_element_type":
             nd = eqn.params.get("new_dtype")
             v = eqn.invars[0]

@@ -604,3 +604,88 @@ def test_fuzz_unknown_dependent_exclude_solve(seed):
         rtol=1e-3,
         atol=1e-4,
     )
+
+
+def _computed_eq_literal_gate_spec(rng):
+    """Adversarial class (round 4, SFS root cause): the gate compares a
+    COMPUTED array against a LITERAL (``eq(V, 1)``). The literal escape
+    hatch in the taint walk is only sound for directly-drawn inputs — the
+    probes place harvested thresholds into raw slot draws — but a
+    ComputedArray is recomputed from the probe unknowns, so an indicator
+    needing four |ΔX| < thr neighbor coincidences never fires under O(1)
+    draws and its couplings probe identically zero. Without the
+    derived-operand taint the term is unsoundly pruned (the exact failure
+    that demoted shape_from_shading off the fused path since round 2)."""
+    thr = 0.01
+
+    def spec(S):
+        W, H = S.Dim("W"), S.Dim("H")
+        X = S.Unknown("X", 1, (W, H))
+        A = S.Array("A", 1, (W, H))
+
+        def cont(dx, dy):
+            return ot.less(jnp.abs(X(0, 0) - X(dx, dy)), thr)
+
+        V = S.ComputedArray(
+            "V",
+            (W, H),
+            lambda: ot.And(
+                cont(1, 0), cont(-1, 0), cont(0, 1), cont(0, -1),
+                ot.InBoundsExpanded(0, 0, 1),
+            ),
+        )
+        valid = ot.eq(V(0, 0), 1)
+        S.Energy(
+            0.1 * (X(0, 0) - A(0, 0)),
+            ot.Select(
+                valid, (X(0, 0) - X(1, 0)) + (X(0, 0) - X(0, 1)), 0.0
+            ),
+        )
+
+    # piecewise-constant 4x4 blocks + sub-threshold noise: block interiors
+    # satisfy all four continuity tests (gate ON), block boundaries do not
+    base = np.repeat(np.repeat(rng.rand(N // 4, N // 4), 4, 0), 4, 1)
+    Xr = (2.0 + base + rng.rand(N, N) * (thr * 0.2)).astype(np.float32)
+    inputs = {
+        "X": Xr[..., None],
+        "A": rng.rand(N, N, 1).astype(np.float32),
+    }
+    return spec, {"W": N, "H": N}, inputs
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_fuzz_computed_eq_literal_gate_not_pruned(seed):
+    rng = np.random.RandomState(11000 + seed)
+    spec, dims, inputs = _computed_eq_literal_gate_spec(rng)
+    _dense_check(spec, dims, inputs)
+
+
+def test_sfs_smooth_depth_validates_assembled():
+    """shape_from_shading regression pin for the round-4 fix: at smooth
+    depth the ``eq(valid, 1)`` ComputedArray gate fires at a sparse pixel
+    population; the assembled operator must carry the shading-smoothness
+    couplings there (pre-fix they were probe-pruned and validate_assembly
+    demoted every SFS solve to the composed path — BENCH sfs512 176 vs 246
+    GN it/s since round 2)."""
+    from opt_tpu.models.specs import shape_from_shading
+
+    n = 64
+    rng = np.random.RandomState(0)
+    depth = 2.0 + rng.rand(n, n).astype(np.float32) * 0.1
+    inputs = {
+        "X": depth.copy(),
+        "D_i": depth,
+        "Im": rng.rand(n, n).astype(np.float32),
+        "edgeMaskR": np.ones((n, n), np.float32),
+        "edgeMaskC": np.ones((n, n), np.float32),
+        "w_p": 1.0, "w_s": 10.0, "w_g": 1.0,
+        "f_x": 500.0, "f_y": 500.0, "u_x": n / 2.0, "u_y": n / 2.0,
+        **{f"L_{i}": (0.5 if i == 1 else 0.1) for i in range(1, 10)},
+    }
+    plan = ot.Problem(shape_from_shading).plan(dims={"W": n, "H": n})
+    X, c, g, p = plan._normalize_and_place(dict(inputs))
+    unknowns = {k: X[k] for k in plan.compiled.unknown_names}
+    assert plan.solver.validate_assembly(unknowns, c, g, p)
+    res = plan.solve(dict(inputs), nIterations=2, lIterations=5)
+    assert plan.fused_fallback is None
+    assert np.isfinite(res.final_cost)

@@ -30,7 +30,11 @@ GOLDEN = {
     "cotangent_mesh_smoothing": ("LMGPU", 8, 40, 3.7031397819519043),
     "embedded_mesh_deformation": ("LMGPU", 10, 40, 47.63282775878906),
     "robust_nonrigid_alignment": ("LMGPU", 8, 40, 33.04822540283203),
-    "shape_from_shading": ("LMGPU", 8, 30, 50.383064),  # re-recorded: ComputedArray precompute changes float op order
+    # re-recorded r4: the computed-gate taint fix restored the E_s
+    # couplings to the assembled operator and Jacobi diagonal (they were
+    # probe-pruned; the solve ran the composed fallback) — the corrected
+    # preconditioner converges to a LOWER final cost (was 50.383064)
+    "shape_from_shading": ("LMGPU", 8, 30, 47.196999),
 }
 
 
