@@ -255,11 +255,21 @@ def bench_arap_graph(n_side=192, n_outer=8, n_inner=100):
     assert plan.fused_fallback is None, plan.fused_fallback
     # split per-GN-step fixed cost (assembly + JtF + diag) from the CG loop:
     # the delta between lIterations=1 and lIterations=n_inner runs is pure
-    # CG (documents VERDICT r1 #2 progress in the recorded bench JSON)
+    # CG (documents VERDICT r1 #2 progress in the recorded bench JSON).
+    # A third point at nIterations=0 isolates the per-SOLVE dispatch (one
+    # rig round trip, ~30 ms through the tunnel, ~1 ms attached) so the
+    # recorded fixed cost is per-step device work, not amortized latency.
     secs1, _ = _time_solve(plan, inputs, n_outer, 1, repeats=3)
-    fixed_ms = secs1 / n_outer * 1e3
+    secs0, _ = _time_solve(plan, inputs, 0, 1, repeats=3)
+    fixed_ms = (secs1 - secs0) / n_outer * 1e3
     per_cg_ms = (secs - secs1) / n_outer / max(1, n_inner - 1) * 1e3
-    return res.num_iterations / secs, res.final_cost, fixed_ms, per_cg_ms
+    return (
+        res.num_iterations / secs,
+        res.final_cost,
+        fixed_ms,
+        per_cg_ms,
+        secs0 * 1e3,
+    )
 
 
 def bench_arap_irregular(n_outer=8, n_inner=100):
@@ -317,9 +327,16 @@ def bench_arap_irregular(n_outer=8, n_inner=100):
     # through the bench record
     assert plan.fused_fallback is None, plan.fused_fallback
     secs1, _ = _time_solve(plan, inputs, n_outer, 1, repeats=3)
-    fixed_ms = secs1 / n_outer * 1e3
+    secs0, _ = _time_solve(plan, inputs, 0, 1, repeats=3)
+    fixed_ms = (secs1 - secs0) / n_outer * 1e3
     per_cg_ms = (secs - secs1) / n_outer / max(1, n_inner - 1) * 1e3
-    return res.num_iterations / secs, res.final_cost, fixed_ms, per_cg_ms
+    return (
+        res.num_iterations / secs,
+        res.final_cost,
+        fixed_ms,
+        per_cg_ms,
+        secs0 * 1e3,
+    )
 
 
 def bench_optical_flow(n=256, levels=2, n_outer=2, n_inner=50, repeats=4):
@@ -770,11 +787,11 @@ def main():
         bench_poisson, 4
     )
     gn_rate, warp_cost = _case(bench_image_warping, 2)
-    arap_rate, arap_cost, arap_fixed_ms, arap_cg_ms = _case(
-        bench_arap_graph, 4
+    arap_rate, arap_cost, arap_fixed_ms, arap_cg_ms, arap_rig_ms = _case(
+        bench_arap_graph, 5
     )
-    airr_rate, airr_cost, airr_fixed_ms, airr_cg_ms = _case(
-        bench_arap_irregular, 4
+    airr_rate, airr_cost, airr_fixed_ms, airr_cg_ms, airr_rig_ms = _case(
+        bench_arap_irregular, 5
     )
     flow_rate, flow_cost, flow_fixed_ms, flow_cg_ms, flow_host_rate = _case(
         bench_optical_flow, 5
@@ -797,9 +814,11 @@ def main():
             "gn_iters_per_sec_arap36k_vertices": round(arap_rate, 2),
             "arap_per_step_fixed_ms": round(arap_fixed_ms, 2),
             "arap_per_cg_iter_ms": round(arap_cg_ms, 4),
+            "arap_per_solve_rig_ms": round(arap_rig_ms, 2),
             "gn_iters_per_sec_arap31k_irregular": round(airr_rate, 2),
             "arap_irregular_per_step_fixed_ms": round(airr_fixed_ms, 2),
             "arap_irregular_per_cg_iter_ms": round(airr_cg_ms, 4),
+            "arap_irregular_per_solve_rig_ms": round(airr_rig_ms, 2),
             "arap_irregular_final_cost": float(airr_cost),
             "gn_iters_per_sec_optical_flow256_pyramid": round(flow_rate, 2),
             "optical_flow_fixed_ms": round(flow_fixed_ms, 3),
