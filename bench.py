@@ -20,15 +20,59 @@ from __future__ import annotations
 
 import json
 import os
+import signal
 import subprocess
 import sys
+import threading
 import time
 
 import numpy as np
 
+# ---------------------------------------------------------------------------
+# Wall-clock budget (VERDICT r4 missing#1: rounds 3 and 4 produced no
+# driver-captured perf record — r4 blew the driver's time budget with rc=124
+# and, because the single JSON line prints only at the very end, the round's
+# official record was empty). The bench now enforces its OWN deadline:
+#   * BENCH_BUDGET_S (default 1100 s) caps the whole run;
+#   * BENCH_CASE_TIMEOUT_S (default 420 s) caps any one case;
+#   * a daemon watchdog thread emits the cumulative JSON record and exits the
+#     process if the main thread is stuck inside a native call (the tunnel's
+#     documented execution-blocks-forever mode, docs/PERFORMANCE.md) — a
+#     Python signal handler cannot fire there, a thread can;
+#   * SIGTERM/SIGINT emit the partial record before dying (`timeout` sends
+#     SIGTERM first);
+#   * cases run headline-first, the record is re-written after every case.
+# The reference's equivalent guarantee: its TIMING table always prints
+# (/root/reference/API/src/util.t:469-508).
+# ---------------------------------------------------------------------------
+BENCH_START = time.time()
+BENCH_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1100"))
+BENCH_CASE_TIMEOUT_S = float(os.environ.get("BENCH_CASE_TIMEOUT_S", "420"))
+BENCH_DEADLINE = BENCH_START + BENCH_BUDGET_S
 
-def _ensure_live_backend(probe_timeout_s: float = 300.0) -> None:
+
+def _time_left() -> float:
+    return BENCH_DEADLINE - time.time()
+
+
+def _ensure_live_backend() -> None:
     """Fall back to CPU when the configured accelerator backend is dead.
+
+    OPT_TPU_BENCH_FORCE_CPU pins the host platform outright (tests: the
+    rig's sitecustomize pre-imports jax pinned to the tunneled TPU, so
+    JAX_PLATFORMS in the environment is ineffective — jax.config.update
+    before first backend use is the only lever; .claude/skills/verify)."""
+    if os.environ.get("OPT_TPU_BENCH_FORCE_CPU"):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        os.environ["BENCH_BACKEND"] = "cpu-forced"
+        return
+    _ensure_live_backend_probe()
+
+
+def _ensure_live_backend_probe() -> None:
+    """Probe-based backend selection (the real bench path).
 
     The rig reaches its TPU through a tunnel; if the tunnel is down, the
     first ``jax.devices()`` blocks forever and the whole bench (and the
@@ -37,6 +81,7 @@ def _ensure_live_backend(probe_timeout_s: float = 300.0) -> None:
     any backend use. Results are tagged via the BENCH_BACKEND env var read
     by main()."""
     if os.environ.get("OPT_TPU_BENCH_NO_PROBE"):
+        os.environ.setdefault("BENCH_BACKEND", "default")
         return
     # the probe must EXECUTE a computation, not just enumerate devices:
     # a half-dead tunnel can accept connections (jax.devices() returns)
@@ -44,9 +89,13 @@ def _ensure_live_backend(probe_timeout_s: float = 300.0) -> None:
     # observed 2026-08-18; an enumeration-only probe passed and the
     # bench then hung with zero CPU progress. The tunnel also FLAPS on a
     # minutes timescale (observed 2026-08-19: alive probes bracketing a
-    # failed one), so retry a few times before writing off the round's
-    # accelerator numbers.
-    for attempt in range(4):
+    # failed one), so retry before writing off the round's accelerator
+    # numbers — but the whole probe phase is capped at ~25% of the wall
+    # budget (r4's probe alone could burn 12.5 min, VERDICT weak#1).
+    probe_deadline = BENCH_START + min(300.0, 0.25 * BENCH_BUDGET_S)
+    attempt = 0
+    while time.time() < probe_deadline:
+        attempt += 1
         try:
             subprocess.run(
                 [
@@ -55,7 +104,7 @@ def _ensure_live_backend(probe_timeout_s: float = 300.0) -> None:
                     "import jax, jax.numpy as jnp; "
                     "print(float(jnp.arange(64.0).sum()))",
                 ],
-                timeout=probe_timeout_s / 2 if attempt else probe_timeout_s,
+                timeout=max(10.0, min(120.0, probe_deadline - time.time())),
                 check=True,
                 capture_output=True,
             )
@@ -63,10 +112,11 @@ def _ensure_live_backend(probe_timeout_s: float = 300.0) -> None:
             return
         except Exception:
             print(
-                f"bench: backend probe attempt {attempt + 1} failed",
+                f"bench: backend probe attempt {attempt} failed "
+                f"({_time_left():.0f}s budget left)",
                 file=sys.stderr,
             )
-            time.sleep(60.0 * min(2, attempt + 1))
+            time.sleep(min(15.0, max(0.0, probe_deadline - time.time())))
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -90,10 +140,60 @@ def _persist_live(out: dict) -> None:
     flaps on a minutes timescale; round 3's record was lost because the
     snapshot-time bench fell back to CPU (VERDICT r3 weak#1). A mid-round
     live run committed here documents the round even if the tunnel is dead
-    when the driver takes its snapshot."""
+    when the driver takes its snapshot.
+
+    Merge semantics: a partial run (deadline truncation, or a subset via
+    OPT_TPU_BENCH_CASES — the cheap post-merge refresh target, VERDICT r4
+    next#9) updates only the metrics it measured and keeps the rest of the
+    previous live record, so a headline-only refresh never wipes the other
+    metrics' record."""
     if out.get("extra", {}).get("backend") != "default":
         return
+    if os.environ.get("OPT_TPU_BENCH_NO_PERSIST") or os.environ.get(
+        "OPT_TPU_BENCH_SIMULATE_HANG"
+    ):
+        return  # test runs never touch the committed live record
+    measured = {
+        k: v
+        for k, v in (out.get("extra") or {}).items()
+        if v is not None
+        and k not in ("backend", "truncated", "deltas_vs_best_prior_pct")
+        and not isinstance(v, dict)
+    }
+    if not measured and out.get("value") is None:
+        return  # nothing was measured; keep the previous record intact
+    try:
+        import jax
+
+        # the BENCH_BACKEND env tag says "default" whenever the probe passed
+        # (or was skipped); only an actual accelerator run may touch the
+        # committed live record — a CPU run must never refresh its
+        # recorded_at/device provenance
+        if jax.devices()[0].platform == "cpu":
+            return
+    except Exception:
+        return
     rec = dict(out)
+    try:
+        with open(BENCH_LIVE_PATH) as f:
+            prev = json.load(f)
+        merged_extra = dict(prev.get("extra") or {})
+        merged_extra.pop("truncated", None)
+        merged_extra.update(measured)
+        merged_extra["backend"] = "default"
+        deltas = (out.get("extra") or {}).get("deltas_vs_best_prior_pct")
+        if deltas:
+            merged_extra["deltas_vs_best_prior_pct"] = deltas
+        rec["extra"] = merged_extra
+        if out.get("value") is None and prev.get("metric") == out.get("metric"):
+            rec["value"] = prev.get("value")
+            rec["vs_baseline"] = prev.get("vs_baseline")
+        rec["refreshed_metrics"] = sorted(measured)
+        rec.pop("regressions", None)
+        if out.get("regressions"):
+            rec["regressions"] = out["regressions"]
+    except Exception:
+        pass
     rec["recorded_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
     try:
         import jax
@@ -767,99 +867,242 @@ def _regression_report(out):
     out["regressions"] = regressions
 
 
-def _case(fn, n_out, *args, **kwargs):
-    """Run one bench case; on failure report and return NaNs so a single
-    broken case (e.g. a kernel VMEM compile error on new hardware) cannot
-    erase the whole round's record (round 4: a 32³ volumetric fused-kernel
-    VMEM overflow killed the entire early bench run)."""
-    import traceback
+# ---------------------------------------------------------------------------
+# Case table + deadline-aware runner. Headline case FIRST; the cumulative
+# record is re-written to BENCH_PARTIAL.json after every case and the final
+# JSON line is emitted exactly once — by normal completion, by the watchdog
+# on deadline/case-timeout, or by the SIGTERM handler. Cases not reached are
+# listed under extra.truncated.
+# ---------------------------------------------------------------------------
 
+HEADLINE_KEY = "pcg_iters_per_sec_poisson512_float4"
+
+# (case name, bench fn, [(metric key, round digits | None=raw float)])
+CASES = [
+    ("poisson", lambda: bench_poisson(), [
+        (HEADLINE_KEY, 2),
+        ("poisson_final_cost", None),
+        ("pcg_iters_per_sec_poisson512_bf16coeff", 2),
+        ("poisson_bf16coeff_final_cost", None),
+    ]),
+    ("arap", lambda: bench_arap_graph(), [
+        ("gn_iters_per_sec_arap36k_vertices", 2),
+        ("arap_final_cost", None),
+        ("arap_per_step_fixed_ms", 2),
+        ("arap_per_cg_iter_ms", 4),
+        ("arap_per_solve_rig_ms", 2),
+    ]),
+    # early slot: the round-4 taint fix (commit 6e9b32e) landed after the
+    # last live record; re-measure SFS before lower-priority cases
+    ("sfs", lambda: bench_shape_from_shading(), [
+        ("gn_iters_per_sec_sfs512", 2),
+        ("sfs_final_cost", None),
+    ]),
+    ("image_warping", lambda: bench_image_warping(), [
+        ("gn_iters_per_sec_image_warping512", 2),
+        ("image_warping_final_cost", None),
+    ]),
+    ("arap_irregular", lambda: bench_arap_irregular(), [
+        ("gn_iters_per_sec_arap31k_irregular", 2),
+        ("arap_irregular_final_cost", None),
+        ("arap_irregular_per_step_fixed_ms", 2),
+        ("arap_irregular_per_cg_iter_ms", 4),
+        ("arap_irregular_per_solve_rig_ms", 2),
+    ]),
+    ("optical_flow", lambda: bench_optical_flow(), [
+        ("gn_iters_per_sec_optical_flow256_pyramid", 2),
+        ("optical_flow_final_cost", None),
+        ("optical_flow_fixed_ms", 3),
+        ("optical_flow_per_cg_iter_ms", 4),
+        ("gn_iters_per_sec_optical_flow256_hostloop", 2),
+    ]),
+    ("robust_nonrigid", lambda: bench_robust_nonrigid(), [
+        ("gn_iters_per_sec_robust_nonrigid10k", 2),
+        ("robust_nonrigid_final_cost", None),
+    ]),
+    ("intrinsic", lambda: bench_intrinsic(), [
+        ("gn_iters_per_sec_intrinsic512", 2),
+        ("intrinsic_final_cost", None),
+    ]),
+    ("volumetric", lambda: bench_volumetric(), [
+        ("gn_iters_per_sec_volumetric32", 2),
+        ("volumetric_final_cost", None),
+    ]),
+    ("cotangent", lambda: bench_cotangent(), [
+        ("gn_iters_per_sec_cotangent10k", 2),
+        ("cotangent_final_cost", None),
+    ]),
+    ("embedded", lambda: bench_embedded(), [
+        ("gn_iters_per_sec_embedded10k", 2),
+        ("embedded_final_cost", None),
+    ]),
+    ("batched", lambda: bench_batched_curve_fitting(), [
+        ("batched_lm_curvefits_per_sec", 1),
+        ("batched_curvefit_max_param_err", None),
+    ]),
+]
+
+BENCH_PARTIAL_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH_PARTIAL.json"
+)
+
+_STATE = {
+    "extra": {},       # metric key -> value (None until measured)
+    "done": [],
+    "skipped": [],     # cases never started (deadline or selection)
+    "current": None,
+    "case_deadline": None,
+    "emitted": False,
+    "lock": threading.Lock(),
+}
+
+
+def _round(v, digits):
     try:
-        return fn(*args, **kwargs)
-    except Exception:
-        print(f"bench: case {fn.__name__} FAILED:", file=sys.stderr)
-        traceback.print_exc()
-        return (float("nan"),) * n_out
+        v = float(v)
+    except (TypeError, ValueError):
+        return None
+    if v != v:  # NaN is not valid JSON; failed cases become null
+        return None
+    return round(v, digits) if digits is not None else v
 
 
-def main():
-    pcg_rate, poisson_cost, pcg16_rate, poisson16_cost = _case(
-        bench_poisson, 4
-    )
-    gn_rate, warp_cost = _case(bench_image_warping, 2)
-    arap_rate, arap_cost, arap_fixed_ms, arap_cg_ms, arap_rig_ms = _case(
-        bench_arap_graph, 5
-    )
-    airr_rate, airr_cost, airr_fixed_ms, airr_cg_ms, airr_rig_ms = _case(
-        bench_arap_irregular, 5
-    )
-    flow_rate, flow_cost, flow_fixed_ms, flow_cg_ms, flow_host_rate = _case(
-        bench_optical_flow, 5
-    )
-    robust_rate, robust_cost = _case(bench_robust_nonrigid, 2)
-    sfs_rate, sfs_cost = _case(bench_shape_from_shading, 2)
-    intr_rate, intr_cost = _case(bench_intrinsic, 2)
-    vol_rate, vol_cost = _case(bench_volumetric, 2)
-    cot_rate, cot_cost = _case(bench_cotangent, 2)
-    emb_rate, emb_cost = _case(bench_embedded, 2)
-    batch_rate, batch_err = _case(bench_batched_curve_fitting, 2)
+def _build_out(truncated_reason=None):
+    extra = {"backend": os.environ.get("BENCH_BACKEND", "default")}
+    for _, _, keys in CASES:
+        for k, _d in keys:
+            if k != HEADLINE_KEY:
+                extra[k] = _STATE["extra"].get(k)
+    headline = _STATE["extra"].get(HEADLINE_KEY)
     out = {
-        "metric": "pcg_iters_per_sec_poisson512_float4",
-        "value": round(pcg_rate, 2),
+        "metric": HEADLINE_KEY,
+        "value": headline,
         "unit": "iters/s",
-        "vs_baseline": round(pcg_rate / NOMINAL_REF_PCG_ITERS_PER_SEC, 3),
-        "extra": {
-            "backend": os.environ.get("BENCH_BACKEND", "default"),
-            "gn_iters_per_sec_image_warping512": round(gn_rate, 2),
-            "gn_iters_per_sec_arap36k_vertices": round(arap_rate, 2),
-            "arap_per_step_fixed_ms": round(arap_fixed_ms, 2),
-            "arap_per_cg_iter_ms": round(arap_cg_ms, 4),
-            "arap_per_solve_rig_ms": round(arap_rig_ms, 2),
-            "gn_iters_per_sec_arap31k_irregular": round(airr_rate, 2),
-            "arap_irregular_per_step_fixed_ms": round(airr_fixed_ms, 2),
-            "arap_irregular_per_cg_iter_ms": round(airr_cg_ms, 4),
-            "arap_irregular_per_solve_rig_ms": round(airr_rig_ms, 2),
-            "arap_irregular_final_cost": float(airr_cost),
-            "gn_iters_per_sec_optical_flow256_pyramid": round(flow_rate, 2),
-            "optical_flow_fixed_ms": round(flow_fixed_ms, 3),
-            "optical_flow_per_cg_iter_ms": round(flow_cg_ms, 4),
-            "gn_iters_per_sec_optical_flow256_hostloop": round(
-                flow_host_rate, 2
-            ),
-            "gn_iters_per_sec_robust_nonrigid10k": round(robust_rate, 2),
-            "gn_iters_per_sec_sfs512": round(sfs_rate, 2),
-            "gn_iters_per_sec_intrinsic512": round(intr_rate, 2),
-            "gn_iters_per_sec_volumetric32": round(vol_rate, 2),
-            "gn_iters_per_sec_cotangent10k": round(cot_rate, 2),
-            "gn_iters_per_sec_embedded10k": round(emb_rate, 2),
-            "batched_lm_curvefits_per_sec": round(batch_rate, 1),
-            "batched_curvefit_max_param_err": batch_err,
-            "pcg_iters_per_sec_poisson512_bf16coeff": round(pcg16_rate, 2),
-            "poisson_bf16coeff_final_cost": float(poisson16_cost),
-            "poisson_final_cost": float(poisson_cost),
-            "image_warping_final_cost": float(warp_cost),
-            "arap_final_cost": float(arap_cost),
-            "optical_flow_final_cost": float(flow_cost),
-            "robust_nonrigid_final_cost": float(robust_cost),
-            "sfs_final_cost": float(sfs_cost),
-        },
+        "vs_baseline": (
+            round(headline / NOMINAL_REF_PCG_ITERS_PER_SEC, 3)
+            if isinstance(headline, (int, float))
+            else None
+        ),
+        "extra": extra,
     }
+    not_run = [n for n, _, _ in CASES if n not in _STATE["done"]]
+    if truncated_reason or not_run != []:
+        out["extra"]["truncated"] = {
+            "reason": truncated_reason or "cases skipped",
+            "cases_not_run": not_run,
+            "elapsed_s": round(time.time() - BENCH_START, 1),
+            "budget_s": BENCH_BUDGET_S,
+        }
     _regression_report(out)
+    return out
 
-    def _denan(obj):
-        # NaN is not valid JSON; failed cases become null
-        if isinstance(obj, dict):
-            return {k: _denan(v) for k, v in obj.items()}
-        if isinstance(obj, float) and obj != obj:
-            return None
-        return obj
 
-    out = _denan(out)
+def _write_partial():
+    try:
+        with open(BENCH_PARTIAL_PATH, "w") as f:
+            json.dump(_build_out("in progress"), f, indent=1)
+            f.write("\n")
+    except Exception:
+        pass
+
+
+def _emit_final(truncated_reason=None):
+    """Print THE one JSON line to stdout (exactly once, from whichever of
+    the normal path / watchdog / signal handler gets here first)."""
+    with _STATE["lock"]:
+        if _STATE["emitted"]:
+            return
+        _STATE["emitted"] = True
+    out = _build_out(truncated_reason)
     if out["extra"]["backend"] == "default":
         _persist_live(out)
     else:
         _attach_last_live(out)
-    print(json.dumps(out))
+    print(json.dumps(out), flush=True)
+
+
+def _watchdog():
+    while True:
+        time.sleep(1.0)
+        now = time.time()
+        cd, cur = _STATE["case_deadline"], _STATE["current"]
+        if now > BENCH_DEADLINE:
+            reason = f"global budget {BENCH_BUDGET_S:.0f}s exhausted" + (
+                f" during case {cur}" if cur else ""
+            )
+        elif cd is not None and now > cd:
+            reason = f"case {cur} exceeded its timeout"
+        else:
+            continue
+        print(f"bench: WATCHDOG: {reason}; emitting partial record",
+              file=sys.stderr, flush=True)
+        _emit_final(reason)
+        os._exit(0)
+
+
+def _on_term(signum, frame):  # pragma: no cover - exercised by the driver
+    _emit_final(f"terminated by signal {signum}")
+    os._exit(1)
+
+
+def main():
+    threading.Thread(target=_watchdog, daemon=True).start()
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            signal.signal(sig, _on_term)
+        except (ValueError, OSError):
+            pass
+    sel = os.environ.get("OPT_TPU_BENCH_CASES")
+    selected = set(s.strip() for s in sel.split(",")) if sel else None
+    hang_case = os.environ.get("OPT_TPU_BENCH_SIMULATE_HANG")
+    import traceback
+
+    for name, fn, keys in CASES:
+        if selected is not None and name not in selected:
+            _STATE["skipped"].append(name)
+            continue
+        left = _time_left()
+        if left < 60.0:
+            _STATE["skipped"].append(name)
+            print(f"bench: skipping {name} ({left:.0f}s budget left)",
+                  file=sys.stderr, flush=True)
+            continue
+        _STATE["current"] = name
+        _STATE["case_deadline"] = time.time() + min(
+            BENCH_CASE_TIMEOUT_S, left
+        )
+        t0 = time.time()
+        print(f"bench: case {name} starting ({left:.0f}s budget left)",
+              file=sys.stderr, flush=True)
+        try:
+            if hang_case == name:
+                # test hook: prove the watchdog still yields a parsed
+                # record when a case blocks forever (tests/test_bench_record)
+                time.sleep(10 * BENCH_BUDGET_S + 3600)
+            vals = fn()
+            for (k, digits), v in zip(keys, vals, strict=True):
+                _STATE["extra"][k] = _round(v, digits)
+        except Exception:
+            # one broken case (e.g. a kernel VMEM compile error on new
+            # hardware) must not erase the round's record (r4: a 32^3
+            # volumetric VMEM overflow killed an entire early bench run)
+            print(f"bench: case {name} FAILED:", file=sys.stderr)
+            traceback.print_exc()
+        _STATE["case_deadline"] = None
+        _STATE["current"] = None
+        _STATE["done"].append(name)
+        _write_partial()
+        print(
+            f"bench: case {name} done in {time.time() - t0:.1f}s "
+            f"({_time_left():.0f}s budget left)",
+            file=sys.stderr, flush=True,
+        )
+    reason = None
+    if any(n not in _STATE["done"] for n, _, _ in CASES):
+        reason = (
+            "case selection" if selected is not None else "budget exhausted"
+        )
+    _emit_final(reason)
 
 
 if __name__ == "__main__":
