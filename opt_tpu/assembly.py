@@ -2018,6 +2018,7 @@ def assemble(compiled, plan: AssemblyPlan, X, consts, graphs, params,
     cg_meta = plan_fused_grid_cg(
         compiled, plan, fields, w_layouts, grp_exec, pair_exec, g_unhandled,
         coeff_dtype=coeff_dtype,
+        vmem_scale=(mesh.size if mesh is not None else 1),
     )
     if cg_meta is None and grp_exec and mesh is None:
         # graph analogue: DIA-covered meshes fold the vertex axis into a

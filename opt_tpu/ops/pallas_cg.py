@@ -157,6 +157,174 @@ def _flat_roll(x, s: int, interpret: bool):
     return jnp.where(col >= b, xa, xb)
 
 
+def _run_cg(
+    b,
+    apply,
+    prec,
+    dot,
+    lits,
+    tol,
+    *,
+    guard_div: bool,
+    lm: bool,
+    cs: bool,
+    reset_period=None,
+    q_tol=None,
+):
+    """Shared CG inner-loop driver: the four loop bodies (GN/LM ×
+    standard/Chronopoulos–Gear) over abstract ``apply``/``prec``/``dot``
+    callables. The in-kernel single-device path passes local jnp ops; the
+    sharded shard_map path (sharded_fused_grid_cg) passes a halo-exchanging
+    apply and a psum'd dot — one algebra, so the two paths agree by
+    construction (exits, counted iterations, guards).
+
+    Returns (delta, iterations executed). Mirrors
+    GaussNewtonSolver._gn_step/_lm_step and the reference's PCG kernel
+    split (solverGPUGaussNewton.t:421-550); LM adds the drift-cancelling
+    residual recomputation every ``reset_period`` iterations (t:491-534)
+    and the Ceres Q/ζ early exit (t:446-489, t:1093-1102)."""
+
+    def safe_div(num, den):
+        if not guard_div:
+            return num / den
+        return jnp.where(den > 0, num / jnp.where(den > 0, den, 1.0), 0.0)
+
+    r = b
+    p = prec(r)
+    rz0 = dot(r, p)
+    floor = tol * rz0
+
+    def cond(c):
+        l, brk = c[-2], c[-1]
+        return jnp.logical_and(l < lits, jnp.logical_not(brk))
+
+    def gn_body(c):
+        delta, r, p, rz, l, brk = c
+        Ap = apply(p)
+        den = dot(p, Ap)
+        alpha = safe_div(rz, den)
+        delta = delta + alpha * p
+        r = r - alpha * Ap
+        z = prec(r)
+        rz_new = dot(z, r)
+        beta = safe_div(rz_new, rz)
+        p = z + beta * p
+        brk = jnp.logical_or(rz_new <= floor, den <= 0)
+        return (delta, r, p, rz_new, l + 1, brk)
+
+    def lm_body(c):
+        delta, r, p, rz, Q0, l, brk = c
+        Ap = apply(p)
+        den = dot(p, Ap)
+        alpha = safe_div(rz, den)
+        delta = delta + alpha * p
+        use_reset = (l + 1) % reset_period == 0
+        r = jax.lax.cond(
+            use_reset,
+            lambda _: b - apply(delta),
+            lambda _: r - alpha * Ap,
+            None,
+        )
+        z = prec(r)
+        rz_new = dot(z, r)
+        Q1 = 0.5 * dot(delta, b + r)
+        beta = safe_div(rz_new, rz)
+        p = z + beta * p
+        zeta = (l + 1).astype(b.dtype) * (Q1 - Q0) / Q1
+        brk = zeta < q_tol
+        brk = jnp.logical_or(brk, rz_new <= floor)
+        return (delta, r, p, rz_new, Q1, l + 1, brk)
+
+    # Chronopoulos–Gear single-reduction bodies: same recurrences as
+    # GaussNewtonSolver._cs_recurrence / body_cs, so the fused kernel and
+    # the headline communication-reduced variant compose (VERDICT r3 #5).
+    # γ=rᵀu and δ=uᵀAu (plus Q under LM) are independent reductions; the
+    # exits fire one iteration later by construction, with identical
+    # counted lin_iters to the XLA CS loops.
+    def cs_pipeline(delta, r, p, s, u, w, gamma, gamma_new, delta_d,
+                    alpha_prev, first, stop_now):
+        beta = jnp.where(
+            first, jnp.zeros_like(gamma_new), safe_div(gamma_new, gamma)
+        )
+        den = delta_d - beta * safe_div(gamma_new, alpha_prev)
+        used_den = jnp.where(first, delta_d, den)
+        alpha = jnp.where(
+            stop_now, jnp.zeros_like(gamma_new), safe_div(gamma_new, used_den)
+        )
+        p = u + beta * p
+        s = w + beta * s
+        delta = delta + alpha * p
+        r = r - alpha * s
+        return delta, r, p, s, alpha, used_den
+
+    def gn_cs_body(c):
+        delta, r, p, s, gamma, alpha_prev, l, brk = c
+        u = prec(r)
+        w = apply(u)
+        gamma_new = dot(r, u)
+        delta_d = dot(u, w)
+        first = l == 0
+        stop_now = jnp.logical_and(
+            jnp.logical_not(first), gamma_new <= floor
+        )
+        delta, r, p, s, alpha, used_den = cs_pipeline(
+            delta, r, p, s, u, w, gamma, gamma_new, delta_d,
+            alpha_prev, first, stop_now,
+        )
+        brk = jnp.logical_or(stop_now, used_den <= 0)
+        l = l + jnp.where(stop_now, 0, 1)
+        return (delta, r, p, s, gamma_new, alpha, l, brk)
+
+    def lm_cs_body(c):
+        delta, r, p, s, gamma, alpha_prev, Q0c, l, brk = c
+        u = prec(r)
+        w = apply(u)  # includes + CtC·p
+        gamma_new = dot(r, u)
+        delta_d = dot(u, w)
+        Qcur = 0.5 * dot(delta, b + r)
+        first = l == 0
+        zeta = l.astype(b.dtype) * (Qcur - Q0c) / Qcur
+        stop_now = jnp.logical_and(
+            jnp.logical_not(first),
+            jnp.logical_or(gamma_new <= floor, zeta < q_tol),
+        )
+        delta, r, p, s, alpha, used_den = cs_pipeline(
+            delta, r, p, s, u, w, gamma, gamma_new, delta_d,
+            alpha_prev, first, stop_now,
+        )
+        l_new = l + jnp.where(stop_now, 0, 1)
+        use_reset = jnp.logical_and(
+            l_new % reset_period == 0, jnp.logical_not(stop_now)
+        )
+        r = jax.lax.cond(
+            use_reset, lambda _: b - apply(delta), lambda _: r, None
+        )
+        brk = jnp.logical_or(stop_now, used_den <= 0)
+        return (delta, r, p, s, gamma_new, alpha, Qcur, l_new, brk)
+
+    zero_l = jnp.zeros((), jnp.int32)
+    false_ = jnp.zeros((), jnp.bool_)
+    one = jnp.ones((), b.dtype)
+    zeros_b = jnp.zeros_like(b)
+    if cs and lm:
+        init = (zeros_b, r, zeros_b, zeros_b, one, one,
+                jnp.zeros((), b.dtype), zero_l, false_)
+        out = jax.lax.while_loop(cond, lm_cs_body, init)
+        return out[0], out[7]
+    elif cs:
+        init = (zeros_b, r, zeros_b, zeros_b, one, one, zero_l, false_)
+        out = jax.lax.while_loop(cond, gn_cs_body, init)
+        return out[0], out[6]
+    elif lm:
+        init = (zeros_b, r, p, rz0, jnp.zeros((), b.dtype), zero_l, false_)
+        out = jax.lax.while_loop(cond, lm_body, init)
+        return out[0], out[5]
+    else:
+        init = (zeros_b, r, p, rz0, zero_l, false_)
+        out = jax.lax.while_loop(cond, gn_body, init)
+        return out[0], out[4]
+
+
 def _kernel(
     *refs,
     triples: Tuple[Tuple[Tuple[int, int], int, int, int], ...],
@@ -305,153 +473,19 @@ def _kernel(
             out = out + ctc * p  # + CtC·p (o.t:2076-2082)
         return out
 
-    def safe_div(num, den):
-        if not guard_div:
-            return num / den
-        return jnp.where(den > 0, num / jnp.where(den > 0, den, 1.0), 0.0)
-
-    r = b
-    p = prec(r)
-    rz0 = jnp.sum(r * p)
-    floor = tol_ref[0] * rz0
-    lits = lits_ref[0]
-    if lm:
-        reset_period = reset_ref[0]
-        q_tol = qtol_ref[0]
-
-    def cond(c):
-        l, brk = c[-2], c[-1]
-        return jnp.logical_and(l < lits, jnp.logical_not(brk))
-
-    def gn_body(c):
-        delta, r, p, rz, l, brk = c
-        Ap = apply(p)
-        den = jnp.sum(p * Ap)
-        alpha = safe_div(rz, den)
-        delta = delta + alpha * p
-        r = r - alpha * Ap
-        z = prec(r)
-        rz_new = jnp.sum(z * r)
-        beta = safe_div(rz_new, rz)
-        p = z + beta * p
-        brk = jnp.logical_or(rz_new <= floor, den <= 0)
-        return (delta, r, p, rz_new, l + 1, brk)
-
-    def lm_body(c):
-        # mirrors GaussNewtonSolver._lm_step body: drift-cancelling residual
-        # recomputation every reset_period iterations (t:491-534) and the
-        # Ceres Q/ζ early exit (t:446-489, t:1093-1102)
-        delta, r, p, rz, Q0, l, brk = c
-        Ap = apply(p)
-        den = jnp.sum(p * Ap)
-        alpha = safe_div(rz, den)
-        delta = delta + alpha * p
-        use_reset = (l + 1) % reset_period == 0
-        r = jax.lax.cond(
-            use_reset,
-            lambda _: b - apply(delta),
-            lambda _: r - alpha * Ap,
-            None,
-        )
-        z = prec(r)
-        rz_new = jnp.sum(z * r)
-        Q1 = 0.5 * jnp.sum(delta * (b + r))
-        beta = safe_div(rz_new, rz)
-        p = z + beta * p
-        zeta = (l + 1).astype(b.dtype) * (Q1 - Q0) / Q1
-        brk = zeta < q_tol
-        brk = jnp.logical_or(brk, rz_new <= floor)
-        return (delta, r, p, rz_new, Q1, l + 1, brk)
-
-    # Chronopoulos–Gear single-reduction bodies: same recurrences as
-    # GaussNewtonSolver._cs_recurrence / body_cs, so the fused kernel and
-    # the headline communication-reduced variant compose (VERDICT r3 #5).
-    # γ=rᵀu and δ=uᵀAu (plus Q under LM) are independent reductions; the
-    # exits fire one iteration later by construction, with identical
-    # counted lin_iters to the XLA CS loops.
-    def cs_pipeline(delta, r, p, s, u, w, gamma, gamma_new, delta_d,
-                    alpha_prev, first, stop_now):
-        beta = jnp.where(
-            first, jnp.zeros_like(gamma_new), safe_div(gamma_new, gamma)
-        )
-        den = delta_d - beta * safe_div(gamma_new, alpha_prev)
-        used_den = jnp.where(first, delta_d, den)
-        alpha = jnp.where(
-            stop_now, jnp.zeros_like(gamma_new), safe_div(gamma_new, used_den)
-        )
-        p = u + beta * p
-        s = w + beta * s
-        delta = delta + alpha * p
-        r = r - alpha * s
-        return delta, r, p, s, alpha, used_den
-
-    def gn_cs_body(c):
-        delta, r, p, s, gamma, alpha_prev, l, brk = c
-        u = prec(r)
-        w = apply(u)
-        gamma_new = jnp.sum(r * u)
-        delta_d = jnp.sum(u * w)
-        first = l == 0
-        stop_now = jnp.logical_and(
-            jnp.logical_not(first), gamma_new <= floor
-        )
-        delta, r, p, s, alpha, used_den = cs_pipeline(
-            delta, r, p, s, u, w, gamma, gamma_new, delta_d,
-            alpha_prev, first, stop_now,
-        )
-        brk = jnp.logical_or(stop_now, used_den <= 0)
-        l = l + jnp.where(stop_now, 0, 1)
-        return (delta, r, p, s, gamma_new, alpha, l, brk)
-
-    def lm_cs_body(c):
-        delta, r, p, s, gamma, alpha_prev, Q0c, l, brk = c
-        u = prec(r)
-        w = apply(u)  # includes + CtC·p
-        gamma_new = jnp.sum(r * u)
-        delta_d = jnp.sum(u * w)
-        Qcur = 0.5 * jnp.sum(delta * (b + r))
-        first = l == 0
-        zeta = l.astype(b.dtype) * (Qcur - Q0c) / Qcur
-        stop_now = jnp.logical_and(
-            jnp.logical_not(first),
-            jnp.logical_or(gamma_new <= floor, zeta < q_tol),
-        )
-        delta, r, p, s, alpha, used_den = cs_pipeline(
-            delta, r, p, s, u, w, gamma, gamma_new, delta_d,
-            alpha_prev, first, stop_now,
-        )
-        l_new = l + jnp.where(stop_now, 0, 1)
-        use_reset = jnp.logical_and(
-            l_new % reset_period == 0, jnp.logical_not(stop_now)
-        )
-        r = jax.lax.cond(
-            use_reset, lambda _: b - apply(delta), lambda _: r, None
-        )
-        brk = jnp.logical_or(stop_now, used_den <= 0)
-        return (delta, r, p, s, gamma_new, alpha, Qcur, l_new, brk)
-
-    zero_l = jnp.zeros((), jnp.int32)
-    false_ = jnp.zeros((), jnp.bool_)
-    one = jnp.ones((), b.dtype)
-    zeros_b = jnp.zeros_like(b)
-    if cs and lm:
-        q_tol = qtol_ref[0]
-        init = (zeros_b, r, zeros_b, zeros_b, one, one,
-                jnp.zeros((), b.dtype), zero_l, false_)
-        out = jax.lax.while_loop(cond, lm_cs_body, init)
-        delta, l = out[0], out[7]
-    elif cs:
-        init = (zeros_b, r, zeros_b, zeros_b, one, one, zero_l, false_)
-        out = jax.lax.while_loop(cond, gn_cs_body, init)
-        delta, l = out[0], out[6]
-    elif lm:
-        init = (zeros_b, r, p, rz0, jnp.zeros((), b.dtype), zero_l, false_)
-        out = jax.lax.while_loop(cond, lm_body, init)
-        delta, l = out[0], out[5]
-    else:
-        init = (zeros_b, r, p, rz0, zero_l, false_)
-        out = jax.lax.while_loop(cond, gn_body, init)
-        delta, l = out[0], out[4]
+    delta, l = _run_cg(
+        b,
+        apply,
+        prec,
+        lambda x, y: jnp.sum(x * y),
+        lits_ref[0],
+        tol_ref[0],
+        guard_div=guard_div,
+        lm=lm,
+        cs=cs,
+        reset_period=reset_ref[0] if lm else None,
+        q_tol=qtol_ref[0] if lm else None,
+    )
     delta_ref[...] = delta
     if chan_grid:
         # grid=(C,) over independent channels: each sequential step owns
@@ -472,6 +506,7 @@ def plan_fused_grid_cg(
     pair_exec,
     g_unhandled,
     coeff_dtype=None,
+    vmem_scale: int = 1,
 ) -> Optional[Dict]:
     """Decide applicability from the assembled operator structure and build
     the kernel inputs.
@@ -480,6 +515,14 @@ def plan_fused_grid_cg(
     index space (all of whose unknowns pack into the kernel state),
     float32, and a VMEM-sized working set. Returns {u_list, offs, channels,
     triples, F [T, *spatial]} or None.
+
+    ``vmem_scale`` > 1 (the device count of a sharding mesh) admits grids
+    whose PER-TILE working set fits even though the global one does not:
+    the sharded per-iteration kernel (sharded_fused_grid_cg) holds only one
+    tile per device and does its own exact tile-size recheck, so the
+    planner only needs to not reject. The chan-grid retry stays
+    single-device (scale 1) — sequential channel solves don't compose with
+    the per-tile loop.
     """
     from .shift import in_bounds_mask
 
@@ -532,7 +575,12 @@ def plan_fused_grid_cg(
         7 * ctot + n_rolled
     ) * 4 * pe
     chan_grid = False
-    if working > VMEM_BUDGET_BYTES:
+    if vmem_scale > 1 and working > VMEM_BUDGET_BYTES:
+        # sharded use: admit when an even tile split could fit; the sharded
+        # runner's exact per-tile recheck is authoritative
+        if working > VMEM_BUDGET_BYTES * vmem_scale:
+            return None
+    elif working > VMEM_BUDGET_BYTES:
         # Channel-split retry (VERDICT r3 #4, the flagship >VMEM case:
         # poisson 1024²×float4): when every coupling is channel-diagonal
         # with channel-identical fields, the C channels are INDEPENDENT
@@ -972,3 +1020,273 @@ def fused_grid_cg(
         o = meta["offs"][u]
         out[u] = packed[..., o : o + meta["channels"][u]]
     return out, iters[0]
+
+
+# ---------------------------------------------------------------------------
+# Fused CG under a sharding mesh (VERDICT r4 missing#2 / next#2)
+# ---------------------------------------------------------------------------
+#
+# Sharded solves previously hard-disabled every Pallas path
+# (gauss_newton.py r4 "rules => XLA loop"), so the single-chip fused-CG
+# wins contributed nothing to the multi-chip regime the north star targets
+# (BASELINE.json: >=80% scaling efficiency implies per-shard compute at
+# single-chip speed). This composes them, k=1 per-iteration form:
+#
+#   * unknown/residual state lives as [C, th, tw] tiles per device inside
+#     ONE shard_map over the solver's 2-D ('gx','gy') mesh;
+#   * each CG iteration halo-exchanges the search direction with two
+#     jax.lax.ppermute pairs per sharded axis (axis-by-axis, so corners
+#     fill transitively), then runs the per-tile stencil apply as a Pallas
+#     kernel over [C, th+2a, tw+2b] — the same masked-field triples as the
+#     whole-loop kernel, so torus wrap reads multiply zero weights at
+#     global boundaries exactly like the single-device circular rolls;
+#   * CG dot products are per-tile partial sums + lax.psum over both mesh
+#     axes (Chronopoulos-Gear: ONE psum per iteration for its fused pair);
+#   * the loop algebra is _run_cg — the same driver the in-kernel path
+#     runs — so exits, guards and counted iterations match by construction.
+#
+# The reference has no counterpart (single GPU); the kernel split mirrored
+# is solverGPUGaussNewton.t:421-550 per tile.
+
+
+def _tile_apply_kernel(F_ref, pext_ref, out_ref, *, triples, n_channels,
+                       ah, aw):
+    """Per-tile stencil JtJ.p apply: out[i] += F[fid] * p_ext[j] shifted by
+    (dx, dy) — static slices of the halo-extended tile (the roll of the
+    whole-loop kernel becomes a slice once neighbors supplied the halo)."""
+    F = F_ref[...]
+    pext = pext_ref[...]
+    h = out_ref.shape[1]
+    w = out_ref.shape[2]
+    acc = [None] * n_channels
+    cache = {}
+    for delta, i, j, fid in triples:
+        dx, dy = delta
+        key = (dx, dy, j)
+        pk = cache.get(key)
+        if pk is None:
+            pk = pext[j, ah + dx : ah + dx + h, aw + dy : aw + dy + w]
+            cache[key] = pk
+        t = F[fid] * pk
+        acc[i] = t if acc[i] is None else acc[i] + t
+    zeros = jnp.zeros((h, w), out_ref.dtype)
+    out_ref[...] = jnp.stack(
+        [a if a is not None else zeros for a in acc]
+    ).astype(out_ref.dtype)
+
+
+def _shard_map():
+    try:
+        from jax import shard_map  # jax >= 0.8
+
+        return shard_map, {"check_vma": False}
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
+
+        return shard_map, {"check_rep": False}
+
+
+def sharded_fused_grid_cg(
+    meta: Dict,
+    mesh,
+    r0: Dict[str, jnp.ndarray],
+    pre: Dict[str, jnp.ndarray],
+    l_iterations,
+    rz_tolerance,
+    *,
+    guard_div: bool = True,
+    interpret: bool = False,
+    ctc: Optional[Dict[str, jnp.ndarray]] = None,
+    reset_period=None,
+    q_tolerance=None,
+    pre_blocks: Optional[jnp.ndarray] = None,
+    cg_variant: str = "standard",
+):
+    """Run the fused-CG inner loop tile-parallel over a 2-D mesh.
+
+    Returns (delta pytree, iterations executed), or None when the problem/
+    mesh combination is unsupported (callers fall back to the XLA loop):
+    graph folds, chan-grid metas, non-2-D grids, meshes that don't evenly
+    tile the grid, halos wider than a tile, or per-tile working sets past
+    the VMEM budget.
+    """
+    from jax.experimental import pallas as pl
+    from jax.sharding import PartitionSpec as P
+
+    if mesh is None or getattr(mesh, "size", 1) <= 1:
+        return None
+    if meta.get("fold") is not None or meta.get("chan_grid") or meta.get("rem"):
+        return None
+    axes = tuple(mesh.axis_names)
+    if len(axes) != 2:
+        return None
+    F = meta["F"]
+    if F.ndim != 3:
+        return None  # 2-D grids only (3-D tiles need a third-axis roll mix)
+    H, W = int(F.shape[1]), int(F.shape[2])
+    ngx = int(mesh.shape[axes[0]])
+    ngy = int(mesh.shape[axes[1]])
+    if H % ngx or W % ngy:
+        return None
+    th, tw = H // ngx, W // ngy
+    triples = meta["triples"]
+    ah = max((abs(d[0]) for d, *_ in triples), default=0)
+    aw = max((abs(d[1]) for d, *_ in triples), default=0)
+    if ah >= th or aw >= tw:
+        return None  # halo wider than a tile: exchange would be multi-hop
+    C = meta["ctot"]
+
+    # exact per-tile VMEM bound for the per-iteration kernel: fields + the
+    # extended p + out + the distinct shifted slices it materializes
+    f_bytes = F.dtype.itemsize
+    pe_t = padded_spatial_elems((th, tw))
+    pe_ext = padded_spatial_elems((th + 2 * ah, tw + 2 * aw))
+    n_slices = len({(d[0], d[1], j) for d, _i, j, _f in triples})
+    kernel_bytes = (
+        len(meta["F"]) * f_bytes * padded_spatial_elems((th, tw), F.dtype)
+        + C * 4 * pe_ext
+        + (C + n_slices) * 4 * pe_t
+    )
+    if kernel_bytes > VMEM_BUDGET_BYTES:
+        return None
+
+    u_list = meta["u_list"]
+    lm = ctc is not None
+
+    def pack(d):
+        a = (
+            jnp.concatenate([d[u] for u in u_list], axis=-1)
+            if len(u_list) > 1
+            else d[u_list[0]]
+        )
+        return jnp.moveaxis(a, -1, 0)  # [C, H, W]
+
+    b = pack(r0)
+    if pre_blocks is not None:
+        C0 = pre_blocks.shape[-1]
+        prem = jnp.moveaxis(
+            pre_blocks.reshape(pre_blocks.shape[:-2] + (C0 * C0,)), -1, 0
+        )  # [C*C, H, W]
+    else:
+        prem = pack(pre)
+
+    kernel = functools.partial(
+        _tile_apply_kernel,
+        triples=triples,
+        n_channels=C,
+        ah=ah,
+        aw=aw,
+    )
+    kwargs = {}
+    if not interpret:
+        from jax.experimental.pallas import tpu as pltpu
+
+        vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+        kwargs = {
+            "in_specs": [vmem, vmem],
+            "out_specs": vmem,
+            "compiler_params": pltpu.CompilerParams(
+                vmem_limit_bytes=KERNEL_VMEM_LIMIT_BYTES
+            ),
+        }
+
+    def tile_apply(F_l, p_ext):
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((C, th, tw), b.dtype),
+            interpret=interpret,
+            **kwargs,
+        )(F_l, p_ext)
+
+    def extend(p, a, axis, name, n):
+        # extended[..0:a..] = global rows just above the tile = the last a
+        # rows of the neighbor one step lower along `name`; torus wrap at
+        # the global boundary reads rows whose folded-mask weights are 0
+        if a == 0:
+            return p
+        hi = jax.lax.slice_in_dim(p, p.shape[axis] - a, p.shape[axis], axis=axis)
+        lo = jax.lax.slice_in_dim(p, 0, a, axis=axis)
+        fwd = [(i, (i + 1) % n) for i in range(n)]
+        bwd = [(i, (i - 1) % n) for i in range(n)]
+        top = jax.lax.ppermute(hi, name, fwd)
+        bot = jax.lax.ppermute(lo, name, bwd)
+        return jnp.concatenate([top, p, bot], axis=axis)
+
+    shard_map, rep_kw = _shard_map()
+    tile3 = P(None, axes[0], axes[1])
+    operands = [F, b, prem]
+    in_specs = [tile3, tile3, tile3]
+    if lm:
+        operands.append(pack(ctc))
+        in_specs.append(tile3)
+    scalars = [
+        jnp.asarray(l_iterations, jnp.int32),
+        jnp.asarray(rz_tolerance, b.dtype),
+    ]
+    if lm:
+        scalars += [
+            jnp.asarray(reset_period, jnp.int32),
+            jnp.asarray(q_tolerance, b.dtype),
+        ]
+    operands += scalars
+    in_specs += [P()] * len(scalars)
+
+    def body(*args):
+        rest = list(args)
+        F_l = rest.pop(0)
+        b_l = rest.pop(0)
+        prem_l = rest.pop(0)
+        ctc_l = rest.pop(0) if lm else None
+        lits = rest.pop(0)
+        tol = rest.pop(0)
+        rp = rest.pop(0) if lm else None
+        qt = rest.pop(0) if lm else None
+
+        def apply(p):
+            p_ext = extend(p, ah, 1, axes[0], ngx)
+            p_ext = extend(p_ext, aw, 2, axes[1], ngy)
+            out = tile_apply(F_l, p_ext)
+            if ctc_l is not None:
+                out = out + ctc_l * p
+            return out
+
+        def prec(r):
+            if pre_blocks is None:
+                return prem_l * r
+            return jnp.stack(
+                [
+                    sum(prem_l[i * C + j] * r[j] for j in range(C))
+                    for i in range(C)
+                ]
+            )
+
+        def dot(x, y):
+            return jax.lax.psum(jnp.sum(x * y), axes)
+
+        return _run_cg(
+            b_l,
+            apply,
+            prec,
+            dot,
+            lits,
+            tol,
+            guard_div=guard_div,
+            lm=lm,
+            cs=cg_variant == "chronopoulos_gear",
+            reset_period=rp,
+            q_tol=qt,
+        )
+
+    delta, l_done = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=tuple(in_specs),
+        out_specs=(tile3, P()),
+        **rep_kw,
+    )(*operands)
+    packed = jnp.moveaxis(delta, 0, -1)  # [H, W, C]
+    out = {}
+    for u in u_list:
+        o = meta["offs"][u]
+        out[u] = packed[..., o : o + meta["channels"][u]]
+    return out, l_done
