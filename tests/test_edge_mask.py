@@ -143,18 +143,22 @@ def test_masked_solve_under_mesh_matches_single_device():
     keep = (rng.rand(len(v0)) > 0.3).astype(np.float32)
     g = {"v0": v0, "v1": v1, "valid": keep}
     sp = dict(nIterations=3, lIterations=15)
-    r1 = ot.Problem(arap_mesh_deformation).plan(dims={"N": N}).solve(
-        _inputs(pos, con, g), **sp
+    # pin the solver variant on BOTH sides: since round 4 the auto policy
+    # (params.resolve_auto_policy) deliberately picks chronopoulos_gear +
+    # block_jacobi + owner reorder under a mesh — a different trajectory
+    # from the single-device standard/jacobi defaults, which on this
+    # gauge-deficient masked problem diverges ~19% in cost after three
+    # nonconverged GN steps. This test isolates the mask x sharding math,
+    # so both sides must run the same algorithm (test_sharding.py
+    # pinned_ip convention); tests/test_auto_policy.py covers auto.
+    pin = ot.InitializationParameters(
+        cg_variant="standard", preconditioner="jacobi", edge_reorder=False
     )
-    r8 = ot.Problem(arap_mesh_deformation).plan(
-        dims={"N": N}, mesh=make_mesh()
+    r1 = ot.Problem(arap_mesh_deformation).plan(
+        dims={"N": N}, init_params=pin
     ).solve(_inputs(pos, con, g), **sp)
-    # first-step agreement is reduction-order-limited, not exact: the
-    # sharded cost/dot psums reassociate f32 sums over owner blocks, and
-    # with masked-out (gauge-free) regions the 15 inner CG iterations
-    # compound that drift before the first cost read. Observed 3e-4
-    # relative on this rig (failed a 1e-5 pin even at the round-4
-    # snapshot, so it is environment/XLA-scheduling drift, not a code
-    # regression); final cost already allows 2e-3.
-    np.testing.assert_allclose(r8.costs[0], r1.costs[0], rtol=1e-3)
+    r8 = ot.Problem(arap_mesh_deformation).plan(
+        dims={"N": N}, mesh=make_mesh(), init_params=pin
+    ).solve(_inputs(pos, con, g), **sp)
+    np.testing.assert_allclose(r8.costs[0], r1.costs[0], rtol=1e-5)
     np.testing.assert_allclose(r8.final_cost, r1.final_cost, rtol=2e-3)
