@@ -92,6 +92,11 @@ def fused_variant_fits(
         if block_pre:
             return False  # block preconditioner couples channels
         ctot = 1  # per-channel working set (sequential grid reuses it)
+    if meta.get("hbm_tiled") and (cs or block_pre):
+        # the streaming kernel runs the standard GN/LM bodies only (v1):
+        # CS needs an extra materialized vector pass per iteration and
+        # block-pre a C² plane stream — callers take the XLA loop
+        return False
     extras = 0
     if lm:
         extras += 2 * ctot
@@ -575,6 +580,7 @@ def plan_fused_grid_cg(
         7 * ctot + n_rolled
     ) * 4 * pe
     chan_grid = False
+    hbm_tiled = None
     if vmem_scale > 1 and working > VMEM_BUDGET_BYTES:
         # sharded use: admit when an even tile split could fit; the sharded
         # runner's exact per-tile recheck is authoritative
@@ -610,11 +616,45 @@ def plan_fused_grid_cg(
                     {(d, 0, 0, fid) for (d, _i, _j, fid) in triples}
                 )
         if not chan_grid:
-            return None
+            # HBM-tiled retry (VERDICT r4 missing#3/next#3, docs/ROADMAP
+            # "Still open"): >VMEM grids with CROSS-CHANNEL coupling (the
+            # image_warping 1024² / 512²-LM class the chan-grid split
+            # cannot take) run the whole loop as a row-block streaming
+            # kernel — state arrays stay in HBM, each phase DMA-sweeps
+            # [th(+2a), W] windows through VMEM (_hbm_tiled_cg). The
+            # reference's kernels stream HBM at any size
+            # (solverGPUGaussNewton.t:421-550); this is the whole-loop
+            # equivalent. 2-D only; tile rows are the largest divisor of H
+            # whose per-phase working set fits half the budget (the other
+            # half is headroom for Mosaic temporaries / later double
+            # buffering).
+            if len(dom) == 2:
+                H, Wd = int(dom[0]), int(dom[1])
+                a_h = max(
+                    (abs(d[0]) for d, *_ in triples), default=0
+                )
+                for th in (256, 128, 64, 32, 16, 8):
+                    if H % th or th <= 2 * a_h:
+                        continue
+                    est = (
+                        len(field_list)
+                        * f_bytes
+                        * padded_spatial_elems((th, Wd), coeff_dtype)
+                        + (2 * ctot + 2 * ctot + ctot)
+                        * 4
+                        * padded_spatial_elems((th + 2 * a_h, Wd))
+                    )
+                    if est <= VMEM_BUDGET_BYTES // 2:
+                        hbm_tiled = {"th": th, "halo": a_h}
+                        working = est
+                        pe = padded_spatial_elems((th, Wd))
+                        break
+            if hbm_tiled is None:
+                return None
     F = jnp.stack(field_list, axis=0)
     if coeff_dtype is not None:
         F = F.astype(coeff_dtype)
-    return {
+    meta = {
         "u_list": tuple(u_list),
         "offs": dict(offs),
         "channels": channels,
@@ -626,6 +666,9 @@ def plan_fused_grid_cg(
         "working_bytes": int(working),
         "pe": int(pe),
     }
+    if hbm_tiled is not None:
+        meta["hbm_tiled"] = hbm_tiled
+    return meta
 
 
 def plan_fused_graph_cg(
@@ -906,6 +949,24 @@ def fused_grid_cg(
         prem = pack(pre)
     F = meta["F"]
     C = b.shape[0]
+
+    if meta.get("hbm_tiled"):
+        # >VMEM cross-channel grids: whole loop as the HBM-streaming
+        # kernel. fused_variant_fits already declined CS/block-pre for
+        # these metas, so only the standard GN/LM bodies reach here.
+        assert pre_blocks is None and cg_variant != "chronopoulos_gear"
+        return _hbm_tiled_cg(
+            meta,
+            b,
+            prem,
+            l_iterations,
+            rz_tolerance,
+            guard_div=guard_div,
+            interpret=interpret,
+            ctc=pack(ctc) if lm else None,
+            reset_period=reset_period,
+            q_tolerance=q_tolerance,
+        )
 
     rem = meta.get("rem")
     chan_grid = bool(meta.get("chan_grid"))
@@ -1290,3 +1351,394 @@ def sharded_fused_grid_cg(
         o = meta["offs"][u]
         out[u] = packed[..., o : o + meta["channels"][u]]
     return out, l_done
+
+
+# ---------------------------------------------------------------------------
+# HBM-tiled whole-loop CG: >VMEM grids with cross-channel coupling
+# (VERDICT r4 missing#3 / next#3; docs/ROADMAP "Still open")
+# ---------------------------------------------------------------------------
+#
+# The resident kernel above requires the whole working set in VMEM; the
+# chan-grid split only covers channel-DIAGONAL operators. This kernel runs
+# the same standard GN/LM inner loop for grids of ANY size: state arrays
+# (delta, r, p, Ap) live in HBM (pl.ANY operands/outputs, row-padded by the
+# stencil halo), and each loop phase streams [th(+2a), W] row blocks
+# through VMEM with explicit make_async_copy DMAs — the whole-loop
+# equivalent of the reference's any-size streaming kernels
+# (solverGPUGaussNewton.t:421-550). Per CG iteration three sweeps run, the
+# same split as the reference's PCGStep1/2/3: apply+den, update+rz (+LM Q /
+# residual reset), p-recurrence. vs the XLA while_loop the win is HBM
+# traffic: XLA materializes one rolled copy of p per distinct stencil
+# offset per apply; here the halo window is read once and shifts are
+# VMEM-local slices/rolls.
+
+
+def _hbm_tiled_kernel(
+    *refs,
+    triples,
+    n_channels: int,
+    th: int,
+    halo: int,
+    n_tiles: int,
+    lm: bool,
+    guard_div: bool,
+    interpret: bool,
+):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rest = list(refs)
+    F_ref = rest.pop(0)
+    b_ref = rest.pop(0)
+    pre_ref = rest.pop(0)
+    ctc_ref = rest.pop(0) if lm else None
+    lits_ref = rest.pop(0)
+    tol_ref = rest.pop(0)
+    reset_ref = rest.pop(0) if lm else None
+    qtol_ref = rest.pop(0) if lm else None
+    delta_ref, iters_ref, r_ref, p_ref, w_ref = rest
+
+    C = n_channels
+    a = halo
+    nf = F_ref.shape[0]
+    Wd = b_ref.shape[-1]
+    dt = b_ref.dtype
+
+    def safe_div(num, den):
+        if not guard_div:
+            return num / den
+        return jnp.where(den > 0, num / jnp.where(den > 0, den, 1.0), 0.0)
+
+    def scoped(fbuf, pwin, t1, t2, t3, sem):
+        def load(hbm, i, buf, rows, row0):
+            dma = pltpu.make_async_copy(
+                hbm.at[:, pl.ds(row0 + i * th, rows), :], buf, sem
+            )
+            dma.start()
+            dma.wait()
+
+        def store(buf, hbm, i):
+            dma = pltpu.make_async_copy(
+                buf, hbm.at[:, pl.ds(a + i * th, th), :], sem
+            )
+            dma.start()
+            dma.wait()
+
+        def store_rows(buf, hbm, row0, rows):
+            dma = pltpu.make_async_copy(
+                buf, hbm.at[:, pl.ds(row0, rows), :], sem
+            )
+            dma.start()
+            dma.wait()
+
+        def apply_tile():
+            """w tile from the already-loaded pwin/fbuf (+ctc in t2)."""
+            F = fbuf[...]
+            pw = pwin[...]
+            acc = [None] * C
+            cache = {}
+            for delta_t, i, j, fid in triples:
+                dx, dy = delta_t
+                key = (dx, dy, j)
+                pk = cache.get(key)
+                if pk is None:
+                    pk = pw[j, a + dx : a + dx + th, :]
+                    if dy:
+                        pk = _roll(pk, (-dy) % Wd, 1, interpret)
+                    cache[key] = pk
+                contrib = F[fid] * pk
+                acc[i] = contrib if acc[i] is None else acc[i] + contrib
+            zeros = jnp.zeros((th, Wd), dt)
+            w = jnp.stack([x if x is not None else zeros for x in acc]).astype(dt)
+            if lm:
+                w = w + t2[...] * pw[:, a : a + th, :]
+            return w
+
+        def phase_apply(src_ref, with_den):
+            """w_ref = A(src) (+CtC·src under LM); optionally Σ src·w."""
+
+            def tile(i, acc):
+                load(src_ref, i, pwin, th + 2 * a, 0)
+                load(F_ref, i, fbuf, th, 0)
+                if lm:
+                    load(ctc_ref, i, t2, th, a)
+                w = apply_tile()
+                t1[...] = w
+                store(t1, w_ref, i)
+                if with_den:
+                    acc = acc + jnp.sum(pwin[:, a : a + th, :] * w)
+                return acc
+
+            return jax.lax.fori_loop(0, n_tiles, tile, jnp.zeros((), dt))
+
+        def phase_init():
+            """delta = 0 (incl. pads), p/r pads = 0, r = b, p = M·r, Σ r·p;
+            the pads matter: apply reads p's halo rows at the grid edges
+            (their F weights are mask-folded zeros, but NaN·0 would
+            poison)."""
+            t1[...] = jnp.zeros((C, th, Wd), dt)
+            if a:
+                for ref in (p_ref, r_ref, delta_ref):
+                    store_rows(t1.at[:, :a, :], ref, 0, a)
+                    store_rows(t1.at[:, :a, :], ref, a + n_tiles * th, a)
+
+            def tile(i, acc):
+                t1[...] = jnp.zeros((C, th, Wd), dt)
+                store(t1, delta_ref, i)
+                load(b_ref, i, t1, th, a)
+                store(t1, r_ref, i)
+                load(pre_ref, i, t2, th, a)
+                t3[...] = t2[...] * t1[...]
+                store(t3, p_ref, i)
+                return acc + jnp.sum(t1[...] * t3[...])
+
+            return jax.lax.fori_loop(0, n_tiles, tile, jnp.zeros((), dt))
+
+        def phase_update_gn(alpha):
+            """delta += α·p; r -= α·w; z = M·r; Σ z·r."""
+
+            def tile(i, acc):
+                load(p_ref, i, t1, th, a)
+                load(delta_ref, i, t2, th, a)
+                t2[...] = t2[...] + alpha * t1[...]
+                store(t2, delta_ref, i)
+                load(w_ref, i, t2, th, a)
+                load(r_ref, i, t3, th, a)
+                t3[...] = t3[...] - alpha * t2[...]
+                store(t3, r_ref, i)
+                load(pre_ref, i, t2, th, a)
+                return acc + jnp.sum(t2[...] * t3[...] * t3[...])
+
+            return jax.lax.fori_loop(0, n_tiles, tile, jnp.zeros((), dt))
+
+        def phase_update_lm(alpha):
+            """GN update + Q1 partial: Σ delta·(b + r) on the NEW values."""
+
+            def tile(i, accs):
+                acc_rz, acc_q = accs
+                load(p_ref, i, t1, th, a)
+                load(delta_ref, i, t2, th, a)
+                t2[...] = t2[...] + alpha * t1[...]
+                store(t2, delta_ref, i)
+                load(w_ref, i, t1, th, a)
+                load(r_ref, i, t3, th, a)
+                t3[...] = t3[...] - alpha * t1[...]
+                store(t3, r_ref, i)
+                load(b_ref, i, t1, th, a)
+                acc_q = acc_q + jnp.sum(t2[...] * (t1[...] + t3[...]))
+                load(pre_ref, i, t1, th, a)
+                acc_rz = acc_rz + jnp.sum(t1[...] * t3[...] * t3[...])
+                return (acc_rz, acc_q)
+
+            return jax.lax.fori_loop(
+                0, n_tiles, tile, (jnp.zeros((), dt), jnp.zeros((), dt))
+            )
+
+        def phase_delta_only(alpha):
+            def tile(i, _):
+                load(p_ref, i, t1, th, a)
+                load(delta_ref, i, t2, th, a)
+                t2[...] = t2[...] + alpha * t1[...]
+                store(t2, delta_ref, i)
+                return 0
+
+            jax.lax.fori_loop(0, n_tiles, tile, 0)
+
+        def phase_reset_r():
+            """r = b − A·delta (w_ref holds A·delta); z/rz/Q partials."""
+
+            def tile(i, accs):
+                acc_rz, acc_q = accs
+                load(b_ref, i, t1, th, a)
+                load(w_ref, i, t2, th, a)
+                t3[...] = t1[...] - t2[...]
+                store(t3, r_ref, i)
+                load(delta_ref, i, t2, th, a)
+                acc_q = acc_q + jnp.sum(t2[...] * (t1[...] + t3[...]))
+                load(pre_ref, i, t1, th, a)
+                acc_rz = acc_rz + jnp.sum(t1[...] * t3[...] * t3[...])
+                return (acc_rz, acc_q)
+
+            return jax.lax.fori_loop(
+                0, n_tiles, tile, (jnp.zeros((), dt), jnp.zeros((), dt))
+            )
+
+        def phase_p(beta):
+            """p = z + β·p with z = M·r recomputed (cheaper than storing z)."""
+
+            def tile(i, _):
+                load(r_ref, i, t1, th, a)
+                load(pre_ref, i, t2, th, a)
+                load(p_ref, i, t3, th, a)
+                t3[...] = t2[...] * t1[...] + beta * t3[...]
+                store(t3, p_ref, i)
+                return 0
+
+            jax.lax.fori_loop(0, n_tiles, tile, 0)
+
+        rz0 = phase_init()
+        floor = tol_ref[0] * rz0
+        lits = lits_ref[0]
+
+        def cond(c):
+            l, brk = c[-2], c[-1]
+            return jnp.logical_and(l < lits, jnp.logical_not(brk))
+
+        if not lm:
+
+            def gn_iter(c):
+                rz, l, brk = c
+                den = phase_apply(p_ref, True)
+                alpha = safe_div(rz, den)
+                rz_new = phase_update_gn(alpha)
+                beta = safe_div(rz_new, rz)
+                phase_p(beta)
+                brk = jnp.logical_or(rz_new <= floor, den <= 0)
+                return (rz_new, l + 1, brk)
+
+            out = jax.lax.while_loop(
+                cond,
+                gn_iter,
+                (rz0, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.bool_)),
+            )
+            iters_ref[0] = out[1]
+        else:
+            reset_period = reset_ref[0]
+            q_tol = qtol_ref[0]
+
+            def lm_iter(c):
+                rz, Q0, l, brk = c
+                den = phase_apply(p_ref, True)
+                alpha = safe_div(rz, den)
+                use_reset = (l + 1) % reset_period == 0
+
+                def normal(_):
+                    return phase_update_lm(alpha)
+
+                def reset(_):
+                    phase_delta_only(alpha)
+                    phase_apply(delta_ref, False)
+                    return phase_reset_r()
+
+                rz_new, qsum = jax.lax.cond(use_reset, reset, normal, None)
+                Q1 = 0.5 * qsum
+                beta = safe_div(rz_new, rz)
+                phase_p(beta)
+                zeta = (l + 1).astype(dt) * (Q1 - Q0) / Q1
+                brk = jnp.logical_or(zeta < q_tol, rz_new <= floor)
+                return (rz_new, Q1, l + 1, brk)
+
+            out = jax.lax.while_loop(
+                cond,
+                lm_iter,
+                (
+                    rz0,
+                    jnp.zeros((), dt),
+                    jnp.zeros((), jnp.int32),
+                    jnp.zeros((), jnp.bool_),
+                ),
+            )
+            iters_ref[0] = out[2]
+
+    pl.run_scoped(
+        scoped,
+        fbuf=pltpu.VMEM((nf, th, Wd), F_ref.dtype),
+        pwin=pltpu.VMEM((C, th + 2 * a, Wd), dt),
+        t1=pltpu.VMEM((C, th, Wd), dt),
+        t2=pltpu.VMEM((C, th, Wd), dt),
+        t3=pltpu.VMEM((C, th, Wd), dt),
+        sem=pltpu.SemaphoreType.DMA(()),
+    )
+
+
+def _hbm_tiled_cg(
+    meta,
+    b,
+    prem,
+    l_iterations,
+    rz_tolerance,
+    *,
+    guard_div,
+    interpret,
+    ctc=None,
+    reset_period=None,
+    q_tolerance=None,
+):
+    """Caller wrapper: pad the packed state rows by the halo, run the
+    streaming kernel, unpad. b/prem/ctc are [C, H, W] packed channels."""
+    from jax.experimental import pallas as pl
+
+    info = meta["hbm_tiled"]
+    th, a = info["th"], info["halo"]
+    C, H, Wd = b.shape
+    nt = H // th
+    lm = ctc is not None
+
+    def pad(x):
+        return jnp.pad(x, ((0, 0), (a, a), (0, 0))) if a else x
+
+    operands = [meta["F"], pad(b), pad(prem)]
+    if lm:
+        operands.append(pad(ctc))
+    operands += [
+        jnp.asarray(l_iterations, jnp.int32).reshape(1),
+        jnp.asarray(rz_tolerance, b.dtype).reshape(1),
+    ]
+    n_smem = 2
+    if lm:
+        operands += [
+            jnp.asarray(reset_period, jnp.int32).reshape(1),
+            jnp.asarray(q_tolerance, b.dtype).reshape(1),
+        ]
+        n_smem = 4
+    kernel = functools.partial(
+        _hbm_tiled_kernel,
+        triples=meta["triples"],
+        n_channels=C,
+        th=th,
+        halo=a,
+        n_tiles=nt,
+        lm=lm,
+        guard_div=guard_div,
+        interpret=interpret,
+    )
+    padded = jax.ShapeDtypeStruct((C, H + 2 * a, Wd), b.dtype)
+    out_shape = [
+        padded,  # delta
+        jax.ShapeDtypeStruct((1,), jnp.int32),  # iters
+        padded,  # r (state scratch)
+        padded,  # p
+        padded,  # w = A·p
+    ]
+    kwargs = {}
+    if not interpret:
+        from jax.experimental.pallas import tpu as pltpu
+
+        any_ = pl.BlockSpec(memory_space=pl.ANY)
+        smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+        kwargs = {
+            "in_specs": [any_] * (len(operands) - n_smem) + [smem] * n_smem,
+            "out_specs": [any_, smem, any_, any_, any_],
+            "compiler_params": pltpu.CompilerParams(
+                vmem_limit_bytes=KERNEL_VMEM_LIMIT_BYTES
+            ),
+        }
+    else:
+        any_ = pl.BlockSpec(memory_space=pl.ANY)
+        kwargs = {
+            "in_specs": [any_] * len(operands),
+            "out_specs": [any_] * 5,
+        }
+    delta_p, iters, _r, _p, _w = pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        interpret=interpret,
+        **kwargs,
+    )(*operands)
+    delta = delta_p[:, a : a + H, :] if a else delta_p
+    packed = jnp.moveaxis(delta, 0, -1)
+    out = {}
+    for u in meta["u_list"]:
+        o = meta["offs"][u]
+        out[u] = packed[..., o : o + meta["channels"][u]]
+    return out, iters[0]
