@@ -1045,6 +1045,63 @@ def _on_term(signum, frame):  # pragma: no cover - exercised by the driver
     os._exit(1)
 
 
+def _child_main(name: str) -> None:
+    """Run ONE case and print its raw values as a JSON line (subprocess
+    isolation: a case that hangs in a native call burns only its own
+    timeout — the parent kills it and the remaining cases still run; the
+    first live run of this harness lost 8 cases to one hung case)."""
+    import traceback
+
+    hang_case = os.environ.get("OPT_TPU_BENCH_SIMULATE_HANG")
+    for cname, fn, _keys in CASES:
+        if cname != name:
+            continue
+        try:
+            if hang_case == name:
+                # test hook: prove a blocked case still yields a record
+                time.sleep(10 * BENCH_BUDGET_S + 3600)
+            vals = fn()
+            print(json.dumps({"vals": [
+                None if (isinstance(v, float) and v != v) else float(v)
+                for v in vals
+            ]}), flush=True)
+        except Exception:
+            traceback.print_exc()
+            print(json.dumps({"vals": None}), flush=True)
+        return
+    print(json.dumps({"vals": None}), flush=True)
+
+
+def _run_case_subprocess(name: str, timeout_s: float):
+    """Returns the case's raw value list, or None on failure/timeout."""
+    env = dict(os.environ)
+    env["OPT_TPU_BENCH_CHILD"] = name
+    env["OPT_TPU_BENCH_NO_PROBE"] = "1"  # parent already probed
+    if os.environ.get("BENCH_BACKEND") == "cpu-fallback":
+        env["OPT_TPU_BENCH_FORCE_CPU"] = "1"
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            timeout=timeout_s,
+            stdout=subprocess.PIPE,
+            stderr=None,  # inherit: child progress reaches the tail
+        )
+    except subprocess.TimeoutExpired:
+        print(f"bench: case {name} TIMED OUT after {timeout_s:.0f}s (killed)",
+              file=sys.stderr, flush=True)
+        return None
+    try:
+        lines = [
+            ln for ln in proc.stdout.decode().strip().splitlines() if ln
+        ]
+        return json.loads(lines[-1])["vals"]
+    except Exception:
+        print(f"bench: case {name} produced no parseable output "
+              f"(rc={proc.returncode})", file=sys.stderr, flush=True)
+        return None
+
+
 def main():
     threading.Thread(target=_watchdog, daemon=True).start()
     for sig in (signal.SIGTERM, signal.SIGINT):
@@ -1054,6 +1111,7 @@ def main():
             pass
     sel = os.environ.get("OPT_TPU_BENCH_CASES")
     selected = set(s.strip() for s in sel.split(",")) if sel else None
+    inproc = bool(os.environ.get("OPT_TPU_BENCH_INPROC"))
     hang_case = os.environ.get("OPT_TPU_BENCH_SIMULATE_HANG")
     import traceback
 
@@ -1068,26 +1126,32 @@ def main():
                   file=sys.stderr, flush=True)
             continue
         _STATE["current"] = name
-        _STATE["case_deadline"] = time.time() + min(
-            BENCH_CASE_TIMEOUT_S, left
-        )
         t0 = time.time()
         print(f"bench: case {name} starting ({left:.0f}s budget left)",
               file=sys.stderr, flush=True)
-        try:
-            if hang_case == name:
-                # test hook: prove the watchdog still yields a parsed
-                # record when a case blocks forever (tests/test_bench_record)
-                time.sleep(10 * BENCH_BUDGET_S + 3600)
-            vals = fn()
+        if inproc:
+            # in-process fallback (tests / debugging): the watchdog's
+            # case deadline is the only hang protection here
+            _STATE["case_deadline"] = time.time() + min(
+                BENCH_CASE_TIMEOUT_S, left
+            )
+            try:
+                if hang_case == name:
+                    time.sleep(10 * BENCH_BUDGET_S + 3600)
+                vals = fn()
+            except Exception:
+                # one broken case (e.g. a kernel VMEM compile error on new
+                # hardware) must not erase the round's record
+                print(f"bench: case {name} FAILED:", file=sys.stderr)
+                traceback.print_exc()
+                vals = None
+        else:
+            vals = _run_case_subprocess(
+                name, min(BENCH_CASE_TIMEOUT_S, left)
+            )
+        if vals is not None:
             for (k, digits), v in zip(keys, vals, strict=True):
                 _STATE["extra"][k] = _round(v, digits)
-        except Exception:
-            # one broken case (e.g. a kernel VMEM compile error on new
-            # hardware) must not erase the round's record (r4: a 32^3
-            # volumetric VMEM overflow killed an entire early bench run)
-            print(f"bench: case {name} FAILED:", file=sys.stderr)
-            traceback.print_exc()
         _STATE["case_deadline"] = None
         _STATE["current"] = None
         _STATE["done"].append(name)
@@ -1106,4 +1170,8 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    child = os.environ.get("OPT_TPU_BENCH_CHILD")
+    if child:
+        _child_main(child)
+    else:
+        main()

@@ -47,13 +47,15 @@ def _last_json_line(stdout):
     return json.loads(lines[-1])
 
 
-def test_simulated_hang_still_yields_parsed_record(tmp_path):
-    """A case that blocks forever must not erase the round's record: the
-    watchdog emits the cumulative JSON within the case timeout."""
+def test_hung_case_is_killed_and_run_continues(tmp_path):
+    """A case that blocks forever burns only its own timeout: the parent
+    kills the subprocess, records null metrics for it, and the final JSON
+    still prints (the first live run of the watchdog-only harness lost 8
+    cases to one hung case)."""
     live_before = open(os.path.join(REPO, "BENCH_LIVE.json"), "rb").read()
     proc = _run_bench(
         {
-            "BENCH_BUDGET_S": "90",
+            "BENCH_BUDGET_S": "120",
             "BENCH_CASE_TIMEOUT_S": "8",
             "OPT_TPU_BENCH_SIMULATE_HANG": "poisson",
             "OPT_TPU_BENCH_CASES": "poisson",
@@ -62,12 +64,31 @@ def test_simulated_hang_still_yields_parsed_record(tmp_path):
     assert proc.returncode == 0, proc.stderr[-2000:]
     out = _last_json_line(proc.stdout)
     assert out["metric"] == "pcg_iters_per_sec_poisson512_float4"
-    assert "truncated" in out["extra"]
-    assert "poisson" in out["extra"]["truncated"]["cases_not_run"]
-    assert "WATCHDOG" in proc.stderr
+    assert out["value"] is None  # the hung case recorded nothing
+    assert "TIMED OUT" in proc.stderr
+    # the loop CONTINUED past the hang (poisson is marked attempted)
+    assert "poisson" not in out["extra"]["truncated"]["cases_not_run"]
     # test runs must never touch the committed live record
     live_after = open(os.path.join(REPO, "BENCH_LIVE.json"), "rb").read()
     assert live_after == live_before
+
+
+def test_inproc_hang_triggers_watchdog():
+    """In-process mode (no subprocess isolation) falls back to the
+    watchdog: a blocked case still yields the parsed partial record."""
+    proc = _run_bench(
+        {
+            "BENCH_BUDGET_S": "120",
+            "BENCH_CASE_TIMEOUT_S": "8",
+            "OPT_TPU_BENCH_INPROC": "1",
+            "OPT_TPU_BENCH_SIMULATE_HANG": "poisson",
+            "OPT_TPU_BENCH_CASES": "poisson",
+        }
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = _last_json_line(proc.stdout)
+    assert "WATCHDOG" in proc.stderr
+    assert "poisson" in out["extra"]["truncated"]["cases_not_run"]
 
 
 def test_exhausted_budget_emits_record_without_running_cases():
