@@ -902,6 +902,13 @@ CASES = [
         ("gn_iters_per_sec_image_warping512", 2),
         ("image_warping_final_cost", None),
     ]),
+    # >VMEM cross-channel grid (HBM-streaming fused kernel; live r5:
+    # 17.7 vs 12.9 GN it/s over the XLA loop at 1024²)
+    ("image_warping_1024", lambda: bench_image_warping(
+        n=1024, n_outer=4, n_inner=100), [
+        ("gn_iters_per_sec_image_warping1024", 2),
+        ("image_warping1024_final_cost", None),
+    ]),
     ("arap_irregular", lambda: bench_arap_irregular(), [
         ("gn_iters_per_sec_arap31k_irregular", 2),
         ("arap_irregular_final_cost", None),

@@ -92,11 +92,6 @@ def fused_variant_fits(
         if block_pre:
             return False  # block preconditioner couples channels
         ctot = 1  # per-channel working set (sequential grid reuses it)
-    if meta.get("hbm_tiled") and (cs or block_pre):
-        # the streaming kernel runs the standard GN/LM bodies only (v1):
-        # CS needs an extra materialized vector pass per iteration and
-        # block-pre a C² plane stream — callers take the XLA loop
-        return False
     extras = 0
     if lm:
         extras += 2 * ctot
@@ -580,7 +575,36 @@ def plan_fused_grid_cg(
         7 * ctot + n_rolled
     ) * 4 * pe
     chan_grid = False
+    # HBM-tiled arm (VERDICT r4 missing#3/next#3, docs/ROADMAP "Still
+    # open"): computed for every 2-D meta — it serves both >VMEM grids
+    # with CROSS-CHANNEL coupling (the image_warping 1024² class the
+    # chan-grid split cannot take) and resident metas whose LM/variant
+    # extras overflow the recheck at launch (the 512²-LM class that
+    # previously passed the planner, died in TPU compile, and runtime-
+    # fell back to the XLA loop). State arrays stay in HBM; each phase
+    # DMA-sweeps [th(+2·8), W] row windows through VMEM (_hbm_tiled_cg).
+    # The reference's kernels stream HBM at any size
+    # (solverGPUGaussNewton.t:421-550); tile rows are the largest divisor
+    # of H whose per-phase working set fits half the budget.
     hbm_tiled = None
+    if len(dom) == 2:
+        H_r, W_r = int(dom[0]), int(dom[1])
+        a_h = max((abs(d[0]) for d, *_ in triples), default=0)
+        if a_h <= 8:  # kernel PAD=8 rows must cover the halo
+            for th in (256, 128, 64, 32, 16, 8):
+                if H_r % th or th <= 2 * a_h:
+                    continue
+                est = (
+                    len(field_list)
+                    * f_bytes
+                    * padded_spatial_elems((th, W_r), coeff_dtype)
+                    + (2 * ctot + 2 * ctot + ctot)
+                    * 4
+                    * padded_spatial_elems((th + 16, W_r))
+                )
+                if est <= VMEM_BUDGET_BYTES // 2:
+                    hbm_tiled = {"th": th, "halo": a_h}
+                    break
     if vmem_scale > 1 and working > VMEM_BUDGET_BYTES:
         # sharded use: admit when an even tile split could fit; the sharded
         # runner's exact per-tile recheck is authoritative
@@ -615,42 +639,8 @@ def plan_fused_grid_cg(
                 triples = sorted(
                     {(d, 0, 0, fid) for (d, _i, _j, fid) in triples}
                 )
-        if not chan_grid:
-            # HBM-tiled retry (VERDICT r4 missing#3/next#3, docs/ROADMAP
-            # "Still open"): >VMEM grids with CROSS-CHANNEL coupling (the
-            # image_warping 1024² / 512²-LM class the chan-grid split
-            # cannot take) run the whole loop as a row-block streaming
-            # kernel — state arrays stay in HBM, each phase DMA-sweeps
-            # [th(+2a), W] windows through VMEM (_hbm_tiled_cg). The
-            # reference's kernels stream HBM at any size
-            # (solverGPUGaussNewton.t:421-550); this is the whole-loop
-            # equivalent. 2-D only; tile rows are the largest divisor of H
-            # whose per-phase working set fits half the budget (the other
-            # half is headroom for Mosaic temporaries / later double
-            # buffering).
-            if len(dom) == 2:
-                H, Wd = int(dom[0]), int(dom[1])
-                a_h = max(
-                    (abs(d[0]) for d, *_ in triples), default=0
-                )
-                for th in (256, 128, 64, 32, 16, 8):
-                    if H % th or th <= 2 * a_h:
-                        continue
-                    est = (
-                        len(field_list)
-                        * f_bytes
-                        * padded_spatial_elems((th, Wd), coeff_dtype)
-                        + (2 * ctot + 2 * ctot + ctot)
-                        * 4
-                        * padded_spatial_elems((th + 2 * a_h, Wd))
-                    )
-                    if est <= VMEM_BUDGET_BYTES // 2:
-                        hbm_tiled = {"th": th, "halo": a_h}
-                        working = est
-                        pe = padded_spatial_elems((th, Wd))
-                        break
-            if hbm_tiled is None:
-                return None
+        if not chan_grid and hbm_tiled is None:
+            return None  # no fused form fits this >VMEM operator
     F = jnp.stack(field_list, axis=0)
     if coeff_dtype is not None:
         F = F.astype(coeff_dtype)
@@ -902,6 +892,7 @@ def fused_grid_cg(
     q_tolerance=None,
     pre_blocks: Optional[jnp.ndarray] = None,
     cg_variant: str = "standard",
+    use_tiled: bool = False,
 ):
     """Run the fused CG kernel; returns (delta pytree, iterations executed).
 
@@ -950,10 +941,13 @@ def fused_grid_cg(
     F = meta["F"]
     C = b.shape[0]
 
-    if meta.get("hbm_tiled"):
-        # >VMEM cross-channel grids: whole loop as the HBM-streaming
-        # kernel. fused_variant_fits already declined CS/block-pre for
-        # these metas, so only the standard GN/LM bodies reach here.
+    if use_tiled:
+        # whole loop as the HBM-streaming kernel: either the resident
+        # working set never fit (image_warping-1024² class) or the
+        # LM/variant extras overflowed the launch recheck (512²-LM
+        # class). Callers only set use_tiled for standard-variant,
+        # scalar-preconditioner solves.
+        assert meta.get("hbm_tiled") is not None
         assert pre_blocks is None and cg_variant != "chronopoulos_gear"
         return _hbm_tiled_cg(
             meta,
@@ -1398,8 +1392,15 @@ def _hbm_tiled_kernel(
     qtol_ref = rest.pop(0) if lm else None
     delta_ref, iters_ref, r_ref, p_ref, w_ref = rest
 
-    C = n_channels
     a = halo
+    # DMA row offsets and VMEM-side slice shapes must be sublane-aligned
+    # (Mosaic: "tile index in dimension 1 divisible by the tiling (8)"),
+    # so the state arrays are padded by PAD=8 rows each side regardless of
+    # the stencil halo a (a <= 8 asserted at plan time), interior rows
+    # start at 8, and the halo window loads an aligned th+16-row block;
+    # the +-a stencil rows are value-level slices of the loaded window.
+    PAD = 8
+    C = n_channels
     nf = F_ref.shape[0]
     Wd = b_ref.shape[-1]
     dt = b_ref.dtype
@@ -1419,7 +1420,7 @@ def _hbm_tiled_kernel(
 
         def store(buf, hbm, i):
             dma = pltpu.make_async_copy(
-                buf, hbm.at[:, pl.ds(a + i * th, th), :], sem
+                buf, hbm.at[:, pl.ds(PAD + i * th, th), :], sem
             )
             dma.start()
             dma.wait()
@@ -1442,7 +1443,7 @@ def _hbm_tiled_kernel(
                 key = (dx, dy, j)
                 pk = cache.get(key)
                 if pk is None:
-                    pk = pw[j, a + dx : a + dx + th, :]
+                    pk = pw[j, PAD + dx : PAD + dx + th, :]
                     if dy:
                         pk = _roll(pk, (-dy) % Wd, 1, interpret)
                     cache[key] = pk
@@ -1451,22 +1452,22 @@ def _hbm_tiled_kernel(
             zeros = jnp.zeros((th, Wd), dt)
             w = jnp.stack([x if x is not None else zeros for x in acc]).astype(dt)
             if lm:
-                w = w + t2[...] * pw[:, a : a + th, :]
+                w = w + t2[...] * pw[:, PAD : PAD + th, :]
             return w
 
         def phase_apply(src_ref, with_den):
             """w_ref = A(src) (+CtC·src under LM); optionally Σ src·w."""
 
             def tile(i, acc):
-                load(src_ref, i, pwin, th + 2 * a, 0)
+                load(src_ref, i, pwin, th + 2 * PAD, 0)
                 load(F_ref, i, fbuf, th, 0)
                 if lm:
-                    load(ctc_ref, i, t2, th, a)
+                    load(ctc_ref, i, t2, th, PAD)
                 w = apply_tile()
                 t1[...] = w
                 store(t1, w_ref, i)
                 if with_den:
-                    acc = acc + jnp.sum(pwin[:, a : a + th, :] * w)
+                    acc = acc + jnp.sum(pwin[:, PAD : PAD + th, :] * w)
                 return acc
 
             return jax.lax.fori_loop(0, n_tiles, tile, jnp.zeros((), dt))
@@ -1477,17 +1478,18 @@ def _hbm_tiled_kernel(
             (their F weights are mask-folded zeros, but NaN·0 would
             poison)."""
             t1[...] = jnp.zeros((C, th, Wd), dt)
-            if a:
-                for ref in (p_ref, r_ref, delta_ref):
-                    store_rows(t1.at[:, :a, :], ref, 0, a)
-                    store_rows(t1.at[:, :a, :], ref, a + n_tiles * th, a)
+            z8 = min(8, th)
+            Hp = 2 * PAD + n_tiles * th
+            for ref in (p_ref, r_ref, delta_ref):
+                store_rows(t1.at[:, :z8, :], ref, 0, z8)
+                store_rows(t1.at[:, :z8, :], ref, Hp - z8, z8)
 
             def tile(i, acc):
                 t1[...] = jnp.zeros((C, th, Wd), dt)
                 store(t1, delta_ref, i)
-                load(b_ref, i, t1, th, a)
+                load(b_ref, i, t1, th, PAD)
                 store(t1, r_ref, i)
-                load(pre_ref, i, t2, th, a)
+                load(pre_ref, i, t2, th, PAD)
                 t3[...] = t2[...] * t1[...]
                 store(t3, p_ref, i)
                 return acc + jnp.sum(t1[...] * t3[...])
@@ -1498,15 +1500,15 @@ def _hbm_tiled_kernel(
             """delta += α·p; r -= α·w; z = M·r; Σ z·r."""
 
             def tile(i, acc):
-                load(p_ref, i, t1, th, a)
-                load(delta_ref, i, t2, th, a)
+                load(p_ref, i, t1, th, PAD)
+                load(delta_ref, i, t2, th, PAD)
                 t2[...] = t2[...] + alpha * t1[...]
                 store(t2, delta_ref, i)
-                load(w_ref, i, t2, th, a)
-                load(r_ref, i, t3, th, a)
+                load(w_ref, i, t2, th, PAD)
+                load(r_ref, i, t3, th, PAD)
                 t3[...] = t3[...] - alpha * t2[...]
                 store(t3, r_ref, i)
-                load(pre_ref, i, t2, th, a)
+                load(pre_ref, i, t2, th, PAD)
                 return acc + jnp.sum(t2[...] * t3[...] * t3[...])
 
             return jax.lax.fori_loop(0, n_tiles, tile, jnp.zeros((), dt))
@@ -1516,17 +1518,17 @@ def _hbm_tiled_kernel(
 
             def tile(i, accs):
                 acc_rz, acc_q = accs
-                load(p_ref, i, t1, th, a)
-                load(delta_ref, i, t2, th, a)
+                load(p_ref, i, t1, th, PAD)
+                load(delta_ref, i, t2, th, PAD)
                 t2[...] = t2[...] + alpha * t1[...]
                 store(t2, delta_ref, i)
-                load(w_ref, i, t1, th, a)
-                load(r_ref, i, t3, th, a)
+                load(w_ref, i, t1, th, PAD)
+                load(r_ref, i, t3, th, PAD)
                 t3[...] = t3[...] - alpha * t1[...]
                 store(t3, r_ref, i)
-                load(b_ref, i, t1, th, a)
+                load(b_ref, i, t1, th, PAD)
                 acc_q = acc_q + jnp.sum(t2[...] * (t1[...] + t3[...]))
-                load(pre_ref, i, t1, th, a)
+                load(pre_ref, i, t1, th, PAD)
                 acc_rz = acc_rz + jnp.sum(t1[...] * t3[...] * t3[...])
                 return (acc_rz, acc_q)
 
@@ -1536,8 +1538,8 @@ def _hbm_tiled_kernel(
 
         def phase_delta_only(alpha):
             def tile(i, _):
-                load(p_ref, i, t1, th, a)
-                load(delta_ref, i, t2, th, a)
+                load(p_ref, i, t1, th, PAD)
+                load(delta_ref, i, t2, th, PAD)
                 t2[...] = t2[...] + alpha * t1[...]
                 store(t2, delta_ref, i)
                 return 0
@@ -1549,13 +1551,13 @@ def _hbm_tiled_kernel(
 
             def tile(i, accs):
                 acc_rz, acc_q = accs
-                load(b_ref, i, t1, th, a)
-                load(w_ref, i, t2, th, a)
+                load(b_ref, i, t1, th, PAD)
+                load(w_ref, i, t2, th, PAD)
                 t3[...] = t1[...] - t2[...]
                 store(t3, r_ref, i)
-                load(delta_ref, i, t2, th, a)
+                load(delta_ref, i, t2, th, PAD)
                 acc_q = acc_q + jnp.sum(t2[...] * (t1[...] + t3[...]))
-                load(pre_ref, i, t1, th, a)
+                load(pre_ref, i, t1, th, PAD)
                 acc_rz = acc_rz + jnp.sum(t1[...] * t3[...] * t3[...])
                 return (acc_rz, acc_q)
 
@@ -1567,9 +1569,9 @@ def _hbm_tiled_kernel(
             """p = z + β·p with z = M·r recomputed (cheaper than storing z)."""
 
             def tile(i, _):
-                load(r_ref, i, t1, th, a)
-                load(pre_ref, i, t2, th, a)
-                load(p_ref, i, t3, th, a)
+                load(r_ref, i, t1, th, PAD)
+                load(pre_ref, i, t2, th, PAD)
+                load(p_ref, i, t3, th, PAD)
                 t3[...] = t2[...] * t1[...] + beta * t3[...]
                 store(t3, p_ref, i)
                 return 0
@@ -1643,7 +1645,7 @@ def _hbm_tiled_kernel(
     pl.run_scoped(
         scoped,
         fbuf=pltpu.VMEM((nf, th, Wd), F_ref.dtype),
-        pwin=pltpu.VMEM((C, th + 2 * a, Wd), dt),
+        pwin=pltpu.VMEM((C, th + 2 * 8, Wd), dt),
         t1=pltpu.VMEM((C, th, Wd), dt),
         t2=pltpu.VMEM((C, th, Wd), dt),
         t3=pltpu.VMEM((C, th, Wd), dt),
@@ -1673,9 +1675,10 @@ def _hbm_tiled_cg(
     C, H, Wd = b.shape
     nt = H // th
     lm = ctc is not None
+    P = 8  # row padding (DMA sublane alignment; kernel PAD)
 
     def pad(x):
-        return jnp.pad(x, ((0, 0), (a, a), (0, 0))) if a else x
+        return jnp.pad(x, ((0, 0), (P, P), (0, 0)))
 
     operands = [meta["F"], pad(b), pad(prem)]
     if lm:
@@ -1702,7 +1705,7 @@ def _hbm_tiled_cg(
         guard_div=guard_div,
         interpret=interpret,
     )
-    padded = jax.ShapeDtypeStruct((C, H + 2 * a, Wd), b.dtype)
+    padded = jax.ShapeDtypeStruct((C, H + 2 * P, Wd), b.dtype)
     out_shape = [
         padded,  # delta
         jax.ShapeDtypeStruct((1,), jnp.int32),  # iters
@@ -1735,7 +1738,7 @@ def _hbm_tiled_cg(
         interpret=interpret,
         **kwargs,
     )(*operands)
-    delta = delta_p[:, a : a + H, :] if a else delta_p
+    delta = delta_p[:, P : P + H, :]
     packed = jnp.moveaxis(delta, 0, -1)
     out = {}
     for u in meta["u_list"]:

@@ -477,31 +477,45 @@ class GaussNewtonSolver:
                     pre_blocks=pre_blocks,
                     cg_variant=getattr(self.ip, "cg_variant", "standard"),
                 )
-            elif fused_variant_fits(
-                cg_meta,
-                cs=getattr(self.ip, "cg_variant", "standard")
-                == "chronopoulos_gear",
-                block_pre=pre_blocks is not None,
-            ):
-                # whole-inner-loop fused Pallas kernel (ops/pallas_cg.py):
-                # identical algebra and exits to the while_loop below;
-                # block-Jacobi rides in-kernel via pre_blocks (the reference
-                # applies its preconditioner inside PCGInit1/Step3), and
-                # cg_variant="chronopoulos_gear" runs its single-reduction
-                # recurrence in-kernel (same pipeline as _cs_recurrence)
-                from ..ops.pallas_cg import fused_grid_cg
-
-                fused_out = fused_grid_cg(
-                    cg_meta,
-                    r0,
-                    pre,
-                    sp["lIterations"],
-                    sp["cg_rz_tolerance"],
-                    guard_div=self.ip.guard_division_by_zero,
-                    interpret=self._pallas_mode == "interpret",
-                    pre_blocks=pre_blocks,
-                    cg_variant=getattr(self.ip, "cg_variant", "standard"),
+            else:
+                is_cs = (
+                    getattr(self.ip, "cg_variant", "standard")
+                    == "chronopoulos_gear"
                 )
+                fits_resident = fused_variant_fits(
+                    cg_meta, cs=is_cs, block_pre=pre_blocks is not None
+                )
+                # resident whole-loop kernel when the working set (plus
+                # variant extras) fits VMEM; otherwise the HBM-streaming
+                # tiled kernel (standard variant, scalar preconditioner
+                # only); otherwise the XLA loop
+                can_tile = (
+                    cg_meta.get("hbm_tiled") is not None
+                    and not cg_meta.get("chan_grid")
+                    and not is_cs
+                    and pre_blocks is None
+                )
+                if fits_resident or can_tile:
+                    # whole-inner-loop fused Pallas kernel (ops/pallas_cg):
+                    # identical algebra and exits to the while_loop below;
+                    # block-Jacobi rides in-kernel via pre_blocks (the
+                    # reference applies its preconditioner inside
+                    # PCGInit1/Step3), and cg_variant="chronopoulos_gear"
+                    # runs its single-reduction recurrence in-kernel
+                    from ..ops.pallas_cg import fused_grid_cg
+
+                    fused_out = fused_grid_cg(
+                        cg_meta,
+                        r0,
+                        pre,
+                        sp["lIterations"],
+                        sp["cg_rz_tolerance"],
+                        guard_div=self.ip.guard_division_by_zero,
+                        interpret=self._pallas_mode == "interpret",
+                        pre_blocks=pre_blocks,
+                        cg_variant=getattr(self.ip, "cg_variant", "standard"),
+                        use_tiled=not fits_resident,
+                    )
         if fused_out is not None:
             delta, l_done = fused_out
             X_new = {k: X[k] + delta[k] for k in X}
@@ -727,34 +741,49 @@ class GaussNewtonSolver:
                     pre_blocks=pre_blocks,
                     cg_variant=getattr(self.ip, "cg_variant", "standard"),
                 )
-            elif fused_variant_fits(
-                cg_meta,
-                lm=True,
-                cs=getattr(self.ip, "cg_variant", "standard")
-                == "chronopoulos_gear",
-                block_pre=pre_blocks is not None,
-            ):
-                # whole LM inner loop in the fused Pallas kernel: damping,
-                # residual reset and Q/ζ exit included (ops/pallas_cg.py);
-                # block-Jacobi (over the DAMPED blocks) rides in-kernel, and
-                # cg_variant="chronopoulos_gear" runs its single-reduction
-                # recurrence in-kernel (same pipeline as _cs_recurrence)
-                from ..ops.pallas_cg import fused_grid_cg
-
-                fused_out = fused_grid_cg(
-                    cg_meta,
-                    r0,
-                    pre_lm,
-                    sp["lIterations"],
-                    sp["cg_rz_tolerance"],
-                    guard_div=self.ip.guard_division_by_zero,
-                    interpret=self._pallas_mode == "interpret",
-                    ctc=ctc,
-                    reset_period=sp["residual_reset_period"],
-                    q_tolerance=sp["q_tolerance"],
-                    pre_blocks=pre_blocks,
-                    cg_variant=getattr(self.ip, "cg_variant", "standard"),
+            else:
+                is_cs = (
+                    getattr(self.ip, "cg_variant", "standard")
+                    == "chronopoulos_gear"
                 )
+                fits_resident = fused_variant_fits(
+                    cg_meta,
+                    lm=True,
+                    cs=is_cs,
+                    block_pre=pre_blocks is not None,
+                )
+                # LM variant extras routinely overflow the resident budget
+                # where the plain GN working set fits (512²-LM class):
+                # drop to the HBM-streaming tiled kernel before the XLA loop
+                can_tile = (
+                    cg_meta.get("hbm_tiled") is not None
+                    and not cg_meta.get("chan_grid")
+                    and not is_cs
+                    and pre_blocks is None
+                )
+                if fits_resident or can_tile:
+                    # whole LM inner loop in the fused Pallas kernel:
+                    # damping, residual reset and Q/ζ exit included;
+                    # block-Jacobi (over the DAMPED blocks) rides
+                    # in-kernel, and cg_variant="chronopoulos_gear" runs
+                    # its single-reduction recurrence in-kernel
+                    from ..ops.pallas_cg import fused_grid_cg
+
+                    fused_out = fused_grid_cg(
+                        cg_meta,
+                        r0,
+                        pre_lm,
+                        sp["lIterations"],
+                        sp["cg_rz_tolerance"],
+                        guard_div=self.ip.guard_division_by_zero,
+                        interpret=self._pallas_mode == "interpret",
+                        ctc=ctc,
+                        reset_period=sp["residual_reset_period"],
+                        q_tolerance=sp["q_tolerance"],
+                        pre_blocks=pre_blocks,
+                        cg_variant=getattr(self.ip, "cg_variant", "standard"),
+                        use_tiled=not fits_resident,
+                    )
         if fused_out is not None:
             delta, l_done = fused_out
             return self._lm_finish(

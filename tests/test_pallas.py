@@ -802,7 +802,7 @@ def test_hbm_tiled_cg_matches_xla_loop(monkeypatch, kind):
     import opt_tpu.ops.pallas_cg as pcg
     from opt_tpu.models.specs import image_warping
 
-    monkeypatch.setattr(pcg, "VMEM_BUDGET_BYTES", 512 * 1024)
+    monkeypatch.setattr(pcg, "VMEM_BUDGET_BYTES", 640 * 1024)
     hits = []
     real = pcg._hbm_tiled_cg
 
@@ -853,17 +853,72 @@ def test_hbm_tiled_cg_matches_xla_loop(monkeypatch, kind):
     )
 
 
-def test_hbm_tiled_variant_gates(monkeypatch):
-    """CS and block-pre decline the tiled metas (fall back to XLA loop)."""
-    from opt_tpu.ops.pallas_cg import fused_variant_fits
+def test_hbm_tiled_declined_for_cs_still_solves(monkeypatch):
+    """Chronopoulos-Gear cannot ride the streaming kernel: a >VMEM grid
+    with cg_variant=chronopoulos_gear must fall back to the XLA loop
+    (not crash, not silently run the tiled kernel)."""
+    import opt_tpu.ops.pallas_cg as pcg
+    from opt_tpu.models.specs import image_warping
 
-    meta = {
-        "ctot": 3,
-        "working_bytes": 1 << 20,
-        "pe": 1 << 14,
-        "hbm_tiled": {"th": 64, "halo": 1},
+    monkeypatch.setattr(pcg, "VMEM_BUDGET_BYTES", 640 * 1024)
+    hits = []
+    real = pcg._hbm_tiled_cg
+
+    def spy(*a, **k):
+        hits.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(pcg, "_hbm_tiled_cg", spy)
+    n = 64
+    ur = np.stack(
+        np.meshgrid(np.arange(n), np.arange(n), indexing="ij"), -1
+    ).astype(np.float32)
+    inputs = {
+        "Offset": ur.copy(),
+        "Angle": np.zeros((n, n), np.float32),
+        "UrShape": ur,
+        "Constraints": -np.ones((n, n, 2), np.float32),
+        "Mask": np.zeros((n, n), np.float32),
+        "w_fitSqrt": np.float32(1.0),
+        "w_regSqrt": np.float32(1.0),
     }
-    assert fused_variant_fits(meta)
-    assert fused_variant_fits(meta, lm=True)
-    assert not fused_variant_fits(meta, cs=True)
-    assert not fused_variant_fits(meta, block_pre=True)
+    res = ot.Problem(image_warping).plan(
+        dims={"W": n, "H": n},
+        init_params=InitializationParameters(
+            use_pallas_cg="interpret",
+            cg_variant="chronopoulos_gear",
+            preconditioner="jacobi",
+            edge_reorder=False,
+        ),
+    ).solve(dict(inputs), nIterations=2, lIterations=10)
+    assert not hits  # declined: XLA loop took it
+    assert np.isfinite(res.final_cost)
+
+
+def test_planner_attaches_hbm_arm_to_resident_metas():
+    """Every 2-D meta carries the tiled arm so launch-time variant
+    overflow (the 512^2-LM class) can drop to streaming instead of the
+    XLA loop."""
+    import opt_tpu.ops.pallas_cg  # noqa: F401
+    from opt_tpu.solver.gauss_newton import FunctionSet
+
+    n = 32
+    plan = ot.Problem(poisson_image_editing).plan(
+        dims={"W": n, "H": n},
+        init_params=InitializationParameters(use_pallas_cg="interpret"),
+    )
+    rng = np.random.RandomState(0)
+    inputs = {
+        "X": rng.rand(n, n, 4).astype(np.float32),
+        "T": rng.rand(n, n, 4).astype(np.float32),
+        "M": np.ones((n, n), np.float32),
+    }
+    uu, cw, gw, pw = plan._normalize_and_place(inputs)
+    fs = FunctionSet(plan.compiled, cw, gw, pw)
+    fs.masks(uu)
+    cc = fs.assemble_const(uu, plan.solver._stencil_plan)
+    _a, _d, _j, meta = fs.assemble_stencil(uu, plan.solver._stencil_plan, cc)
+    assert meta is not None
+    assert meta.get("hbm_tiled") is not None
+    assert meta["hbm_tiled"]["th"] % 8 == 0
+    assert n % meta["hbm_tiled"]["th"] == 0
