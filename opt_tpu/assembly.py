@@ -366,7 +366,7 @@ def _slot_jacobians(compiled, X, consts, graphs, params, slot_ids, mesh=None):
         terms = compiled.local_residual_terms(s, params, consts)
         return [t if sc is None else t * sc for t, sc in zip(terms, scales)]
 
-    _, lin = jax.linearize(f, sv)
+    primal, lin = jax.linearize(f, sv)
 
     # stack every (slot, channel) one-hot tangent along a leading probe axis
     n_probes = sum(compiled.registry.slots[sid].channels for sid in slot_ids)
@@ -413,8 +413,12 @@ def _slot_jacobians(compiled, X, consts, graphs, params, slot_ids, mesh=None):
             D[(t_idx, sid)] = moved[t_idx][..., base : base + s.channels]
     # the raw probe tensors let consumers contract over ALL probe columns in
     # one op (columns of slots absent from a term are exactly zero) and
-    # slice lazily — materializing per-slot slices relayouts every field
-    return D, moved, base_of
+    # slice lazily — materializing per-slot slices relayouts every field.
+    # The linearize PRIMAL is the residual-term evaluation at X itself —
+    # returned so assemble() can hand it to the solver as r_terms and the
+    # GN step skips its separate fs.linearize(X) residual pass (VERDICT r4
+    # next#5: share the probe linearize's primal with JtF).
+    return D, moved, base_of, primal
 
 
 def plan_assembly(
@@ -507,7 +511,7 @@ def _plan_assembly_uncached(
         Xp, constsp, graphsp, paramsp = _probe_inputs(
             probe, rng, probe_edges, extra_vals
         )
-        D, _mv, _bo = _slot_jacobians(probe, Xp, constsp, graphsp, paramsp, unknown_sids)
+        D, _mv, _bo, _pr = _slot_jacobians(probe, Xp, constsp, graphsp, paramsp, unknown_sids)
         pf: Dict[Tuple, np.ndarray] = {}
         for t_idx, term in enumerate(probe.terms):
             t_sids = [sid for sid in unknown_sids if sid in term.slot_ids]
@@ -616,7 +620,7 @@ def _plan_assembly_uncached(
     # probabilistic, backed by the first-solve validation against the
     # composed operator (GaussNewtonSolver.validate_assembly).
     Xp_alt, _c2, _g2, _p2 = _probe_inputs(probe, rng, probe_edges, extra_vals)
-    D_alt, _mv2, _bo2 = _slot_jacobians(
+    D_alt, _mv2, _bo2, _pr2 = _slot_jacobians(
         probe, Xp_alt, constsp, graphsp, paramsp, unknown_sids
     )
     const_tsids = set()
@@ -667,7 +671,7 @@ def assemble_const(compiled, plan: AssemblyPlan, X0, consts, graphs, params,
         return {"D": {}, "moved": None, "base": {}, "B": {},
                 "var_slots": var_slots}
     cache_slots = sorted({sid for (_t, sid) in const_ts})
-    D_all, moved, base_of = _slot_jacobians(
+    D_all, moved, base_of, _pr_const = _slot_jacobians(
         compiled, X0, consts, graphs, params, cache_slots, mesh=mesh
     )
     D = {k: D_all[k] for k in const_ts}
@@ -713,8 +717,9 @@ def assemble(compiled, plan: AssemblyPlan, X, consts, graphs, params,
     slots = compiled.registry.slots
     dt = compiled.dtype
 
+    r_terms_primal = None
     if const_cache is None:
-        D, moved, base_of = _slot_jacobians(
+        D, moved, base_of, r_terms_primal = _slot_jacobians(
             compiled, X, consts, graphs, params, plan.needed_slots, mesh=mesh
         )
         jt_sources = [(moved, base_of)]
@@ -723,7 +728,7 @@ def assemble(compiled, plan: AssemblyPlan, X, consts, graphs, params,
     else:
         var_slots = const_cache["var_slots"]
         if var_slots:
-            D_var, moved_var, base_var = _slot_jacobians(
+            D_var, moved_var, base_var, r_terms_primal = _slot_jacobians(
                 compiled, X, consts, graphs, params, var_slots, mesh=mesh
             )
         else:
@@ -2029,6 +2034,11 @@ def assemble(compiled, plan: AssemblyPlan, X, consts, graphs, params,
             {key: _group_mask(*key) for key in grp_exec},
             coeff_dtype=coeff_dtype,
         )
+    # the probe linearize's primal IS the residual evaluation at X (scaled
+    # exactly as residual_terms scales); expose it so the GN step can skip
+    # its separate fs.linearize(X) pass (VERDICT r4 next#5). None when every
+    # needed slot was const-hoisted (no per-step probe ran).
+    jtf_fn.r_terms = r_terms_primal
     return apply_fn, diag, jtf_fn, cg_meta
 
 

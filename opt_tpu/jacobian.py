@@ -47,7 +47,7 @@ def dump_jacobian(compiled, X, consts, graphs, params):
         for sid in compiled.unknown_slot_ids()
         if any(sid in t.slot_ids for t in compiled.terms)
     ]
-    D, _mv, _bo = _slot_jacobians(compiled, X, consts, graphs, params, slot_ids)
+    D, _mv, _bo, _pr = _slot_jacobians(compiled, X, consts, graphs, params, slot_ids)
     col_off, n_cols = _unknown_offsets(compiled)
 
     rows_l, cols_l, vals_l = [], [], []
