@@ -345,9 +345,11 @@ def _kernel(
     ctc = rest.pop(0)[...] if lm else None  # [C, *spatial] LM damping
     if rem_pairs:
         # one-hot remainder operands: [TT, 2, T] int32 (src/dst window-
-        # local lane ids, -1 padding) + [TT, C, C, T] coupling blocks
+        # local lane ids, -1 padding) + [TT, C, C, T] coupling blocks +
+        # [TT, 2] int32 per-tile (dst-row, src-row) ids in SMEM
         oh_ref = rest.pop(0)
         rblk_ref = rest.pop(0)
+        rows_ref = rest.pop(0)
     lits_ref = rest.pop(0)
     tol_ref = rest.pop(0)
     if lm:
@@ -406,69 +408,90 @@ def _kernel(
         zeros = jnp.zeros(spatial, b.dtype)
         out = jnp.stack([a if a is not None else zeros for a in acc])
         if rem_pairs:
-            # irregular remainder via one-hot matmuls (MXU): for each
-            # static (dst-row, src-row) window pair of the [R, L] fold,
-            # gather T cross-endpoint values per tile as p_row[C, L] @
-            # onehot[L, T], apply the per-entry C×C coupling blocks on the
-            # VPU, and scatter-add back with the transposed one-hot. The
-            # -1 padding lanes never match the iota, and their blocks are
-            # the appended zero row — zero contribution by construction.
-            # This replaces the latency-bound per-row gather that kept
-            # irregular meshes off the fused path (VERDICT r3 #1); the
-            # reference's equivalent is per-edge atomics
-            # (solverGPUGaussNewton.t:684-760).
+            # irregular remainder via one-hot matmuls (MXU): for each tile
+            # of a (dst-row, src-row) window pair of the [R, L] fold,
+            # gather T cross-endpoint values as p_row[C, L] @ onehot[L, T],
+            # apply the per-entry C×C coupling blocks on the VPU, and
+            # scatter-add back with the transposed one-hot. The -1 padding
+            # lanes never match the iota, and their blocks are the appended
+            # zero row — zero contribution by construction. This replaces
+            # the latency-bound per-row gather that kept irregular meshes
+            # off the fused path (VERDICT r3 #1); the reference's
+            # equivalent is per-edge atomics (solverGPUGaussNewton.t:
+            # 684-760). The tile loop is a ROLLED lax.fori_loop with
+            # dynamic leading-dim ref indexing — the round-4 unrolled
+            # per-pair form compiled a ~620-body Mosaic program that took
+            # ~10 MINUTES per solve shape to compile on the armadillo
+            # (measured live r5); rolled, the program is one body.
+            from jax.experimental import pallas as pl
+            from jax.experimental.pallas import tpu as pltpu
+
             L = spatial[1]
-            oh = oh_ref[...]  # [TT, 2, T]
-            rblk = rblk_ref[...].astype(b.dtype)  # [TT, C, C, T]
-            T = oh.shape[-1]
+            R_rows = spatial[0]
+            T = oh_ref.shape[-1]
+            TT = oh_ref.shape[0]
             iota_lt = jax.lax.broadcasted_iota(jnp.int32, (L, T), 0)
             iota_tl = jax.lax.broadcasted_iota(jnp.int32, (T, L), 1)
             C = n_channels
-            t0 = 0
-            row_acc = {}  # dst fold row -> [C, L] accumulated contribution
-            for rv, ru, nt in rem_pairs:
-                prow = p[:, ru, :]  # [C, L] static row slice
-                accv = None
-                for t in range(t0, t0 + nt):
-                    src = oh[t, 0, :]
-                    dst = oh[t, 1, :]
-                    ohs = (iota_lt == src[None, :]).astype(b.dtype)
+
+            def rem_scoped(p_scr, acc_scr):
+                # row-leading [R, C, L] layout so every dynamic index hits
+                # the untiled leading dim (dynamic sublane slices are not
+                # reliably lowered)
+                p_scr[...] = jnp.moveaxis(p, 0, 1)
+                acc_scr[...] = jnp.zeros((R_rows, C, L), b.dtype)
+
+                def tile_body(t, accv):
+                    ru = rows_ref[t, 1]
+                    prow = p_scr[pl.ds(ru, 1)][0]  # [C, L]
+                    ohtab = oh_ref[pl.ds(t, 1)][0]  # [2, T]
+                    ohs = (iota_lt == ohtab[0][None, :]).astype(b.dtype)
                     g = jax.lax.dot_general(
                         prow,
                         ohs,
                         (((1,), (0,)), ((), ())),
                         preferred_element_type=b.dtype,
                     )  # [C, T]
-                    blk = rblk[t]  # [C, C, T]
+                    blk = rblk_ref[pl.ds(t, 1)][0].astype(b.dtype)
                     prod = jnp.stack(
                         [
                             sum(blk[i, j] * g[j] for j in range(C))
                             for i in range(C)
                         ]
                     )  # [C, T]
-                    ohd = (iota_tl == dst[:, None]).astype(b.dtype)
+                    ohd = (iota_tl == ohtab[1][:, None]).astype(b.dtype)
                     contrib = jax.lax.dot_general(
                         prod,
                         ohd,
                         (((1,), (0,)), ((), ())),
                         preferred_element_type=b.dtype,
                     )  # [C, L]
-                    accv = contrib if accv is None else accv + contrib
-                t0 += nt
-                # accumulate host-side per dst row: Mosaic has no
-                # scatter-add, and .at[].add on a value lowers to one —
-                # the per-row stack below is pure vector code instead
-                row_acc[rv] = (
-                    accv if rv not in row_acc else row_acc[rv] + accv
-                )
-            zeros_cl = jnp.zeros((C, L), b.dtype)
-            out = out + jnp.stack(
-                [
-                    row_acc.get(r_, zeros_cl)
-                    for r_ in range(spatial[0])
-                ],
-                axis=1,
+                    return accv + contrib
+
+                # manual 4x unroll (Mosaic supports only full/none):
+                # amortizes per-tile loop control and interleaves the four
+                # tiles' loads/matmuls for ILP, while keeping the program
+                # ~TT/4 bodies smaller than the round-4 fully-unrolled
+                # form (which compiled ~10 minutes per solve shape). The
+                # planner padded TT to a multiple of 4 with sentinel tiles.
+                def flat4_body(q, carry):
+                    for k in range(8):
+                        t = q * 8 + k
+                        rv = rows_ref[t, 0]
+                        contrib = tile_body(t, jnp.zeros((C, L), b.dtype))
+                        cur = acc_scr[pl.ds(rv, 1)]
+                        acc_scr[pl.ds(rv, 1)] = cur + contrib[None]
+                    return carry
+
+                jax.lax.fori_loop(0, TT // 8, flat4_body, 0)
+                return acc_scr[...]
+
+            acc = pl.run_scoped(
+                rem_scoped,
+                p_scr=pltpu.VMEM((R_rows, C, L), b.dtype),
+                acc_scr=pltpu.VMEM((R_rows, C, L), b.dtype),
             )
+            out = out + jnp.moveaxis(acc, 1, 0)
         if ctc is not None:
             out = out + ctc * p  # + CtC·p (o.t:2076-2082)
         return out
@@ -866,14 +889,45 @@ def plan_fused_graph_cg(
         )
         if coeff_dtype is not None:
             blocks = blocks.astype(coeff_dtype)
+        # per-tile (dst-row, src-row) ids for the rolled in-kernel tile
+        # loop (SMEM operand; the static pair list stays in meta for the
+        # sharded/width checks)
+        rows = _np.concatenate(
+            [
+                _np.repeat([[rv, ru]], nt, axis=0)
+                for rv, ru, nt in rem_pairs
+            ],
+            axis=0,
+        ).astype(_np.int32)
+
+        table = (
+            rem_tables[0]
+            if len(rem_tables) == 1
+            else jnp.concatenate(rem_tables, axis=0)
+        )
+        # pad the tile count to the kernel manual unroll factor with
+        # sentinel tiles: -1 lane ids never match the iota and the zero
+        # blocks contribute nothing (accumulated into row 0 harmlessly)
+        UNROLL = 8
+        TTn = int(table.shape[0])
+        padn = (-TTn) % UNROLL
+        if padn:
+            table = jnp.concatenate(
+                [table, jnp.full((padn,) + table.shape[1:], -1, table.dtype)],
+                axis=0,
+            )
+            blocks = jnp.concatenate(
+                [blocks, jnp.zeros((padn,) + blocks.shape[1:], blocks.dtype)],
+                axis=0,
+            )
+            rows = _np.concatenate(
+                [rows, _np.zeros((padn, 2), _np.int32)], axis=0
+            )
         meta["rem"] = {
             "pairs": tuple(rem_pairs),
-            "table": (
-                rem_tables[0]
-                if len(rem_tables) == 1
-                else jnp.concatenate(rem_tables, axis=0)
-            ),
+            "table": table,
             "blocks": blocks,
+            "rows": jnp.asarray(rows),
         }
     return meta
 
@@ -978,21 +1032,24 @@ def fused_grid_cg(
         chan_grid=chan_grid,
     )
     operands = [F, b, prem]
-    n_smem = 2
+    kinds = ["v", "v", "v"]  # v = VMEM array, s = SMEM scalar/table
     if lm:
         operands.append(pack(ctc))
+        kinds.append("v")
     if rem:
-        operands += [rem["table"], rem["blocks"]]
+        operands += [rem["table"], rem["blocks"], rem["rows"]]
+        kinds += ["v", "v", "s"]
     operands += [
         jnp.asarray(l_iterations, jnp.int32).reshape(1),
         jnp.asarray(rz_tolerance, b.dtype).reshape(1),
     ]
+    kinds += ["s", "s"]
     if lm:
         operands += [
             jnp.asarray(reset_period, jnp.int32).reshape(1),
             jnp.asarray(q_tolerance, b.dtype).reshape(1),
         ]
-        n_smem = 4
+        kinds += ["s", "s"]
     kwargs = {}
     if chan_grid:
         # grid=(C,) over INDEPENDENT channels (channel-diagonal operator,
@@ -1021,7 +1078,7 @@ def fused_grid_cg(
         in_specs = [shared, per_ch, per_ch]
         if lm:
             in_specs.append(per_ch)
-        in_specs += [sm] * n_smem
+        in_specs += [sm] * kinds.count("s")
         # iters: ONE full (C,) block revisited by every grid step (rank-1
         # sub-array blocks are rejected by the TPU lowering); the kernel
         # writes its own program_id slot
@@ -1042,7 +1099,7 @@ def fused_grid_cg(
         vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
         smem = pl.BlockSpec(memory_space=pltpu.SMEM)
         kwargs = {
-            "in_specs": [vmem] * (len(operands) - n_smem) + [smem] * n_smem,
+            "in_specs": [vmem if k == "v" else smem for k in kinds],
             "out_specs": [vmem, smem],
             # the while-loop carry lives on the kernel's scoped-VMEM stack;
             # the 16 MiB default rejects 512²x4 problems that comfortably

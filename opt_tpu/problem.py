@@ -9,6 +9,7 @@ wrappers on top of this.
 
 from __future__ import annotations
 
+import os
 import dataclasses
 import time
 from typing import Any, Dict, List, Optional
@@ -522,7 +523,14 @@ class Plan:
                         ded0 = dedup_reads(rp_k[:, :, 0], rc, n, dd * mm1)
                         if ded0 is not None:
                             rp_k, rc = ded0
-                        ohp = onehot_tile_plan(rc, n, fold_lanes(n))
+                        ohp = onehot_tile_plan(
+                            rc,
+                            n,
+                            fold_lanes(n),
+                            tile=int(
+                                os.environ.get("OPT_TPU_OH_TILE", "256")
+                            ),
+                        )
                         if ohp is not None:
                             from .ops.pallas_cg import VMEM_BUDGET_BYTES
 

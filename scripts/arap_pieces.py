@@ -71,6 +71,10 @@ def main():
     ap.add_argument("--side", type=int, default=192)
     ap.add_argument("--k", type=int, default=16)
     ap.add_argument("--only", nargs="*", default=None)
+    ap.add_argument("--armadillo", action="store_true",
+                    help="armadillo31k irregular-mesh fixture")
+    ap.add_argument("--pallas", default=None,
+                    help="use_pallas_cg override (off/on/interpret)")
     args = ap.parse_args()
     import jax
 
@@ -83,8 +87,18 @@ def main():
     from opt_tpu import assembly
     from opt_tpu.functions import FunctionSet
 
-    spec, dims, inputs = _from_bench_arap(args.side)
-    plan = ot.Problem(spec).plan(dims=dims)
+    if getattr(args, "armadillo", False):
+        from profile_step import _from_bench_arap_irregular
+
+        spec, dims, inputs = _from_bench_arap_irregular()
+    else:
+        spec, dims, inputs = _from_bench_arap(args.side)
+    ipkw = (
+        {"init_params": ot.InitializationParameters(use_pallas_cg=args.pallas)}
+        if args.pallas
+        else {}
+    )
+    plan = ot.Problem(spec).plan(dims=dims, **ipkw)
     u, c, g, p = plan._normalize_and_place(dict(inputs))
     sp = plan.solver._stencil_plan
     fs = FunctionSet(plan.compiled, c, g, p)
@@ -94,7 +108,7 @@ def main():
     K = args.k
 
     def probes(X):
-        D, moved, base = assembly._slot_jacobians(
+        D, moved, base, _pr = assembly._slot_jacobians(
             plan.compiled, X, c, g, p, var_slots
         )
         return moved
@@ -103,7 +117,7 @@ def main():
         out["probes_ms"] = _loop_time(probes, u, K)
 
     def products(X):
-        D_var, moved, base = assembly._slot_jacobians(
+        D_var, moved, base, _pr = assembly._slot_jacobians(
             plan.compiled, X, c, g, p, var_slots
         )
         D = dict(D_var)

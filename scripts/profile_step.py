@@ -181,3 +181,43 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def _from_bench_arap_irregular():
+    """armadillo31k fixture with the bench's grid-embed reorder
+    (bench.bench_arap_irregular inputs, for arap_pieces --armadillo)."""
+    import numpy as np
+
+    from opt_tpu.models.specs import arap_mesh_deformation
+    from opt_tpu.utils.reorder import (
+        grid_embed_order,
+        permute_vertices,
+        remap_edges,
+    )
+
+    d = np.load(os.path.join(ROOT, "benchdata", "armadillo31k.npz"))
+    verts = d["verts"].astype(np.float32)
+    v0 = d["v0"].astype(np.int32)
+    v1 = d["v1"].astype(np.int32)
+    N = verts.shape[0]
+    perm = grid_embed_order(v0, v1, N)
+    pos = permute_vertices(perm, verts)
+    v0r, v1r = remap_edges(perm, v0, v1)
+    con = -np.ones((N, 3), np.float32)
+    z = pos[:, 2]
+    lo = z <= np.quantile(z, 0.01)
+    hi = z >= np.quantile(z, 0.99)
+    con[lo] = pos[lo]
+    con[hi] = pos[hi] + np.array(
+        [0.0, 0.0, 0.2 * (z.max() - z.min())], np.float32
+    )
+    inputs = {
+        "Offset": pos.copy(),
+        "Angle": np.zeros((N, 3), np.float32),
+        "UrShape": pos,
+        "Constraints": con,
+        "G": {"v0": v0r, "v1": v1r},
+        "w_fitSqrt": np.sqrt(1.0).astype(np.float32),
+        "w_regSqrt": np.sqrt(0.5).astype(np.float32),
+    }
+    return arap_mesh_deformation, {"N": N}, inputs
