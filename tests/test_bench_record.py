@@ -100,7 +100,7 @@ def test_exhausted_budget_emits_record_without_running_cases():
     assert out["value"] is None
     assert out["vs_baseline"] is None
     tr = out["extra"]["truncated"]
-    assert len(tr["cases_not_run"]) == 12
+    assert len(tr["cases_not_run"]) == 13
     # the record schema is complete even when nothing ran
     for key in (
         "gn_iters_per_sec_arap36k_vertices",
