@@ -72,7 +72,7 @@ from .solver.params import (
 )
 from .spec import SpecError
 
-__version__ = "0.7.0"
+__version__ = "0.8.0"
 
 
 def enable_double_precision():

@@ -17,3 +17,31 @@ os.environ["XLA_FLAGS"] = (
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+def pytest_collection_modifyitems(config, items):
+    """Two-tier suite (VERDICT r4 next#7): tests listed in slow_tests.txt
+    (>= 15 s measured on the CI rig) get the `slow` marker, so the default
+    CI tier `-m "not slow"` finishes in minutes while covering every
+    subsystem at toy size. Exceptions kept fast for sole-coverage reasons
+    are simply absent from the list (two-process multihost, scheduled
+    solve, one bf16-coefficient pin). The full suite runs everything.
+    """
+    import pytest as _pytest
+
+    listed = set()
+    path = os.path.join(os.path.dirname(__file__), "slow_tests.txt")
+    try:
+        with open(path) as f:
+            for ln in f:
+                ln = ln.strip()
+                if ln and not ln.startswith("#"):
+                    listed.add(ln)
+    except OSError:
+        return
+    for item in items:
+        nodeid = item.nodeid.replace("\\", "/")
+        if not nodeid.startswith("tests/"):
+            nodeid = "tests/" + nodeid.split("tests/")[-1]
+        if nodeid in listed:
+            item.add_marker(_pytest.mark.slow)
