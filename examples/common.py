@@ -39,6 +39,13 @@ def example_argparser(description: str) -> argparse.ArgumentParser:
         "greppable TIMING / Per-iter lines after each solve (util.t:469-508)",
     )
     ap.add_argument(
+        "--double",
+        action="store_true",
+        help="solve in float64 (the reference's OPT_DOUBLE_PRECISION / "
+        "doublePrecision init parameter; OptSolver.h:17-36 converts "
+        "per-solve). Process-global (jax x64).",
+    )
+    ap.add_argument(
         "--converged",
         action="store_true",
         help="raise Opt iteration counts so final costs are at convergence "
@@ -50,11 +57,12 @@ def example_argparser(description: str) -> argparse.ArgumentParser:
 
 def maybe_add_ceres(solver, args, max_nfev: int = 200) -> None:
     """Register the scipy comparison run when --ceres was passed, and apply
-    the --timing / --converged flags."""
+    the --timing / --converged / --double flags."""
     if getattr(args, "ceres", False):
         solver.add_scipy_reference_solver(max_nfev=max_nfev)
     solver.collect_timing = getattr(args, "timing", False)
     solver.converged_override = getattr(args, "converged", False)
+    solver.double_precision = getattr(args, "double", False)
 
 
 def setup_backend(args) -> None:
@@ -62,3 +70,7 @@ def setup_backend(args) -> None:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    if getattr(args, "double", False):
+        import opt_tpu as ot
+
+        ot.enable_double_precision()

@@ -471,7 +471,12 @@ def _plan_assembly_uncached(
     from .compile import compile_spec
 
     probe_dims = {k: min(v, probe_size) for k, v in compiled.dim_sizes.items()}
-    probe = compile_spec(spec_fn, probe_dims, compiled.dtype)
+    # probes detect STRUCTURE (which channel-pair fields are exactly zero),
+    # not values, so they always run in float32 — structural zeros are
+    # dtype-independent, and the x64 CPU probe evaluation aborts with heap
+    # corruption inside jaxlib's slice on this rig (pre-existing at r4;
+    # minimal repro: poisson x64 plan; tests/test_double_precision.py)
+    probe = compile_spec(spec_fn, probe_dims, jnp.float32)
 
     # the plan stores probe slot/term ids and assemble() resolves them in the
     # real compile — tracing is deterministic so the registries must agree;

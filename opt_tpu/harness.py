@@ -163,6 +163,7 @@ class CombinedSolverBase:
         self.plan = Problem(self.spec_fn).plan(
             dims=self.dims,
             kind=kind,
+            double_precision=getattr(self, "double_precision", False),
             nIterations=non_linear,
             lIterations=linear,
             **plan_kw,
@@ -219,13 +220,15 @@ class CombinedSolverBase:
         return text
 
     def save_results_csv(
-        self, directory="results", double_precision=False, name=None
+        self, directory="results", double_precision=None, name=None
     ) -> str:
         """SolverIteration.h:28-67 saveSolverResults. ``name`` (defaulting
         to the spec function's name) keys the file per example — the
         reference writes one results CSV per example directory; a shared
         unnamed file would be overwritten by whichever example ran last."""
         os.makedirs(directory, exist_ok=True)
+        if double_precision is None:
+            double_precision = getattr(self, "double_precision", False)
         suffix = "double" if double_precision else "float"
         name = name or getattr(self.spec_fn, "__name__", None)
         stem = f"{name}_results_{suffix}" if name else f"results_{suffix}"

@@ -38,6 +38,11 @@ def main():
         help="also run the independent scipy oracle in each example",
     )
     ap.add_argument(
+        "--double",
+        action="store_true",
+        help="run every example in float64 (results_*_double.csv)",
+    )
+    ap.add_argument(
         "--converged",
         action="store_true",
         help="run Opt to convergence (meaningful oracle comparisons)",
@@ -58,6 +63,8 @@ def main():
             cmd.append("--ceres")
         if args.converged:
             cmd.append("--converged")
+        if args.double:
+            cmd.append("--double")
         log = os.path.join(args.out, f"{name}.log")
         print(f"=== {name} ===", flush=True)
         with open(log, "w") as f:
