@@ -129,6 +129,7 @@ def main():
     params = {"numIter": 3, "nonLinearIter": 1, "linearIter": 50}
     solver = FlowSolver(im0, im1, params)
     solver.add_opt_solvers(["gaussNewtonGPU"])
+    maybe_add_ceres(solver, args)
     solver.solve_all()
     solver.report_final_costs()
     solver.save_results_csv(args.results)
