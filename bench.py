@@ -33,7 +33,8 @@ import numpy as np
 # driver-captured perf record — r4 blew the driver's time budget with rc=124
 # and, because the single JSON line prints only at the very end, the round's
 # official record was empty). The bench now enforces its OWN deadline:
-#   * BENCH_BUDGET_S (default 1100 s) caps the whole run;
+#   * BENCH_BUDGET_S (default 1500 s) caps the whole run (13 cases through
+#     the tunnel measure ~1400 s total live);
 #   * BENCH_CASE_TIMEOUT_S (default 420 s) caps any one case;
 #   * a daemon watchdog thread emits the cumulative JSON record and exits the
 #     process if the main thread is stuck inside a native call (the tunnel's
@@ -46,7 +47,7 @@ import numpy as np
 # (/root/reference/API/src/util.t:469-508).
 # ---------------------------------------------------------------------------
 BENCH_START = time.time()
-BENCH_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1100"))
+BENCH_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1500"))
 BENCH_CASE_TIMEOUT_S = float(os.environ.get("BENCH_CASE_TIMEOUT_S", "420"))
 BENCH_DEADLINE = BENCH_START + BENCH_BUDGET_S
 
