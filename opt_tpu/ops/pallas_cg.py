@@ -618,10 +618,13 @@ def plan_fused_grid_cg(
                 if H_r % th or th <= 2 * a_h:
                     continue
                 est = (
-                    len(field_list)
+                    # field tile + p window are DOUBLE-buffered in the
+                    # kernel's apply phase
+                    2
+                    * len(field_list)
                     * f_bytes
                     * padded_spatial_elems((th, W_r), coeff_dtype)
-                    + (2 * ctot + 2 * ctot + ctot)
+                    + (2 * ctot + 2 * ctot + 3 * ctot)
                     * 4
                     * padded_spatial_elems((th + 16, W_r))
                 )
@@ -1467,7 +1470,7 @@ def _hbm_tiled_kernel(
             return num / den
         return jnp.where(den > 0, num / jnp.where(den > 0, den, 1.0), 0.0)
 
-    def scoped(fbuf, pwin, t1, t2, t3, sem):
+    def scoped(fbuf, pwin, t1, t2, t3, sem, psem, fsem):
         def load(hbm, i, buf, rows, row0):
             dma = pltpu.make_async_copy(
                 hbm.at[:, pl.ds(row0 + i * th, rows), :], buf, sem
@@ -1489,10 +1492,10 @@ def _hbm_tiled_kernel(
             dma.start()
             dma.wait()
 
-        def apply_tile():
-            """w tile from the already-loaded pwin/fbuf (+ctc in t2)."""
-            F = fbuf[...]
-            pw = pwin[...]
+        def apply_tile(slot):
+            """w tile from the already-loaded pwin/fbuf slot (+ctc in t2)."""
+            F = fbuf[slot]
+            pw = pwin[slot]
             acc = [None] * C
             cache = {}
             for delta_t, i, j, fid in triples:
@@ -1513,18 +1516,50 @@ def _hbm_tiled_kernel(
             return w
 
         def phase_apply(src_ref, with_den):
-            """w_ref = A(src) (+CtC·src under LM); optionally Σ src·w."""
+            """w_ref = A(src) (+CtC·src under LM); optionally Σ src·w.
+
+            The src window + field-tile loads are double-buffered: tile
+            i+1's DMAs start into the other slot before tile i's compute,
+            so the dominant HBM traffic (the F fields) overlaps the
+            stencil arithmetic (guide pattern; the serial start/wait form
+            left the MXU idle through every field fetch)."""
+
+            def dma_pair(i, slot):
+                return (
+                    pltpu.make_async_copy(
+                        src_ref.at[:, pl.ds(i * th, th + 2 * PAD), :],
+                        pwin.at[slot],
+                        psem.at[slot],
+                    ),
+                    pltpu.make_async_copy(
+                        F_ref.at[:, pl.ds(i * th, th), :],
+                        fbuf.at[slot],
+                        fsem.at[slot],
+                    ),
+                )
+
+            for d in dma_pair(0, 0):
+                d.start()
 
             def tile(i, acc):
-                load(src_ref, i, pwin, th + 2 * PAD, 0)
-                load(F_ref, i, fbuf, th, 0)
+                slot = jax.lax.rem(i, 2)
+
+                @pl.when(i + 1 < n_tiles)
+                def _():
+                    for d in dma_pair(i + 1, 1 - slot):
+                        d.start()
+
                 if lm:
                     load(ctc_ref, i, t2, th, PAD)
-                w = apply_tile()
+                for d in dma_pair(i, slot):
+                    d.wait()
+                w = apply_tile(slot)
                 t1[...] = w
                 store(t1, w_ref, i)
                 if with_den:
-                    acc = acc + jnp.sum(pwin[:, PAD : PAD + th, :] * w)
+                    acc = acc + jnp.sum(
+                        pwin[slot, :, PAD : PAD + th, :] * w
+                    )
                 return acc
 
             return jax.lax.fori_loop(0, n_tiles, tile, jnp.zeros((), dt))
@@ -1701,12 +1736,14 @@ def _hbm_tiled_kernel(
 
     pl.run_scoped(
         scoped,
-        fbuf=pltpu.VMEM((nf, th, Wd), F_ref.dtype),
-        pwin=pltpu.VMEM((C, th + 2 * 8, Wd), dt),
+        fbuf=pltpu.VMEM((2, nf, th, Wd), F_ref.dtype),
+        pwin=pltpu.VMEM((2, C, th + 2 * 8, Wd), dt),
         t1=pltpu.VMEM((C, th, Wd), dt),
         t2=pltpu.VMEM((C, th, Wd), dt),
         t3=pltpu.VMEM((C, th, Wd), dt),
         sem=pltpu.SemaphoreType.DMA(()),
+        psem=pltpu.SemaphoreType.DMA((2,)),
+        fsem=pltpu.SemaphoreType.DMA((2,)),
     )
 
 

@@ -802,7 +802,7 @@ def test_hbm_tiled_cg_matches_xla_loop(monkeypatch, kind):
     import opt_tpu.ops.pallas_cg as pcg
     from opt_tpu.models.specs import image_warping
 
-    monkeypatch.setattr(pcg, "VMEM_BUDGET_BYTES", 640 * 1024)
+    monkeypatch.setattr(pcg, "VMEM_BUDGET_BYTES", 1024 * 1024)
     hits = []
     real = pcg._hbm_tiled_cg
 
@@ -860,7 +860,7 @@ def test_hbm_tiled_declined_for_cs_still_solves(monkeypatch):
     import opt_tpu.ops.pallas_cg as pcg
     from opt_tpu.models.specs import image_warping
 
-    monkeypatch.setattr(pcg, "VMEM_BUDGET_BYTES", 640 * 1024)
+    monkeypatch.setattr(pcg, "VMEM_BUDGET_BYTES", 1024 * 1024)
     hits = []
     real = pcg._hbm_tiled_cg
 
