@@ -922,3 +922,45 @@ def test_planner_attaches_hbm_arm_to_resident_metas():
     assert meta.get("hbm_tiled") is not None
     assert meta["hbm_tiled"]["th"] % 8 == 0
     assert n % meta["hbm_tiled"]["th"] == 0
+
+
+def test_hbm_arm_budget_math(monkeypatch):
+    """Planner invariants for the streaming arm: tile rows divide H, are
+    sublane-sized, halo <= kernel PAD, and the per-phase estimate (with
+    DOUBLE-buffered field/window tiles) fits half the budget."""
+    import opt_tpu.ops.pallas_cg as pcg
+    from opt_tpu.solver.gauss_newton import FunctionSet
+    from opt_tpu.models.specs import image_warping
+
+    n = 64
+    monkeypatch.setattr(pcg, "VMEM_BUDGET_BYTES", 1024 * 1024)
+    plan = ot.Problem(image_warping).plan(
+        dims={"W": n, "H": n},
+        init_params=InitializationParameters(use_pallas_cg="interpret"),
+    )
+    ur = np.zeros((n, n, 2), np.float32)
+    inputs = {
+        "Offset": ur,
+        "Angle": np.zeros((n, n), np.float32),
+        "UrShape": ur,
+        "Constraints": -np.ones((n, n, 2), np.float32),
+        "Mask": np.zeros((n, n), np.float32),
+        "w_fitSqrt": np.float32(1.0),
+        "w_regSqrt": np.float32(1.0),
+    }
+    u, c, g, p = plan._normalize_and_place(inputs)
+    fs = FunctionSet(plan.compiled, c, g, p)
+    fs.masks(u)
+    cc = fs.assemble_const(u, plan.solver._stencil_plan)
+    _a, _d, _j, meta = fs.assemble_stencil(u, plan.solver._stencil_plan, cc)
+    arm = meta["hbm_tiled"]
+    th, halo = arm["th"], arm["halo"]
+    assert th % 8 == 0 and n % th == 0
+    assert 0 < halo <= 8
+    nf = meta["F"].shape[0]
+    C = meta["ctot"]
+    est = (
+        2 * nf * 4 * pcg.padded_spatial_elems((th, n))
+        + 7 * C * 4 * pcg.padded_spatial_elems((th + 16, n))
+    )
+    assert est <= pcg.VMEM_BUDGET_BYTES // 2

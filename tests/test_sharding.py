@@ -552,3 +552,42 @@ def test_sharded_fused_cg_unsupported_falls_back(monkeypatch):
         ),
     ).solve(dict(inputs), nIterations=2, lIterations=10)
     assert np.isfinite(res.final_cost)
+
+
+def test_sharded_fused_cg_radius2_stencil(monkeypatch):
+    """Halo width 2: a second-neighbor stencil must exchange two rows/cols
+    per side through the ppermute halo (only radius-1 paths were covered)."""
+
+    def biharmonic_ish(S):
+        W, H = S.Dim("W"), S.Dim("H")
+        X = S.Unknown("X", 1, (W, H))
+        A = S.Array("A", 1, (W, H))
+        S.Energy(0.3 * (X(0, 0) - A(0, 0)))
+        for dx, dy in ot.Stencil([(2, 0), (-2, 0), (0, 2), (0, -2)]):
+            S.Energy(
+                ot.Select(
+                    ot.InBounds(dx, dy), X(0, 0) - X(dx, dy), 0.0
+                )
+            )
+
+    n = 32
+    rng = np.random.RandomState(5)
+    inputs = {
+        "X": rng.rand(n, n).astype(np.float32),
+        "A": rng.rand(n, n).astype(np.float32),
+    }
+    engaged = _spy_sharded_fused(monkeypatch)
+    r1 = ot.Problem(biharmonic_ish).plan(
+        dims={"W": n, "H": n}, init_params=pinned_ip()
+    ).solve(dict(inputs), nIterations=2, lIterations=25)
+    r8 = ot.Problem(biharmonic_ish).plan(
+        dims={"W": n, "H": n},
+        mesh=make_mesh(),
+        init_params=pinned_ip(use_pallas_cg="interpret"),
+    ).solve(dict(inputs), nIterations=2, lIterations=25)
+    assert engaged and all(engaged), "radius-2 sharded fused CG did not engage"
+    assert r1.num_linear_iterations == r8.num_linear_iterations
+    assert np.allclose(r1.final_cost, r8.final_cost, rtol=1e-4)
+    assert np.allclose(
+        np.asarray(r1.unknowns["X"]), np.asarray(r8.unknowns["X"]), atol=1e-4
+    )
