@@ -93,7 +93,13 @@ def _ensure_live_backend_probe() -> None:
     # failed one), so retry before writing off the round's accelerator
     # numbers — but the whole probe phase is capped at ~25% of the wall
     # budget (r4's probe alone could burn 12.5 min, VERDICT weak#1).
-    probe_deadline = BENCH_START + min(300.0, 0.25 * BENCH_BUDGET_S)
+    # per-attempt timeout 240 s: the tunnel has a degraded mode where
+    # BACKEND INIT takes 1-4 minutes while execution afterwards is fine
+    # (observed 2026-08-20 late: probes failed at a 120 s cap for an hour
+    # while direct solves worked) — a too-impatient probe turns a slow but
+    # alive rig into a CPU-fallback round record.
+    per_attempt = float(os.environ.get("BENCH_PROBE_TIMEOUT_S", "240"))
+    probe_deadline = BENCH_START + min(480.0, 0.3 * BENCH_BUDGET_S)
     attempt = 0
     while time.time() < probe_deadline:
         attempt += 1
@@ -105,7 +111,9 @@ def _ensure_live_backend_probe() -> None:
                     "import jax, jax.numpy as jnp; "
                     "print(float(jnp.arange(64.0).sum()))",
                 ],
-                timeout=max(10.0, min(120.0, probe_deadline - time.time())),
+                timeout=max(
+                    10.0, min(per_attempt, probe_deadline - time.time())
+                ),
                 check=True,
                 capture_output=True,
             )

@@ -1435,14 +1435,51 @@ def assemble(compiled, plan: AssemblyPlan, X, consts, graphs, params,
                             )
                             table = graphs[g][key]  # [TT, 3, T]
                             blk_idx = table[:, 2, :]  # [TT, T]
-                            flat = C_r.reshape(n_out * d_rem, ct * ct)
-                            flat = jnp.concatenate(
-                                [flat, jnp.zeros((1, ct * ct), dt)], 0
-                            )
                             TT, T = blk_idx.shape
-                            tiles = jnp.take(
-                                flat, blk_idx.reshape(-1), axis=0
-                            ).reshape(TT, T, ct, ct)
+                            direct = graphs[g].get(f"__ohdirect__{suffix}")
+                            if direct is not None:
+                                # gather the kernel tiles STRAIGHT from
+                                # the per-edge stacked blocks via the
+                                # bind-time K-position tables — same sum
+                                # (k ascending) as the dedup pre-sum
+                                # path, but the [N, Dm] C_r build above
+                                # no longer feeds the fused program and
+                                # is DCE'd there (6.4 ms/step on
+                                # armadillo-31k; it still serves the
+                                # XLA-path apply)
+                                rowsp1 = d_tot * (m - 1) + 1
+                                flat2 = jnp.concatenate(
+                                    [
+                                        C_flat,
+                                        jnp.zeros(
+                                            (n_out, 1, ct * ct), dt
+                                        ),
+                                    ],
+                                    axis=1,
+                                ).reshape(n_out * rowsp1, ct * ct)
+                                flat2 = jnp.concatenate(
+                                    [flat2, jnp.zeros((1, ct * ct), dt)],
+                                    axis=0,
+                                )
+                                tl = None
+                                for kk in range(direct.shape[0]):
+                                    part = jnp.take(
+                                        flat2,
+                                        direct[kk].reshape(-1),
+                                        axis=0,
+                                    )
+                                    tl = part if tl is None else tl + part
+                                tiles = tl.reshape(TT, T, ct, ct)
+                            else:
+                                flat = C_r.reshape(
+                                    n_out * d_rem, ct * ct
+                                )
+                                flat = jnp.concatenate(
+                                    [flat, jnp.zeros((1, ct * ct), dt)], 0
+                                )
+                                tiles = jnp.take(
+                                    flat, blk_idx.reshape(-1), axis=0
+                                ).reshape(TT, T, ct, ct)
                             # [TT, ct, ct, T]: T in lanes for the
                             # in-kernel per-channel-pair multiply
                             exec_entry["Ctiles"] = jnp.transpose(
