@@ -964,3 +964,57 @@ def test_hbm_arm_budget_math(monkeypatch):
         + 7 * C * 4 * pcg.padded_spatial_elems((th + 16, n))
     )
     assert est <= pcg.VMEM_BUDGET_BYTES // 2
+
+
+def test_onehot_direct_gather_with_duplicate_reads(monkeypatch):
+    """Parallel edges create duplicate (v, u) cross reads; dedup merges
+    them with K=2 position tables, and the bind-time __ohdirect__ tables
+    must reproduce the merged coupling blocks (sum over K) inside the
+    fused kernel. Pin fused-interpret against the XLA loop."""
+    import opt_tpu.ops.pallas_cg as pcg
+    from opt_tpu.models.specs import arap_mesh_deformation
+
+    N = 96
+    rng = np.random.RandomState(7)
+    ring = np.arange(N, dtype=np.int32)
+    v0 = np.concatenate([ring, ring])          # ring edges, duplicated
+    v1 = np.concatenate([(ring + 1) % N, (ring + 1) % N])
+    # a few random chords so the topology is genuinely irregular
+    c0 = rng.randint(0, N, 40).astype(np.int32)
+    c1 = (c0 + rng.randint(2, N - 2, 40)).astype(np.int32) % N
+    v0 = np.concatenate([v0, c0, c1])
+    v1 = np.concatenate([v1, c1, c0])
+    pos = rng.rand(N, 3).astype(np.float32)
+    con = -np.ones((N, 3), np.float32)
+    con[0] = pos[0]
+    con[N // 2] = pos[N // 2] + 0.3
+    inputs = {
+        "Offset": pos.copy(),
+        "Angle": np.zeros((N, 3), np.float32),
+        "UrShape": pos,
+        "Constraints": con,
+        "G": {"v0": v0, "v1": v1},
+        "w_fitSqrt": np.sqrt(5.0).astype(np.float32),
+        "w_regSqrt": np.sqrt(1.0).astype(np.float32),
+    }
+    ipk = dict(cg_variant="standard", preconditioner="jacobi", edge_reorder=False)
+    r_off = ot.Problem(arap_mesh_deformation).plan(
+        dims={"N": N},
+        init_params=InitializationParameters(use_pallas_cg="off", **ipk),
+    ).solve(dict(inputs), nIterations=3, lIterations=20)
+    plan = ot.Problem(arap_mesh_deformation).plan(
+        dims={"N": N},
+        init_params=InitializationParameters(use_pallas_cg="interpret", **ipk),
+    )
+    r_on = plan.solve(dict(inputs), nIterations=3, lIterations=20)
+    # the direct tables must actually exist (duplicates -> K >= 2)
+    _u, _c, g, _p = plan._normalize_and_place(dict(inputs))
+    direct = [k for k in g["G"] if k.startswith("__ohdirect__")]
+    if direct:
+        assert g["G"][direct[0]].shape[0] >= 2  # K-position tables
+    assert np.allclose(r_off.final_cost, r_on.final_cost, rtol=1e-3)
+    assert np.allclose(
+        np.asarray(r_off.unknowns["Offset"]),
+        np.asarray(r_on.unknowns["Offset"]),
+        atol=1e-3,
+    )
